@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin views over :mod:`iceberg_poc_spark.registry` — every operator from
+SURVEY.md §2 registers there with a Spark callable and (where
+SQL-expressible) a DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -13,26 +11,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_poc_spark import registry as _registry
+from iceberg_poc_spark.session import tune_existing
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape: filtered scan + multi-key hash agg)
+    on /root/testdata/sf0.001."""
+    tune_existing(spark)
+    return _registry.load_all()["q_agg_q1"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 inventory)."""
+    wrapped = {}
+    for name, fn in _registry.queries().items():
+        def make(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                tune_existing(spark)
+                return f(spark, sf_dir)
+            return run
+        wrapped[name] = make(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query; engine-specific ops
+    (HLL sketches, engine-hash LSH variants) are omitted -> rows-only."""
+    return _registry.oracles()

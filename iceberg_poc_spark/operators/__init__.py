@@ -1,0 +1,20 @@
+"""Operator modules. Importing this package registers every query in
+:mod:`iceberg_poc_spark.registry`."""
+
+from iceberg_poc_spark.operators import (  # noqa: F401
+    aggregates,
+    asof,
+    dedup,
+    filters,
+    joins,
+    multimodal,
+    scalar_fns,
+    scans,
+    sessionize,
+    setops,
+    similarity,
+    sorts,
+    text,
+    udfs,
+    windows,
+)

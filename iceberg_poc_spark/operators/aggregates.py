@@ -1,0 +1,202 @@
+"""Aggregations: hash agg, multi-key (TPC-H Q1), distinct, rollup/cube,
+having, stats, approx.
+
+The reference's only aggregation machinery is in-memory key grouping
+(``aig/AIGEventsTableCreator.java:358-362,385-394``) and running counts
+(``LocalReadParquetToS3Iceberg.java:100-124``); everything here is the
+general engine surface via ``groupBy().agg()``.
+
+Scale notes: Spark hash aggregation is two-phase (map-side partial agg,
+then one shuffle on the grouping keys) — the shuffle payload is one partial
+state per key per task, not raw rows, so these plans survive 100 TB facts.
+Doubles are rounded in-query to stabilize results against float summation
+order for the oracle diff (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+
+@register(
+    "q_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {dround('AVG(l_quantity)', 2)}                              AS avg_qty,
+           {dround('AVG(l_extendedprice)', 2)}                         AS avg_price,
+           {dround('AVG(l_discount)', 4)}                              AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: TPC-H Q1 shape — filtered scan + multi-key hash agg. "
+    "Mirrors the reference's flagship read pattern (time-range filter + "
+    "daily aggregation narrative, TimeBasedPartitioningExamples.java:154-169).",
+)
+def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_basic",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           {dround('AVG(value)', 2)} AS avg_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="count/sum/avg/min/max hash aggregation.",
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) — Spark expands to a two-phase distinct aggregate.",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy (subtotals + grand total).",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, CAST(year(ts) AS INT) AS y,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+    """,
+    doc="CUBE over two dimensions.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "y", F.year("ts").cast("int")
+    )
+    return ev.cube("event_type", "y").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust, {dround('AVG(c_acctbal)', 2)} AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 3
+    """,
+    doc="HAVING = post-aggregation filter.",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .filter(F.col("n_cust") > 3)
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 2) AS sd_value,
+           {dround('var_samp(value)', 2)}    AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Statistical aggregates (sample stddev/variance).",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 2).alias("sd_value"),
+        F.round(F.var_samp("value"), 2).alias("var_value"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    doc="approx_count_distinct (HyperLogLog++). At 100 TB this is the "
+    "right distinct-count: fixed-size sketch per group, mergeable "
+    "map-side, no distinct shuffle explosion.",
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )

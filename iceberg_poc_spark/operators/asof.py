@@ -1,0 +1,106 @@
+"""As-of join — nearest-prior-event join, a composite operator Spark lacks
+natively (SURVEY.md §2B marks it ✦; no reference analogue).
+
+Implementation: the union + last(ignorenulls) carry-forward trick.
+Both sides are unioned with a source tag, sorted per key by
+(ts, source-tag) so right-side rows at an equal timestamp sort first
+(inclusive ``right.ts <= left.ts`` semantics), and each right payload
+column is carried forward with ``last(..., ignorenulls=True)`` over an
+unbounded-preceding frame. Left rows then read the most recent right
+payload.
+
+Scale: ONE shuffle of (left ∪ right) on the join keys, then a linear
+window pass — no range-join blowup, no per-key collect. This is the plan
+shape a dedicated as-of physical operator would produce, so it holds at
+100 TB (contrast: a naive ``left.ts >= right.ts`` range join is O(n·m)
+per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+_SRC = "__asof_src"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``keys`` group (inclusive).
+
+    Carried right columns (``right_ts`` plus ``right_cols``) appear on the
+    output as ``{prefix}{col}``. Left rows with no prior right row get
+    NULLs. If several right rows share the greatest timestamp, the one last
+    in the (deterministic only up to that timestamp) union order wins —
+    pass a unique ``right_cols`` ordering column if that matters.
+    """
+    carried = [right_ts, *right_cols]
+    out_names = {c: f"{prefix}{c}" for c in carried}
+    clash = set(out_names.values()) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof output columns clash with left side: {sorted(clash)}")
+
+    l_tagged = left.withColumn(_SRC, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    r_tagged = (
+        right.select(*keys, *carried)
+        .withColumnsRenamed(out_names)
+        .withColumn(_SRC, F.lit(0))
+        .withColumn(_TS, F.col(out_names[right_ts]))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TS, _SRC)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in out_names.values():
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col(_SRC) == 1).drop(_SRC, _TS)
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id,
+           c.event_id AS prior_click_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join: each error event matched to the same user's most "
+    "recent prior (or simultaneous) click. DuckDB verifies with its "
+    "native ASOF JOIN; the engine path is the union+window composite.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        errors, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_id"],
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "event_id",
+        F.col("asof_click_id").alias("prior_click_id"),
+        (us("ts") - us("asof_ts")).cast("bigint").alias("gap_us"),
+    )

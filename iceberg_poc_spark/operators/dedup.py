@@ -1,0 +1,365 @@
+"""Deduplication operators (✦ north-star, SURVEY.md §2B):
+
+- exact (fingerprint group-by),
+- MinHash + LSH band-join near-dedup,
+- SimHash signatures,
+- n-gram Jaccard with rare-shingle candidate generation,
+- embedding near-dup via sign-LSH bucketing.
+
+Everything here is deliberately *oracle-checkable*: hash functions are
+md5-hex (byte-identical in Spark and DuckDB) and MinHash takes the
+lexicographic min of per-permutation salted md5 strings — a valid uniform
+MinHash family that both engines reproduce exactly. At 100 TB the drop-in
+upgrade is xxhash64 ints instead of md5 strings (cheaper compare/shuffle);
+the plan shapes below are already the scalable ones:
+
+- LSH band-join / bucket-join instead of O(n^2) pairwise comparison,
+- rare-shingle candidate generation (df-bounded) before exact Jaccard,
+- map-side partial aggregation everywhere (groupBy agg of min() states).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.functions.vectors import cosine_similarity, sign_bucket, sign_bucket_sql
+from iceberg_poc_spark.operators.text import shingles_col, shingles_sql
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: one group per distinct text, keeping the smallest "
+    "doc_id. At scale: group on md5(text) (q_doc_fingerprint) so the "
+    "shuffle key is 16 bytes, not the document.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+MINHASH_THRESHOLD = 0.5
+
+
+def _minhash_cols() -> list:
+    """16 MinHash signatures: lexicographic min over shingles of
+    md5('<i>:' || shingle). A salted-hash MinHash family shared verbatim
+    with the oracle SQL."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh15 MinHash signature columns."""
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    return ex.groupBy("doc_id").agg(*_minhash_cols())
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature (4 bands x 4 rows) and self-join per band —
+    the LSH bucketing that replaces O(n^2) pairwise comparison."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                ).cast("binary")
+            ).alias("h"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.h").alias("h"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_near",
+    oracle=None,  # assembled below; see _minhash_oracle()
+    doc="MinHash-LSH near-duplicate pairs with estimated Jaccard "
+    "(fraction of agreeing minhashes) >= 0.5.",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    pairs = lsh_candidate_pairs(sigs)
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_HASHES)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS b, md5({cc}) AS h FROM mh".format(
+            b=b,
+            cc=" || '|' || ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM documents
+    ),
+    mh AS (
+        SELECT doc_id,
+           {mh_exprs}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(({match_sum}) / {float(N_HASHES)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b
+    WHERE ROUND(({match_sum}) / {float(N_HASHES)}, 4) >= {MINHASH_THRESHOLD}
+    """
+
+
+# Late-bind the oracle (built programmatically).
+from iceberg_poc_spark import registry as _registry  # noqa: E402
+
+_q = _registry.REGISTRY["q_dedup_near"]
+_registry.REGISTRY["q_dedup_near"] = _registry.Query(
+    name=_q.name, fn=_q.fn, oracle=_minhash_oracle(), doc=_q.doc
+)
+
+
+# ------------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id,
+           {" || ".join(
+               "(CASE WHEN SUM(CASE WHEN substr(md5(word), %d, 1) >= '8'"
+               " THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)" % (i + 1)
+               for i in range(SIMHASH_BITS)
+           )} AS simhash
+    FROM w GROUP BY doc_id
+    """,
+    doc="SimHash signature (16-bit): per-word md5 hex digit high-bit "
+    "votes, sign-aggregated. Multiset word weighting (duplicates vote "
+    "repeatedly). Pairing = group by signature or hamming-ball probing.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).withColumn(
+        "h", F.md5(F.col("word").cast("binary"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(SIMHASH_BITS)
+    ]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+# ----------------------------------------------------- n-gram exact Jaccard
+
+MAX_DOC_FREQ = 50  # rare-shingle candidate generation bound
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_DOC_FREQ}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        JOIN rare r ON r.shingle = a.shingle
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           {dround('CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)', 4)} AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE {dround('CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)', 4)}
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram (3-shingle) Jaccard near-dup pairs. Candidate "
+    "generation joins only on rare shingles (document frequency <= "
+    f"{MAX_DOC_FREQ}) — the df-bound keeps the self-join from exploding "
+    "on common shingles, the standard scale trick.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DOC_FREQ))
+        .select("shingle")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .join(rare, "shingle", "left_semi")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("za.n") + F.col("zb.n") - F.col("shared")),
+        4,
+    )
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ------------------------------------------------- embedding near-dup (LSH)
+
+EMB_BUCKET_BITS = 8
+EMB_DUP_THRESHOLD = 0.9
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {sign_bucket_sql("embedding", EMB_BUCKET_BITS)} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])), 4)
+          >= {EMB_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup: sign-LSH bucket join (first "
+    f"{EMB_BUCKET_BITS} coordinate signs) prunes candidates ~2^-"
+    f"{EMB_BUCKET_BITS} before the exact cosine — never O(n^2).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), EMB_BUCKET_BITS).alias("bucket")
+    )
+    a = emb.alias("a")
+    c = emb.alias("c")
+    sim = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("c.embedding")), 4
+    )
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+    )

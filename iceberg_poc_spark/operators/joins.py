@@ -1,0 +1,228 @@
+"""Joins: inner, broadcast, outer, semi/anti, range (non-equi), cross.
+
+The reference has no join executor (SURVEY.md §2C); its closest analogue is
+name-matched field copy (``HiddenPartitionLoaderWithKMS.java:221-227``).
+This module exposes the full Spark join surface.
+
+Scale notes per join:
+- fact⋈fact equi-joins shuffle both sides on the key (sort-merge); AQE
+  splits skewed partitions.
+- dim tables (region/nation/part/supplier/customer at TPC-H ratios) are
+  broadcast — no shuffle of the fact side at all. We broadcast explicitly
+  where the dim is guaranteed small rather than relying on the 10 MB
+  threshold estimate.
+- the range join keeps the non-equi condition on a broadcast side so it is
+  a broadcast-nested-loop over a tiny build side, never an O(n^2) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    doc="Inner equi-join; Catalyst picks broadcast-hash here (customer is "
+    "small) and sort-merge at fact⋈fact scale.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Explicit broadcast join: fact stays in place, dim ships to every "
+    "executor — zero shuffle of lineitem before the aggregation.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+    GROUP BY c.c_custkey
+    """,
+    doc="LEFT OUTER join with a join-side predicate (kept in the ON clause "
+    "so non-matching customers survive with NULLs).",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    doc="LEFT SEMI join (EXISTS): ships only the key column of the probe "
+    "side, never duplicates matches.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    doc="LEFT ANTI join (NOT EXISTS).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# Price bands for the non-equi range join: a tiny literal dimension, always
+# broadcast — the scalable pattern for banding/bucketing joins.
+PRICE_BANDS = [
+    ("low", 0.0, 100000.0),
+    ("mid", 100000.0, 300000.0),
+    ("high", 300000.0, 1000000.0),
+]
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 100000.0),
+                 ('mid', 100000.0, 300000.0),
+                 ('high', 300000.0, 1000000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="Non-equi (range/theta) join against a broadcast band dimension — "
+    "broadcast-nested-loop with a 3-row build side, not a shuffle.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cross join of two tiny dims (5 x 25).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="Multi-way star join (fact + 3 dims) — the TPC-H Q5 shape; dims "
+    "broadcast, fact never shuffles until the final small agg.",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (✦ north-star, SURVEY.md §2B).
+
+Convention: media payloads are opaque ``binary`` columns next to a typed
+metadata struct. The decode / feature-extract step runs as Arrow-batched
+``mapInPandas`` so each Python worker sees whole record batches — the
+real 100 TB pattern (decode happens where the bytes already live; only
+small metadata shuffles).
+
+The image/audio libraries are not in this container, so the actual decode
+is STUBBED: :func:`decode_media_stub` raises NotImplementedError, and the
+query path uses :func:`fake_decode_meta`, a deterministic arithmetic stand-
+in, keeping the Spark-side plumbing (schema, batching, UDF signature) real
+and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("kind", StringType(), False),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Materialize the multimodal convention on the documents table: a
+    ``binary`` payload column (utf-8 bytes of the text stand in for media
+    bytes) plus a typed metadata struct."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("bigint").alias("byte_len"),
+            F.lit("application/octet-stream").alias("content_type"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media_stub(payload: bytes) -> dict:
+    """REAL decode goes here (PIL / librosa / pyav). Not available in this
+    container — deliberately stubbed."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this "
+        "container; use fake_decode_meta for plumbing tests"
+    )
+
+
+def fake_decode_meta(doc_id: int, payload: bytes) -> tuple[int, int, int, int, str]:
+    """Deterministic arithmetic stand-in for decode: derives fake
+    width/height/kind from the byte length (mirrored by the oracle SQL)."""
+    n = len(payload)
+    return (
+        doc_id,
+        n,
+        n % 640 + 16,
+        (n * 7) % 480 + 16,
+        MEDIA_KINDS[n % 3],
+    )
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow record batches in, metadata batches out."""
+    for pdf in batches:
+        rows = [
+            fake_decode_meta(int(d), bytes(p))
+            for d, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "byte_len", "width", "height", "kind"]
+        )
+
+
+@register(
+    "q_multimodal_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)            AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT)    AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN '{MEDIA_KINDS[0]}'
+                WHEN 1 THEN '{MEDIA_KINDS[1]}'
+                ELSE '{MEDIA_KINDS[2]}' END              AS kind
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload + mapInPandas "
+    "(Arrow-batched) metadata extraction with a deterministic fake "
+    "decode; the oracle mirrors the arithmetic on octet_length.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=META_SCHEMA
+    )

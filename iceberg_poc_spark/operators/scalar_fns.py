@@ -1,0 +1,166 @@
+"""Scalar function surface: string / date / math / array / JSON.
+
+The reference's only scalar logic is epoch-time bucketing
+(``aig/AIGEventsTableCreator.java:226-234``,
+``aig/TimeBasedPartitioningExamples.java:129-141``) and string formatting
+(``HiddenPartitionLoaderWithKMS.java:203``). The engine exposes the
+PySpark built-in surface; everything here runs JVM-side inside
+whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_up,
+           SUBSTR(c_name, 1, 8)                            AS name_head,
+           c_mktsegment || '/' || c_name                   AS seg_name,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS name_num
+    FROM customer
+    WHERE c_name LIKE 'Customer%'
+    """,
+    doc="upper/substr/concat/LIKE/regexp_extract.",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("c_name")).alias("seg_name"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                      AS y,
+           CAST(month(o_orderdate) AS INT)                     AS m,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+               AS days_since_epoch_start
+    FROM orders
+    """,
+    doc="year/month/date_trunc/datediff — the declarative version of the "
+    "reference's hand-written time bucketing.",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {dround('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS charge,
+           ROUND(ABS(l_extendedprice - 30000), 2)                     AS abs_diff,
+           CAST(FLOOR(l_quantity) AS BIGINT)                          AS qty_floor,
+           ROUND(POWER(l_discount, 2), 6)                             AS disc_sq
+    FROM lineitem
+    """,
+    doc="round/abs/floor/power arithmetic, all codegen'd.",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_diff"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_words,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[1]                      AS first_word
+    FROM documents
+    """,
+    doc="Array functions over tokenized text: size/contains/indexing.",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        words.getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON extraction from the events.props string column.",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_fn_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_name
+    FROM orders
+    """,
+    doc="CASE WHEN (searched + simple forms).",
+)
+def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_name"),
+    )

@@ -1,0 +1,141 @@
+"""Event-time windowing in batch form: tumbling / sliding / session windows.
+
+These are the DuckDB-verifiable batch twins of the Structured Streaming
+pipelines in :mod:`iceberg_poc_spark.streaming.pipelines` — same window
+semantics (``F.window`` / ``F.session_window`` produce identical buckets in
+batch and streaming). The reference only *narrates* real-time event
+patterns (``aig/TimeBasedPartitioningExamples.java:238-251``); this engine
+implements them.
+
+Scale: window aggregation = map-side partial agg + one shuffle on
+(bucket, keys). Sessionization = one shuffle on user + linear window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "q_stream_tumbling_batch",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation via F.window (batch twin of "
+    "the streaming pipeline).",
+)
+def q_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding_batch",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+               value
+        FROM events
+    )
+    SELECT strftime(ws, '{_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+    doc="Sliding window (1h length, 30m slide): every event lands in two "
+    "windows; F.window explodes assignments, oracle mirrors with a "
+    "2-way UNION ALL of shifted buckets.",
+)
+def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_GAP_SEC = 30 * 60
+
+
+@register(
+    "q_stream_session_batch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SEC} * 1000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS duration_us
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap (lag + cumulative "
+    "flag-sum), the batch twin of session_window streaming.",
+)
+def q_stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_SEC * 1_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+    )

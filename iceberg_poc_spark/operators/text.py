@@ -1,0 +1,176 @@
+"""Text analysis over the ``documents`` table: stats, quality scoring,
+language-ID heuristic, token counting, fingerprinting (✦ north-star ops,
+SURVEY.md §2B).
+
+All pure built-in column expressions (codegen'd, no Python): at 100 TB
+these run as a single embarrassingly-parallel scan projection.
+
+Shared tokenization/shingling helpers used by the dedup operators live
+here; the Spark expressions and the DuckDB SQL fragments are kept textually
+adjacent so both engines compute byte-identical shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+STOPWORDS = ("the", "a")
+# BPE-ish tokenizer: letter runs | digit runs | single non-space symbol.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def shingles_col(text: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as strings; documents shorter than k words collapse
+    to one shingle (the whole text). Mirrored exactly by
+    :func:`shingles_sql`."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text}, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text}, ' '), i, {k})))"
+    )
+
+
+def shingles_sql(text: str = "text", k: int = 3) -> str:
+    """DuckDB twin of :func:`shingles_col` (1-based inclusive list slice)."""
+    return (
+        f"list_transform(range(1, greatest(len(string_split({text}, ' ')) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(string_split({text}, ' ')[i:i+{k - 1}], ' '))"
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                    AS n_chars_calc,
+           len(string_split(text, ' '))                    AS n_words,
+           {dround("CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+                   " / len(string_split(text, ' '))", 2)}  AS avg_word_len,
+           lang, source
+    FROM documents
+    """,
+    doc="Per-document length/word-count/avg-word-length stats.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = words_col()
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(words), 2
+        ).alias("avg_word_len"),
+        "lang",
+        "source",
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {dround("CAST(len(list_filter(string_split(text, ' '),"
+                   " w -> w IN ('the', 'a'))) AS DOUBLE)"
+                   " / len(string_split(text, ' '))", 3)}  AS stopword_ratio,
+           {dround("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+                   " / len(string_split(text, ' '))", 3)}  AS unique_ratio,
+           (length(text) >= 50 AND len(string_split(text, ' ')) >= 10)
+                                                     AS len_ok
+    FROM documents
+    """,
+    doc="Quality scoring: stopword ratio, vocabulary diversity, length "
+    "gate — the standard cheap pre-filters of an LLM data pipeline.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = words_col()
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_cnt = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_cnt.cast("double") / F.size(words), 3).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 3
+        ).alias("unique_ratio"),
+        ((F.length("text") >= 50) & (F.size(words) >= 10)).alias("len_ok"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN list_contains(string_split(text, ' '), 'the')
+                  OR list_contains(string_split(text, ' '), 'a')
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents
+    """,
+    doc="Language-ID heuristic (stopword-membership scoring). The corpus "
+    "text is synthetic English-ish regardless of its lang label, so the "
+    "heuristic is a deterministic plumbing demo, not a model.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = words_col()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.array_contains(words, "the") | F.array_contains(words, "a"), "en"
+        )
+        .otherwise("unk")
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                   AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}'))    AS re_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letter runs / digit runs / symbols).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words_col()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_RE)).cast("bigint").alias("re_tokens"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text)              AS fingerprint,
+           substr(md5(text), 1, 4) AS shard_bucket
+    FROM documents
+    """,
+    doc="Content fingerprinting (md5 hex — identical bytes in both "
+    "engines) + a fingerprint-prefix shard bucket, the primitive under "
+    "exact dedup at scale.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_bucket"),
+    )

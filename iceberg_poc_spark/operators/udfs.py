@@ -1,0 +1,83 @@
+"""UDF surface: Arrow-vectorized pandas UDFs (scalar + grouped-agg).
+
+Absent from the reference (all logic is host Java, SURVEY.md §2C). Policy:
+built-in functions first (see functions/vectors.py for the JVM-side cosine
+used by the similarity queries); pandas UDFs (Arrow batches) where Python
+is genuinely needed; row-at-a-time ``F.udf`` never in a hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_to_query(emb: pd.Series, query: pd.Series) -> pd.Series:
+    """Arrow-batched cosine similarity between an embedding column and a
+    (constant) query vector column, computed in float64."""
+    mat = np.stack(emb.to_numpy()).astype(np.float64)
+    q = np.stack(query.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", mat, q)
+    den = np.linalg.norm(mat, axis=1) * np.linalg.norm(q, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den == 0, np.nan, num / den)
+    return pd.Series(out)
+
+
+@register(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    """,
+    doc="Scalar pandas UDF (Arrow-vectorized float64 cosine) against the "
+    "vec_id=0 query vector; oracle uses DuckDB's native list cosine.",
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(_cosine_to_query(F.col("embedding"), F.col("qemb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle=f"""
+    SELECT event_type, {dround('median(value)', 2)} AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (exact median per group). Note for "
+    "100 TB: exact median requires the group's values on one executor; "
+    "prefer approx percentile_approx at that scale.",
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 2).alias("median_value")
+    )

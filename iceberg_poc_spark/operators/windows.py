@@ -1,0 +1,147 @@
+"""Window functions: rank, lag/lead, running sums, range frames.
+
+Absent from the reference (SURVEY.md §2C); engine surface via
+``Window.partitionBy().orderBy()``.
+
+Scale note: one shuffle on the partition key per window spec; ordering
+columns include a unique tiebreaker everywhere so results are
+deterministic (float ties would otherwise make the oracle diff flap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.functions.sqlround import dround
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="row_number top-N per group.",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           ROUND(value - LAG(value) OVER w, 2) AS delta_value,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead over a per-user event timeline.",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+    doc="Running total with an explicit ROWS frame.",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_win_frame_range",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 2) AS sum_1h
+    FROM events
+    """,
+    doc="RANGE frame: trailing 1-hour sum per user, ordered by epoch "
+    "seconds (numeric RANGE frames are the portable formulation).",
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "q_win_ntile_share",
+    oracle=f"""
+    SELECT c_custkey, quartile,
+           {dround('c_acctbal / NULLIF(SUM(c_acctbal) OVER (), 0)', 6)} AS bal_share
+    FROM (
+        SELECT c_custkey, c_acctbal,
+               NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+    )
+    """,
+    doc="ntile bucketing + global-window share-of-total.",
+)
+def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w_order = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_all = Window.partitionBy()
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_order).alias("quartile"),
+        F.round(
+            F.col("c_acctbal") / F.nullif(F.sum("c_acctbal").over(w_all), F.lit(0.0)), 6
+        ).alias("bal_share"),
+    )
