@@ -1,0 +1,15 @@
+from iceberg_poc_spark.streaming.pipelines import (
+    dedup_stream,
+    load_events_stream,
+    run_to_table,
+    session_stream,
+    tumbling_stream,
+)
+
+__all__ = [
+    "load_events_stream",
+    "tumbling_stream",
+    "session_stream",
+    "dedup_stream",
+    "run_to_table",
+]

@@ -1,0 +1,148 @@
+"""Structured Streaming pipelines over the events stream (✦ north-star).
+
+The reference only narrates real-time event patterns
+(``aig/TimeBasedPartitioningExamples.java:238-251``); here they run:
+file-source ``readStream`` → watermark → windowed/session aggregation or
+watermarked dedup → sink. The batch twins of these exact window semantics
+are DuckDB-verified as ``q_stream_*`` queries (operators/sessionize.py);
+streaming correctness is asserted in tests by equating the
+``availableNow`` streaming result with the batch result.
+
+Scale notes:
+- watermarks bound state: the store only keeps windows newer than
+  (max event time - delay) — without them, 100 TB of history would pin
+  executor memory.
+- ``run_to_table`` sinks via ``foreachBatch`` into the engine's
+  snapshot-committed table layer: each micro-batch is ONE atomic append
+  (exactly-once per epoch with checkpointing), then ``compact()`` folds
+  the small files — the streaming ingest + compaction loop every lakehouse
+  runs in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_poc_spark.tables.manager import ParquetTableManager
+
+# Physical schema of events.parquet with ts as raw nanos (see
+# sources/tables.py: TIMESTAMP(NANOS) reads as long).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source readStream over events parquet; ns -> timestamp exactly
+    like the batch loader so stream/batch twins agree byte-for-byte.
+
+    The file source needs a directory (new files appearing there become
+    stream input); a single-file path is wrapped in a symlinked temp dir.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts/sums per event type with late-data handling:
+    rows later than the watermark are dropped, finalized windows are
+    emitted (append mode needs the watermark to close windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user — the
+    streaming form of q_stream_session_batch."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving within
+    the watermark horizon (bounded dedup state, unlike global
+    dropDuplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain the stream with availableNow into an in-memory sink; returns
+    after all input is processed (deterministic for tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    mgr: ParquetTableManager,
+    table: str,
+    checkpoint: str,
+) -> None:
+    """Stream -> snapshot table: each micro-batch lands as ONE atomic
+    append (foreachBatch), giving all-or-nothing visibility per epoch —
+    the streaming version of the reference's atomic bulk commit."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        mgr.append(table, batch_df)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,58 @@
+"""Plan-quality gates: pushdown, pruning, broadcast, no cartesian — the
+local-scale proxies for 100 TB efficiency (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from iceberg_poc_spark.plans import (
+    assert_no_cartesian,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from iceberg_poc_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+Q = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q["q_scan_pruned"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf!r}"
+
+
+def test_column_pruning(spark):
+    df = Q["q_scan_parquet"].fn(spark, SF_DIR)
+    cols = read_schema_columns(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    }, f"scan reads more than the projection: {cols}"
+
+
+def test_q1_scan_prunes_columns(spark):
+    cols = set(read_schema_columns(Q["q_agg_q1"].fn(spark, SF_DIR)))
+    # 7 needed columns only, not all 11
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert has_broadcast_join(Q["q_join_broadcast"].fn(spark, SF_DIR))
+
+
+def test_multiway_join_no_cartesian(spark):
+    assert_no_cartesian(Q["q_join_multiway"].fn(spark, SF_DIR))
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    df = Q["q_join_range"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_semi_join_pushes_filter(spark):
+    pf = pushed_filters(Q["q_join_semi"].fn(spark, SF_DIR))
+    assert "o_totalprice" in pf

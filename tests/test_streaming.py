@@ -1,0 +1,93 @@
+"""Streaming pipelines: availableNow streaming result must equal the batch
+twin; foreachBatch -> table layer gives atomic per-epoch appends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.sources import load_table, table_path
+from iceberg_poc_spark.streaming import (
+    dedup_stream,
+    load_events_stream,
+    run_to_table,
+    session_stream,
+    tumbling_stream,
+)
+from iceberg_poc_spark.streaming.pipelines import run_to_memory
+from iceberg_poc_spark.tables import ParquetTableManager, days
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def events_stream(spark):
+    return load_events_stream(spark, table_path(SF_DIR, "events"))
+
+
+def batch_events(spark):
+    # same ts semantics as the stream loader (micros, tz-less wall clock)
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream):
+    run_to_memory(tumbling_stream(events_stream), "t_tumbling")
+    got = {
+        tuple(r)
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        tuple(r)
+        for r in (
+            batch_events(spark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    # append-mode emits only watermark-closed windows: subset equality + size
+    assert got <= want
+    assert len(got) >= len(want) - 10  # only the trailing windows stay open
+
+
+def test_session_stream_runs(spark, events_stream):
+    run_to_memory(session_stream(events_stream), "t_session")
+    rows = spark.table("t_session").collect()
+    assert len(rows) > 0
+    assert {"user_id", "session_start", "n_events"} == set(spark.table("t_session").columns)
+
+
+def test_dedup_stream_drops_dupes(spark, tmp_path, events_stream):
+    run_to_memory(dedup_stream(events_stream), "t_dedup")
+    n = spark.table("t_dedup").count()
+    assert n == batch_events(spark).count()  # input has unique ids already
+    ids = spark.table("t_dedup").select("event_id").distinct().count()
+    assert ids == n
+
+
+def test_stream_to_table_atomic_appends(spark, tmp_path, events_stream):
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    schema = batch_events(spark).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).schema
+    mgr.create_table("events_live", schema, [days("ts")])
+    run_to_table(
+        dedup_stream(events_stream),
+        mgr,
+        "events_live",
+        str(tmp_path / "ckpt"),
+    )
+    snaps = mgr.snapshots("events_live").collect()
+    assert all(s.operation in ("create", "append") for s in snaps)
+    assert mgr.read("events_live").count() == batch_events(spark).count()
+    # streaming micro-batches -> small files; compaction folds them
+    before = mgr.files("events_live").count()
+    mgr.compact("events_live")
+    assert mgr.files("events_live").count() <= before

@@ -1,0 +1,201 @@
+"""Table-layer tests mirroring the reference's self-validating programs
+(SURVEY.md §5): atomic append, hidden partitioning + pruning, snapshots/
+time travel, schema evolution, compaction, nested-schema round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from iceberg_poc_spark.tables import (
+    ParquetTableManager,
+    bucket,
+    days,
+    identity,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("tenant_id", IntegerType(), False),
+        StructField("ts", TimestampNTZType(), False),
+        StructField("service_id", StringType(), True),
+        StructField("value", LongType(), True),
+    ]
+)
+
+
+def make_events(spark, n=100, tenants=4, start=dt.datetime(2024, 1, 1)):
+    rows = [
+        (
+            i % tenants,
+            start + dt.timedelta(hours=i),
+            f"svc{i % 3}",
+            i * 10,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+@pytest.fixture
+def mgr(spark, tmp_path):
+    return ParquetTableManager(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_append_read_roundtrip(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id"), days("ts")])
+    df = make_events(spark)
+    mgr.append("events", df)
+    got = mgr.read("events")
+    assert got.count() == 100
+    assert got.columns == ["tenant_id", "ts", "service_id", "value"]  # hidden cols stay hidden
+    assert got.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(100))
+
+
+def test_atomic_append_one_snapshot_per_bulk_load(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id"), days("ts")])
+    mgr.append("events", make_events(spark, 50))
+    mgr.append("events", make_events(spark, 30, start=dt.datetime(2024, 3, 1)))
+    snaps = mgr.snapshots("events").orderBy("snapshot_id").collect()
+    # create + 2 appends = 3 snapshots; each append is all-or-nothing
+    assert [s.operation for s in snaps] == ["create", "append", "append"]
+    assert [s.n_records for s in snaps] == [0, 50, 80]
+    assert snaps[-1].n_files > snaps[1].n_files
+
+
+def test_hidden_partition_layout(mgr, spark, tmp_path):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id"), days("ts")])
+    mgr.append("events", make_events(spark, 48, tenants=2))
+    paths = [r.path for r in mgr.files("events").collect()]
+    assert all("tenant_id=" in p and "ts_days=" in p for p in paths)
+    # partition values derived from data, not provided by the writer
+    parts = [r.partition for r in mgr.partitions("events").collect()]
+    assert any('"tenant_id": "0"' in p and '"ts_days": "2024-01-01"' in p for p in parts)
+
+
+def test_scan_partition_pruning(mgr, spark):
+    """planTasks() analogue: a time-range predicate must plan fewer files
+    (reference claims 83-95% reduction for tight ranges,
+    TimeBasedPartitioningExamples.java:282-286)."""
+    mgr.create_table("events", EVENTS_SCHEMA, [days("ts")])
+    mgr.append("events", make_events(spark, 24 * 10))  # 10 days hourly
+    df, planned, total = mgr.scan(
+        "events",
+        where=[
+            ("ts", ">=", dt.datetime(2024, 1, 3)),
+            ("ts", "<", dt.datetime(2024, 1, 5)),
+        ],
+    )
+    assert planned < total, "pruning must skip files"
+    assert planned <= 3  # 2 days + boundary partition
+    # results identical to unpruned filter
+    full = mgr.read("events").filter(
+        (F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-05").cast("timestamp_ntz"))
+    )
+    assert df.count() == full.count() == 48
+
+
+def test_time_travel_and_rollback(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id")])
+    v1 = mgr.append("events", make_events(spark, 20))
+    v2 = mgr.append("events", make_events(spark, 10, start=dt.datetime(2025, 1, 1)))
+    assert mgr.read("events", snapshot_id=v1).count() == 20
+    assert mgr.read("events", snapshot_id=v2).count() == 30
+    mgr.rollback("events", v1)
+    assert mgr.read("events").count() == 20
+
+
+def test_schema_evolution_add_column(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("events", make_events(spark, 10))
+    mgr.add_column("events", "region", "string")
+    evolved = make_events(spark, 5).withColumn("region", F.lit("emea"))
+    mgr.append("events", evolved)
+    got = mgr.read("events")
+    assert got.columns[-1] == "region"
+    by_region = {r.region: r.n for r in got.groupBy("region").agg(F.count("*").alias("n")).collect()}
+    assert by_region == {None: 10, "emea": 5}  # old files read as NULL
+
+
+def test_compaction_preserves_data_reduces_files(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [identity("tenant_id")])
+    for i in range(5):  # many small appends -> many small files
+        mgr.append("events", make_events(spark, 8, start=dt.datetime(2024, 1 + i, 1)))
+    before = mgr.files("events").count()
+    total_before = mgr.read("events").agg(F.sum("value")).first()[0]
+    mgr.compact("events")
+    after = mgr.files("events").count()
+    assert after < before
+    assert mgr.read("events").agg(F.sum("value")).first()[0] == total_before
+    ops = [s.operation for s in mgr.snapshots("events").collect()]
+    assert ops[-1] == "replace"
+
+
+def test_bucket_transform_distributes(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA, [bucket("tenant_id", 4)])
+    mgr.append("events", make_events(spark, 100, tenants=50))
+    parts = mgr.partitions("events").collect()
+    assert 1 < len(parts) <= 4
+
+
+def test_nested_schema_roundtrip(mgr, spark):
+    """Nested struct/list fidelity ≙ the reference's recursive record copy
+    (HiddenPartitionLoaderDemNested.java:230-282) and the AIG policy/files
+    nested fields (AIGEventsSchemaValidator.java:97-131)."""
+    nested = StructType(
+        [
+            StructField("tenant_id", IntegerType(), False),
+            StructField(
+                "policy",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("name", StringType(), True),
+                            StructField("profile", ArrayType(StringType()), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+            StructField("ratelimit", ArrayType(StringType()), True),
+        ]
+    )
+    rows = [
+        (1, [("p1", ["a", "b"]), ("p2", [])], ["10rps"]),
+        (2, None, None),
+    ]
+    mgr.create_table("aig", nested, [identity("tenant_id")])
+    mgr.append("aig", spark.createDataFrame(rows, nested))
+    got = mgr.read("aig").orderBy("tenant_id").collect()
+    assert got[0].policy[0].name == "p1"
+    assert got[0].policy[0].profile == ["a", "b"]
+    assert got[1].policy is None
+
+
+def test_properties_reference_parity(mgr, spark):
+    """Default physical-layout properties match the reference constants
+    (AIGEventsTableCreator.java:184-191, BASELINE.md)."""
+    mgr.create_table("events", EVENTS_SCHEMA)
+    props = mgr.properties("events")
+    assert props["write.parquet.compression-codec"] == "zstd"
+    assert props["write.target-file-size-bytes"] == str(128 * 1024 * 1024)
+    mgr.set_properties("events", {"commit.retry.num-retries": "4"})
+    assert mgr.properties("events")["commit.retry.num-retries"] == "4"
+
+
+def test_create_existing_raises(mgr, spark):
+    mgr.create_table("events", EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create_table("events", EVENTS_SCHEMA)
