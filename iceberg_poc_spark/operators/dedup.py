@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.functions.vectors import cosine_similarity, sign_bucket, sign_bucket_sql
-from iceberg_poc_spark.operators.text import shingles_col, shingles_sql
+from iceberg_poc_spark.operators.text import shingles_col, shingles_sql, with_words
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
 
@@ -52,42 +52,67 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- MinHash + LSH
 
-N_HASHES = 16
-N_BANDS = 4
-ROWS_PER_BAND = N_HASHES // N_BANDS
+N_SALTS = 4  # md5 calls per shingle
+WORDS_PER_MD5 = 4  # a 128-bit md5 = four independent 32-bit (8-hex) words
+N_HASHES = N_SALTS * WORDS_PER_MD5  # 16 minhash functions
+N_BANDS = N_SALTS  # band s = the 4 words of salt s
+ROWS_PER_BAND = WORDS_PER_MD5
 MINHASH_THRESHOLD = 0.5
 
 
+def _mh_name(i: int) -> str:
+    return f"mh{i}"
+
+
 def _minhash_cols() -> list:
-    """16 MinHash signatures: lexicographic min over shingles of
-    md5('<i>:' || shingle). A salted-hash MinHash family shared verbatim
-    with the oracle SQL."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(N_HASHES)
-    ]
+    """16 MinHash values from only 4 md5 calls: each salted
+    md5('<s>:'||shingle) is split into four fixed-width 8-hex words, and
+    the per-word lexicographic min over shingles is a valid uniform
+    MinHash (fixed-width hex min == numeric min). Shared verbatim with the
+    oracle SQL."""
+    cols = []
+    for s in range(N_SALTS):
+        h = F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))
+        for w in range(WORDS_PER_MD5):
+            cols.append(
+                F.min(F.substring(h, 1 + 8 * w, 8)).alias(
+                    _mh_name(s * WORDS_PER_MD5 + w)
+                )
+            )
+    return cols
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs, unique per doc (array_distinct before the
+    explode — no extra distinct shuffle needed).
+
+    The input is repartitioned by doc_id first: the corpus arrives as few
+    large files, and without the shuffle the whole tokenize/shingle/hash
+    pipeline would run at file parallelism (one task here). Hashing by
+    doc_id also co-partitions for the downstream groupBy(doc_id), so that
+    aggregation reuses the partitioning instead of shuffling again.
+    """
+    return with_words(docs.repartition(F.col("doc_id"))).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + mh0..mh15 MinHash signature columns."""
-    ex = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
-    )
-    return ex.groupBy("doc_id").agg(*_minhash_cols())
+    """doc_id + mh0..mh15 MinHash signature columns (map-side partial min
+    aggregation: the shuffle carries one 16-word state per doc)."""
+    return doc_shingles(docs).groupBy("doc_id").agg(*_minhash_cols())
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band the signature (4 bands x 4 rows) and self-join per band —
-    the LSH bucketing that replaces O(n^2) pairwise comparison."""
+    the LSH bucketing that replaces O(n^2) pairwise comparison. The band
+    key is the fixed-width concat of its 4 minhash words (no extra hash
+    needed)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("b"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-                ).cast("binary")
+            F.concat(
+                *[F.col(_mh_name(b * ROWS_PER_BAND + r)) for r in range(ROWS_PER_BAND)]
             ).alias("h"),
         )
         for b in range(N_BANDS)
@@ -133,25 +158,26 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared oracle CTEs: distinct shingles -> 16 minhash words (4 salted
+    md5s x 4 words) -> band rows -> LSH candidate pairs."""
     mh_exprs = ",\n           ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+        f"min(substr(md5('{s}:' || shingle), {1 + 8 * w}, 8)) AS mh{s * WORDS_PER_MD5 + w}"
+        for s in range(N_SALTS)
+        for w in range(WORDS_PER_MD5)
     )
     band_selects = "\n        UNION ALL\n        ".join(
-        "SELECT doc_id, {b} AS b, md5({cc}) AS h FROM mh".format(
+        "SELECT doc_id, {b} AS b, {cc} AS h FROM mh".format(
             b=b,
-            cc=" || '|' || ".join(
+            cc=" || ".join(
                 f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
             ),
         )
         for b in range(N_BANDS)
     )
-    match_sum = " + ".join(
-        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
-    )
     return f"""
     WITH sh AS (
-        SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+        SELECT DISTINCT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
         FROM documents
     ),
     mh AS (
@@ -166,7 +192,15 @@ def _minhash_oracle() -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
         WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
     )
+    return f"""
+    {_minhash_ctes()}
     SELECT c.doc_a, c.doc_b,
            ROUND(({match_sum}) / {float(N_HASHES)}, 4) AS est_jaccard
     FROM cand c
@@ -209,7 +243,7 @@ SIMHASH_BITS = 16
     "repeatedly). Pairing = group by signature or hamming-ball probing.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).withColumn(
         "h", F.md5(F.col("word").cast("binary"))
     )
@@ -229,69 +263,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- n-gram exact Jaccard
 
-MAX_DOC_FREQ = 50  # rare-shingle candidate generation bound
 JACCARD_THRESHOLD = 0.5
 
 
 @register(
     "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
-        FROM documents
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (
-        SELECT shingle FROM sh GROUP BY shingle
-        HAVING COUNT(*) BETWEEN 2 AND {MAX_DOC_FREQ}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.shingle = b.shingle
-        JOIN rare r ON r.shingle = a.shingle
-        WHERE a.doc_id < b.doc_id
-    ),
-    inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-        GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           {dround('CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)', 4)} AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_a
-    JOIN sizes zb ON zb.doc_id = i.doc_b
-    WHERE {dround('CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)', 4)}
-          >= {JACCARD_THRESHOLD}
-    """,
-    doc="Exact n-gram (3-shingle) Jaccard near-dup pairs. Candidate "
-    "generation joins only on rare shingles (document frequency <= "
-    f"{MAX_DOC_FREQ}) — the df-bound keeps the self-join from exploding "
-    "on common shingles, the standard scale trick.",
+    oracle=None,  # assembled below (shares the MinHash CTEs)
+    doc="Exact n-gram (3-shingle) Jaccard over LSH candidate pairs — the "
+    "textbook two-stage near-dup pipeline: MinHash-LSH proposes a small "
+    "candidate set (never O(n^2)), exact set intersection verifies it. "
+    "A pair sharing no LSH band is not scored (documented approximation, "
+    "mirrored exactly by the oracle).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
-    ).distinct()
+    # cache: the shingle set feeds the signature agg, the intersection and
+    # the size agg; uncached, Spark recomputes the explode per branch.
+    sh = doc_shingles(docs).cache()
+    # cache sigs too: the band self-join references it on both sides.
+    sigs = sh.groupBy("doc_id").agg(*_minhash_cols()).cache()
+    cand = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DOC_FREQ))
-        .select("shingle")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cand = (
-        a.join(b, "shingle")
-        .join(rare, "shingle", "left_semi")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (
@@ -317,6 +309,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _ngram_jaccard_oracle() -> str:
+    jac = dround("CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)", 4)
+    return f"""
+    {_minhash_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE {jac} >= {JACCARD_THRESHOLD}
+    """
+
+
+_qj = _registry.REGISTRY["q_dedup_ngram_jaccard"]
+_registry.REGISTRY["q_dedup_ngram_jaccard"] = _registry.Query(
+    name=_qj.name, fn=_qj.fn, oracle=_ngram_jaccard_oracle(), doc=_qj.doc
+)
 
 
 # ------------------------------------------------- embedding near-dup (LSH)

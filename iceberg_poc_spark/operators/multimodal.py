@@ -111,7 +111,9 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "decode; the oracle mirrors the arithmetic on octet_length.",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition: the corpus is one file; without it the Python decode
+    # workers would see a single Arrow stream (no parallelism).
+    docs = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     with_payload = attach_payload(docs)
     return with_payload.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=META_SCHEMA

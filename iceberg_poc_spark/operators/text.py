@@ -28,13 +28,21 @@ def words_col(text: str = "text") -> Column:
     return F.split(F.col(text), " ")
 
 
-def shingles_col(text: str = "text", k: int = 3) -> Column:
-    """Word k-shingles as strings; documents shorter than k words collapse
-    to one shingle (the whole text). Mirrored exactly by
-    :func:`shingles_sql`."""
-    return F.expr(
-        f"transform(sequence(1, greatest(size(split({text}, ' ')) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text}, ' '), i, {k})))"
+def with_words(df: DataFrame, text: str = "text", out: str = "__words") -> DataFrame:
+    """Materialize the token array once per row; shingling over this bound
+    attribute avoids re-tokenizing the text per shingle (an inlined
+    ``split()`` inside the transform lambda would run per element)."""
+    return df.withColumn(out, F.split(F.col(text), " "))
+
+
+def shingles_col(words: str = "__words", k: int = 3) -> Column:
+    """Word k-shingles as strings from a pre-split words column (see
+    :func:`with_words`); documents shorter than k words collapse to one
+    shingle (the whole text). Mirrored exactly by :func:`shingles_sql`."""
+    w = F.col(words)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
     )
 
 

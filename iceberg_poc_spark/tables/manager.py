@@ -46,7 +46,27 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructField, StructType
+
+
+def _nested_nullable(dt: DataType) -> DataType:
+    """Strip NOT NULL flags from nested struct/array/map members. Parquet
+    round-trips nested data as nullable, so casting read data back to a
+    declared schema with non-nullable nested fields is both impossible
+    (Spark refuses the cast) and meaningless; top-level required-ness stays
+    on the StructField and is unaffected."""
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nested_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nested_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nested_nullable(dt.keyType), _nested_nullable(dt.valueType), True)
+    return dt
 
 # ----------------------------------------------------------------- transforms
 
@@ -375,9 +395,9 @@ class ParquetTableManager:
         # NULL for pre-evolution files.
         return df.select(
             *[
-                F.col(f.name).cast(f.dataType)
+                F.col(f.name).cast(_nested_nullable(f.dataType))
                 if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                else F.lit(None).cast(_nested_nullable(f.dataType)).alias(f.name)
                 for f in schema.fields
             ]
         ).drop(*hidden)
