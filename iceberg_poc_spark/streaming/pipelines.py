@@ -101,6 +101,63 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sliding_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 2-hour windows advancing hourly per event type — each event
+    contributes to two overlapping windows; the streaming form of
+    q_stream_sliding_batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+STATE_SCHEMA = StructType([StructField("n", LongType(), True)])
+COUNT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def stateful_user_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event counts that survive across micro-batches (arbitrary
+    state Spark's built-in aggs can't express — e.g. this could hold a
+    sketch or a model instead of a counter).
+
+    State is one row per user (bounded by cardinality, not stream
+    length); batches arrive as Arrow-backed pandas frames, so the Python
+    hop is vectorized per group, not per row.
+    """
+    import pandas as pd  # local: keep module import light
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=COUNT_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids arriving within
     the watermark horizon (bounded dedup state, unlike global

@@ -91,3 +91,53 @@ def test_stream_to_table_atomic_appends(spark, tmp_path, events_stream):
     before = mgr.files("events_live").count()
     mgr.compact("events_live")
     assert mgr.files("events_live").count() <= before
+
+
+def test_sliding_stream_equals_batch(spark, events_stream):
+    from iceberg_poc_spark.streaming.pipelines import sliding_stream
+
+    run_to_memory(sliding_stream(events_stream), "t_sliding")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("t_sliding").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in batch_events(spark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    # append-mode emits only watermark-closed windows: subset + near-total
+    assert set(got.items()) <= set(want.items())
+    assert len(got) >= len(want) - 10  # trailing open windows never emit
+
+
+def test_stateful_user_counts_match_batch(spark, events_stream):
+    from iceberg_poc_spark.streaming.pipelines import stateful_user_counts
+
+    run_to_memory(
+        stateful_user_counts(events_stream), "t_state", output_mode="update"
+    )
+    # update mode re-emits a user's row each micro-batch; the max is the
+    # final cumulative count.
+    got = {
+        r.user_id: r.n_events
+        for r in spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
