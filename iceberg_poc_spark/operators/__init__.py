@@ -14,6 +14,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     setops,
     similarity,
     sorts,
+    subqueries,
     text,
     udfs,
     windows,

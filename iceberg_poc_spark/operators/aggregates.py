@@ -200,3 +200,26 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar "
+    "to) — one shuffle computes all three groupings via Expand.",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -164,3 +164,35 @@ def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("status_name"),
     )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           map(['qty','price','disc'],
+               [l_quantity, l_extendedprice, l_discount])['qty'][1] AS qty_v,
+           cardinality(map(['qty','price','disc'],
+               [l_quantity, l_extendedprice, l_discount])) AS n_keys,
+           array_to_string(map_keys(map(['qty','price','disc'],
+               [l_quantity, l_extendedprice, l_discount])), ',') AS keys_csv
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+    doc="Map construction + map_keys / element access (insertion order "
+    "preserved by both engines).",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_v"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )

@@ -145,3 +145,31 @@ def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal") / F.nullif(F.sum("c_acctbal").over(w_all), F.lit(0.0)), 6
         ).alias("bal_share"),
     )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first_value/last_value with an explicit full-partition frame for "
+    "last (the default frame stops at CURRENT ROW — the classic "
+    "last_value trap). Tie-broken ordering keeps it deterministic.",
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
