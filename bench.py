@@ -30,9 +30,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = load_all()
-    # Warm the JVM/codegen once with the flagship so per-query numbers
-    # measure the plan, not session startup.
+    # Warm the JVM/codegen once with the flagship, and the Python UDF
+    # worker pool with a trivial Arrow batch, so per-query numbers measure
+    # the plan, not session/interpreter startup.
     materialize(queries["q_agg_q1"].fn(spark, sf_dir))
+
+    def _ident(batches):
+        yield from batches
+
+    materialize(
+        spark.range(32)
+        .repartition(32)
+        .mapInPandas(_ident, schema="id long")
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -82,14 +82,22 @@ def fake_decode_meta(doc_id: int, payload: bytes) -> tuple[int, int, int, int, s
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: Arrow record batches in, metadata batches out."""
+    """mapInPandas kernel: Arrow record batches in, metadata batches out.
+
+    The stand-in arithmetic vectorizes over the whole batch; a REAL decode
+    (PIL/librosa) is per-row by nature — swap the vectorized lines for a
+    ``payload.map(decode_media_stub)`` and the plumbing is unchanged."""
+    kind_map = {i: k for i, k in enumerate(MEDIA_KINDS)}
     for pdf in batches:
-        rows = [
-            fake_decode_meta(int(d), bytes(p))
-            for d, p in zip(pdf["doc_id"], pdf["payload"])
-        ]
+        n = pdf["payload"].map(len)
         yield pd.DataFrame(
-            rows, columns=["doc_id", "byte_len", "width", "height", "kind"]
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": n.astype("int64"),
+                "width": (n % 640 + 16).astype("int32"),
+                "height": ((n * 7) % 480 + 16).astype("int32"),
+                "kind": (n % 3).map(kind_map),
+            }
         )
 
 
