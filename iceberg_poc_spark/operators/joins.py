@@ -165,7 +165,11 @@ PRICE_BANDS = [
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    # SQL VALUES keeps the literal dim a JVM LocalRelation — createDataFrame
+    # over Python tuples would round-trip through a Python RDD just to
+    # build 3 rows.
+    values = ", ".join(f"('{b}', {lo}D, {hi}D)" for b, lo, hi in PRICE_BANDS)
+    bands = spark.sql(f"SELECT * FROM VALUES {values} AS t(band, lo, hi)")
     cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
     return (
         o.join(F.broadcast(bands), cond)
