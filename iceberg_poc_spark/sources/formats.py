@@ -1,0 +1,55 @@
+"""CSV/JSON sources & sinks — absent from the reference (SURVEY.md §2B),
+part of the complete source surface.
+
+Readers are schema-explicit by default: at 100 TB, schema inference on
+text formats means a full extra pass over the data, and silently-wrong
+types (everything-is-string CSV) downstream. ``infer=True`` exists for
+exploration only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+CSV_OPTIONS = {"header": "true", "escape": '"', "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss"}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    r = spark.read.options(**CSV_OPTIONS)
+    if schema is not None:
+        r = r.schema(schema)
+    elif infer:
+        r = r.option("inferSchema", "true")
+    else:
+        raise ValueError("pass schema= (or infer=True, exploration only)")
+    return r.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    df.write.options(**CSV_OPTIONS).option("compression", compression).mode(
+        "overwrite"
+    ).csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    elif not infer:
+        raise ValueError("pass schema= (or infer=True, exploration only)")
+    return r.json(path)
+
+
+def write_json(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    df.write.option("compression", compression).mode("overwrite").json(path)

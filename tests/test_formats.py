@@ -1,0 +1,54 @@
+"""CSV/JSON round-trips preserve schema and values (schema-explicit reads)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def orders(spark):
+    # timestamps as strings: CSV/JSON text formats + NTZ round-trips are
+    # exercised on the lexical form (the engine convention for oracles too)
+    return (
+        load_table(spark, SF_DIR, "orders")
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .limit(500)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, tmp_path, orders):
+    p = str(tmp_path / "o_csv")
+    write_csv(orders, p)
+    back = read_csv(spark, p, schema=orders.schema)
+    assert back.schema == orders.schema
+    assert _rows(back) == _rows(orders)
+
+
+def test_json_roundtrip(spark, tmp_path, orders):
+    p = str(tmp_path / "o_json")
+    write_json(orders, p)
+    back = read_json(spark, p, schema=orders.schema)
+    assert _rows(back) == _rows(orders)
+
+
+def test_schemaless_read_requires_opt_in(spark, tmp_path, orders):
+    p = str(tmp_path / "o_csv2")
+    write_csv(orders, p)
+    with pytest.raises(ValueError):
+        read_csv(spark, p)
+    inferred = read_csv(spark, p, infer=True)
+    assert inferred.count() == 500
