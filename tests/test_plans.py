@@ -3,8 +3,11 @@ local-scale proxies for 100 TB efficiency (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import re
+
 from iceberg_poc_spark.plans import (
     assert_no_cartesian,
+    explain_str,
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -56,3 +59,32 @@ def test_range_join_is_broadcast_not_cartesian(spark):
 def test_semi_join_pushes_filter(spark):
     pf = pushed_filters(Q["q_join_semi"].fn(spark, SF_DIR))
     assert "o_totalprice" in pf
+
+
+def test_exists_subquery_decorrelates_to_join(spark):
+    """Correlated EXISTS must become a semi join, never per-row subquery
+    re-execution (which would be O(rows) plans at scale)."""
+    df = Q["q_subquery_exists"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")
+    assert_no_cartesian(df)
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    """GROUPING SETS computes all groupings from ONE scan + Expand, not one
+    scan per grouping."""
+    df = Q["q_agg_grouping_sets"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    # "(N) Node" detail entries appear once per physical node (the tree
+    # repeats labels, so a raw substring count double-counts)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_window_no_extra_shuffle_for_same_partitioning(spark):
+    """Both window frames in q_win_first_last share partitioning/ordering:
+    one Exchange + one Sort, not two."""
+    df = Q["q_win_first_last"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
