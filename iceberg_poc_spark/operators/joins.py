@@ -230,3 +230,63 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ----------------------------------------------------------- skew salting
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join with explicit key salting for heavy hitters.
+
+    When BOTH sides are too big to broadcast and the join key is skewed,
+    a plain shuffle join puts an entire hot key in one reducer partition.
+    Salting bounds that: the skewed side scatters each key across
+    ``salts`` sub-partitions (seeded rand — result is salt-invariant),
+    the other side replicates each row ``salts`` times, and the join key
+    becomes (key, salt). Partition size shrinks by ~``salts``x at the
+    cost of replicating the smaller side.
+
+    AQE's skew-join split (enabled in the engine session) handles most
+    skew reactively at runtime; explicit salting is for keys so hot a
+    single post-split partition still exceeds executor memory, or for
+    deterministic plan shape in SLA-bound pipelines.
+    """
+    salt = (F.rand(seed=42) * salts).cast("int")
+    skewed_s = skewed.withColumn("__salt", salt)
+    other_s = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return skewed_s.join(other_s, on + ["__salt"], how).drop("__salt")
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact shuffle join with explicit skew salting (8 salts) — "
+    "identical results to the plain join (the oracle IS the plain join), "
+    "with hot-key partitions bounded to 1/8 size.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

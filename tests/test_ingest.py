@@ -96,3 +96,25 @@ def test_tenant_kms_routing():
     # unknown tenant falls back instead of aborting the pipeline
     assert r.key_for("t999") == "alias/dflt"
     assert r.write_options("t1")["fs.s3a.encryption.algorithm"] == "SSE-KMS"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is semantics-free: heavily skewed key distribution, salted
+    result == plain join result."""
+    from iceberg_poc_spark.operators.joins import salted_join
+
+    big = spark.range(20_000).select(
+        # 90% of rows share key 0 — the hot-key shape that motivates salting
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    got = salted_join(big, small, on=["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw")
+    )
+    want = big.join(small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
