@@ -223,3 +223,86 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (long -> wide) with explicit value list — at scale, ALWAYS "
+    "pass the values: without them Spark runs an extra distinct scan just "
+    "to discover the columns. Oracle is the engine-agnostic conditional-"
+    "aggregation desugaring.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("qty_o"),
+        F.round(F.col("F"), 2).alias("qty_f"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+    FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Unpivot/melt (wide -> long) via the native unpivot operator (no "
+    "self-union double scan); oracle is the UNION ALL desugaring.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "q_agg_array",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS keys_csv,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority
+    """,
+    doc="Array aggregation (collect_list) with deterministic ordering via "
+    "array_sort; serialized to CSV so the oracle hash is representation-"
+    "independent. collect into arrays only for bounded groups — this is "
+    "a per-group materialization, not for billion-row groups.",
+)
+def q_agg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("o_orderkey"))).alias(
+            "keys_csv"
+        ),
+        F.count("*").alias("n"),
+    )
