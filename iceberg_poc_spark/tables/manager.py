@@ -68,6 +68,53 @@ def _nested_nullable(dt: DataType) -> DataType:
         return MapType(_nested_nullable(dt.keyType), _nested_nullable(dt.valueType), True)
     return dt
 
+def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
+    """Can this data file contain rows satisfying ALL predicates? Maps each
+    predicate bound into partition-value space via the spec's transforms
+    (order-preserving ones only) and tests the file's manifest partition
+    values. Conservative: unknown/unmappable → keep. Boundary partitions
+    are kept for > / < (partition granularity); the row-level residual
+    filter finishes the job."""
+    for col, op, lit_v in where:
+        for t in spec:
+            if t.source != col or not t.order_preserving:
+                continue
+            try:
+                bound = t.literal_to_partition(lit_v)
+            except (ValueError, AttributeError):
+                continue
+            pv = entry["partition"].get(t.field_name)
+            if pv is None:
+                continue
+            if isinstance(bound, (int, float)) and not isinstance(pv, (int, float)):
+                try:
+                    pv = type(bound)(pv)
+                except (TypeError, ValueError):
+                    continue
+            else:
+                pv, bound = str(pv), str(bound)
+            ok = {
+                "==": pv == bound,
+                ">=": pv >= bound,
+                "<=": pv <= bound,
+                ">": pv >= bound,
+                "<": pv <= bound,
+            }.get(op, True)
+            if not ok:
+                return False
+    return True
+
+
+def _predicate(where: list) -> Column | None:
+    """AND of (col, op, literal) triples as a Column; None if empty."""
+    pred = None
+    for col, op, lit_v in where:
+        c, v = F.col(col), F.lit(lit_v)
+        p = {"==": c == v, ">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[op]
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
 # ----------------------------------------------------------------- transforms
 
 
@@ -377,6 +424,106 @@ class ParquetTableManager:
         m["parent"] = m["version"]
         return self._commit(name, m)
 
+    # --------------------------------------------------- row-level (CoW)
+    def _split_files(
+        self, m: dict, where: list
+    ) -> tuple[list[dict], list[dict]]:
+        """(possibly-affected, provably-untouched) file partition."""
+        spec = self._spec(m)
+        affected, untouched = [], []
+        for e in m["files"]:
+            (affected if _may_match(spec, e, where) else untouched).append(e)
+        return affected, untouched
+
+    def delete(self, name: str, where: list[tuple[str, str, Any]]) -> int:
+        """Row-level DELETE, copy-on-write: only files whose partition
+        values can contain matching rows are rewritten (≙ Iceberg
+        copy-on-write DELETE; the reference has no row-level ops at all).
+        NULL-predicate rows are kept, per SQL DELETE semantics."""
+        m = self._load_manifest(name)
+        affected, untouched = self._split_files(m, where)
+        if not affected:
+            return m["version"]  # provably nothing to delete: no-op
+        df = self._read_files(name, m, affected)
+        keep = df.filter(~F.coalesce(_predicate(where), F.lit(False)))
+        new_files = self._write_files(name, keep, self._spec(m))
+        m["files"] = untouched + new_files
+        m["operation"] = "delete"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def update(
+        self,
+        name: str,
+        set_exprs: dict[str, Column],
+        where: list[tuple[str, str, Any]],
+    ) -> int:
+        """Row-level UPDATE, copy-on-write over possibly-affected files:
+        matching rows get ``set_exprs`` applied, others are rewritten
+        verbatim; provably-untouched files are not rewritten."""
+        m = self._load_manifest(name)
+        affected, untouched = self._split_files(m, where)
+        if not affected:
+            return m["version"]
+        df = self._read_files(name, m, affected)
+        hit = F.coalesce(_predicate(where), F.lit(False))
+        for col, expr in set_exprs.items():
+            df = df.withColumn(col, F.when(hit, expr).otherwise(F.col(col)))
+        new_files = self._write_files(name, df, self._spec(m))
+        m["files"] = untouched + new_files
+        m["operation"] = "update"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def merge(self, name: str, source: DataFrame, on: list[str]) -> int:
+        """MERGE upsert (≙ Iceberg ``MERGE INTO``): target rows whose key
+        appears in ``source`` are replaced by the source row; unmatched
+        source rows are inserted.
+
+        Copy-on-write at partition granularity: the source's partition
+        values (derived through the table's transforms — a small driver-
+        side set, exactly what Iceberg reads from manifests) select the
+        files that can hold matched keys; only those are rewritten, plus
+        new files for the source rows. With no partition spec (or NULL
+        partition values in the source) it degrades to a full rewrite.
+        The source must cover the table schema's columns (missing ones
+        land as NULL for inserted rows — align beforehand if not)."""
+        m = self._load_manifest(name)
+        spec = self._spec(m)
+        schema_cols = [f.name for f in StructType.fromJson(m["schema"]).fields]
+        src = source.select(
+            *[
+                F.col(c) if c in source.columns else F.lit(None).alias(c)
+                for c in schema_cols
+            ]
+        )
+        affected, untouched = m["files"], []
+        if spec:
+            pvals = (
+                src.select(
+                    *[t.expr().cast("string").alias(t.field_name) for t in spec]
+                )
+                .distinct()
+                .collect()
+            )
+            keys = {tuple(str(v) for v in r) for r in pvals}
+            if not any(v == "None" for k in keys for v in k):
+                affected, untouched = [], []
+                for e in m["files"]:
+                    fk = tuple(
+                        str(e["partition"].get(t.field_name)) for t in spec
+                    )
+                    (affected if fk in keys else untouched).append(e)
+        target = self._read_files(name, m, affected)
+        merged = target.join(src.select(on).distinct(), on, "left_anti").unionByName(
+            src
+        )
+        new_files = self._write_files(name, merged, spec)
+        m["files"] = untouched + new_files
+        m["operation"] = "merge"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
     # ---------------------------------------------------------------- reads
     def _read_files(self, name: str, manifest: dict, files: list[dict]) -> DataFrame:
         schema = StructType.fromJson(manifest["schema"])
@@ -424,51 +571,11 @@ class ParquetTableManager:
         spec = self._spec(m)
         files = m["files"]
         total = len(files)
-        for col, op, lit_v in where or []:
-            for t in spec:
-                if t.source != col:
-                    continue
-                if not t.order_preserving:
-                    continue  # bucket: no driver-side hash; residual only
-                try:
-                    bound = t.literal_to_partition(lit_v)
-                except (ValueError, AttributeError):
-                    continue
-                fname = t.field_name
-
-                def keep(e: dict) -> bool:
-                    pv = e["partition"].get(fname)
-                    if pv is None:
-                        return True
-                    b = bound
-                    if isinstance(b, (int, float)) and not isinstance(pv, (int, float)):
-                        try:
-                            pv = type(b)(pv)
-                        except ValueError:
-                            return True
-                    else:
-                        pv = str(pv)
-                        b = str(b)
-                    if op == "==":
-                        return pv == b
-                    if op == ">=":
-                        return pv >= b
-                    if op == "<=":
-                        return pv <= b
-                    if op == ">":
-                        return pv >= b  # partition granularity: keep boundary
-                    if op == "<":
-                        return pv <= b
-                    return True
-
-                files = [e for e in files if keep(e)]
+        files = [e for e in files if _may_match(spec, e, where or [])]
         df = self._read_files(name, m, files)
-        for col, op, lit_v in where or []:
-            c = F.col(col)
-            v = F.lit(lit_v)
-            df = df.filter(
-                {"==": c == v, ">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[op]
-            )
+        pred = _predicate(where or [])
+        if pred is not None:
+            df = df.filter(pred)
         return df, len(files), total
 
     # ------------------------------------------------------------- metadata

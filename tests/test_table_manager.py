@@ -199,3 +199,80 @@ def test_create_existing_raises(mgr, spark):
     mgr.create_table("events", EVENTS_SCHEMA)
     with pytest.raises(ValueError, match="already exists"):
         mgr.create_table("events", EVENTS_SCHEMA)
+
+
+# ------------------------------------------------------- row-level (CoW)
+
+
+def _files_set(mgr, name):
+    return {r.path for r in mgr.files(name).collect()}
+
+
+def test_delete_rewrites_only_affected_partitions(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 100, tenants=4))
+    before = _files_set(mgr, "t")
+    mgr.delete("t", [("tenant_id", "==", 2), ("value", ">=", 500)])
+    after = _files_set(mgr, "t")
+    # tenant!=2 files untouched (same physical paths survive the commit)
+    untouched_before = {p for p in before if "tenant_id=2" not in p}
+    assert untouched_before <= after
+    got = mgr.read("t")
+    assert got.filter((F.col("tenant_id") == 2) & (F.col("value") >= 500)).count() == 0
+    # everything else intact: 100 - deleted
+    expected_deleted = sum(
+        1 for i in range(100) if i % 4 == 2 and i * 10 >= 500
+    )
+    assert got.count() == 100 - expected_deleted
+
+
+def test_update_applies_only_to_matching_rows(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 80, tenants=4))
+    mgr.update(
+        "t",
+        {"service_id": F.lit("redacted"), "value": F.col("value") + 1},
+        [("tenant_id", "==", 1)],
+    )
+    got = mgr.read("t")
+    t1 = got.filter(F.col("tenant_id") == 1)
+    assert t1.filter(F.col("service_id") != "redacted").count() == 0
+    # values shifted by exactly 1 for tenant 1 (i*10 + 1)
+    assert sorted(r.value for r in t1.collect()) == [
+        i * 10 + 1 for i in range(80) if i % 4 == 1
+    ]
+    # other tenants untouched
+    assert got.filter(
+        (F.col("tenant_id") != 1) & (F.col("service_id") == "redacted")
+    ).count() == 0
+
+
+def test_merge_upserts_and_preserves_untouched_partitions(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 40, tenants=4))
+    before = _files_set(mgr, "t")
+    # source touches only tenant 0: update ts-matching rows, insert new ones
+    src = make_events(spark, 8, tenants=1).withColumn(
+        "value", F.col("value") + 100000
+    )
+    late = make_events(
+        spark, 4, tenants=1, start=dt.datetime(2025, 6, 1)
+    ).withColumn("value", F.lit(-1).cast("long"))
+    mgr.merge("t", src.unionByName(late), on=["tenant_id", "ts"])
+    got = mgr.read("t")
+    # existing tenant-0 rows sit at hours 0,4,8,...,36; src covers hours
+    # 0-7 -> 2 matched (replaced), 6+4 inserted: 40 - 2 + 12 = 50
+    assert got.count() == 50
+    t0 = got.filter(F.col("tenant_id") == 0)
+    assert t0.filter(F.col("value") >= 100000).count() == 8  # all src rows
+    assert t0.filter(F.col("value") == -1).count() == 4  # late inserts
+    # unmatched pre-existing tenant-0 rows keep their old values
+    assert t0.filter(
+        (F.col("ts") < "2025-01-01") & (F.col("value") < 100000)
+    ).count() == 10 - 2
+    # tenants 1-3 files are physically untouched
+    untouched_before = {p for p in before if "tenant_id=0" not in p}
+    assert untouched_before <= _files_set(mgr, "t")
+    # snapshot history records the merge; time travel still shows pre-merge
+    ops = [s.operation for s in mgr.snapshots("t").collect()]
+    assert ops[-1] == "merge"
