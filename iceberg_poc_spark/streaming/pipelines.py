@@ -167,6 +167,39 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def attribution_stream(
+    events: DataFrame, attribution_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior view by
+    the same user within ``attribution_window``.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    on both sides — that's what lets Spark expire join state (without the
+    time bound, every view would be buffered forever waiting for future
+    purchases; at 100 TB/day that state is unbounded)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("buy_ts"), "value")
+        .withWatermark("buy_ts", watermark)
+    )
+    cond = (
+        (buys.user_id == views.v_user)
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return buys.join(views, cond, "inner").select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_time"),
+        "value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory sink; returns
     after all input is processed (deterministic for tests)."""

@@ -639,12 +639,23 @@ class ParquetTableManager:
         return self._commit(name, m)
 
     # ------------------------------------------------------------ compaction
-    def compact(self, name: str, target_bytes: int | None = None) -> int:
+    def compact(
+        self,
+        name: str,
+        target_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """``rewrite_data_files`` analogue: coalesce small files per
         partition up to write.target-file-size-bytes, commit as a REPLACE
         snapshot. After streaming/micro-batch appends this is what keeps
         scans fast (reference sets the target size, #24; real compaction is
-        north-star)."""
+        north-star).
+
+        ``sort_by`` additionally clusters the rewrite (range partition +
+        sort within files, ≙ ``rewrite_data_files(strategy => 'sort')``):
+        each output file then covers a narrow value range, so parquet
+        min/max row-group stats prune scans on those columns — the cheap
+        80% of what Z-ordering buys, for single-column-dominant filters."""
         m = self._load_manifest(name)
         target = target_bytes or int(
             m["properties"].get("write.target-file-size-bytes", 128 * 1024 * 1024)
@@ -652,10 +663,13 @@ class ParquetTableManager:
         spec = self._spec(m)
         df = self._read_files(name, m, m["files"])
         total_bytes = sum(e["bytes"] for e in m["files"])
-        n_out = max(1, -(-total_bytes // target))  # ceil
-        new_files = self._write_files(
-            name, df.repartition(int(n_out)), spec
-        )
+        n_out = int(max(1, -(-total_bytes // target)))  # ceil
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.repartition(n_out)
+        new_files = self._write_files(name, df, spec)
         m["files"] = new_files
         m["operation"] = "replace"
         m["parent"] = m["version"]

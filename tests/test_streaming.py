@@ -141,3 +141,35 @@ def test_stateful_user_counts_match_batch(spark, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream):
+    from iceberg_poc_spark.streaming.pipelines import attribution_stream
+
+    run_to_memory(attribution_stream(events_stream), "t_attr")
+    got = {tuple(r) for r in spark.table("t_attr").collect()}
+    ev = batch_events(spark)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), "value"
+    )
+    cond = (
+        (buys.user_id == views.v_user)
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    want = {
+        tuple(r)
+        for r in buys.join(views, cond)
+        .select(
+            "user_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+            F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_time"),
+            "value",
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want

@@ -276,3 +276,31 @@ def test_merge_upserts_and_preserves_untouched_partitions(mgr, spark):
     # snapshot history records the merge; time travel still shows pre-merge
     ops = [s.operation for s in mgr.snapshots("t").collect()]
     assert ops[-1] == "merge"
+
+
+def test_sorted_compaction_clusters_value_ranges(mgr, spark, tmp_path):
+    """sort_by compaction must leave per-file value ranges (parquet
+    min/max) essentially disjoint — that's what makes stat-based pruning
+    selective on the sorted column."""
+    import pyarrow.parquet as pq
+
+    mgr.create_table("t", EVENTS_SCHEMA)  # no partition spec: pure files
+    for k in range(4):  # interleaved appends -> every file spans all values
+        mgr.append("t", make_events(spark, 100, tenants=4))
+    mgr.compact("t", target_bytes=4096, sort_by=["value"])
+    got = mgr.read("t")
+    assert got.count() == 400
+    ranges = []
+    for r in mgr.files("t").collect():
+        md = pq.ParquetFile(f"{mgr.warehouse}/t/{r.path}").metadata
+        names = [md.schema.column(c).name for c in range(len(md.schema))]
+        vi = names.index("value")
+        mins = min(md.row_group(g).column(vi).statistics.min for g in range(md.num_row_groups))
+        maxs = max(md.row_group(g).column(vi).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    assert len(ranges) > 1, "compaction should still produce several files"
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1]
+    )
+    assert overlaps == 0, f"sorted compaction left overlapping ranges: {ranges}"
