@@ -4,6 +4,7 @@
 from iceberg_poc_spark.operators import (  # noqa: F401
     aggregates,
     asof,
+    composites,
     dedup,
     filters,
     joins,
