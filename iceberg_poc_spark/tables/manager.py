@@ -68,13 +68,58 @@ def _nested_nullable(dt: DataType) -> DataType:
         return MapType(_nested_nullable(dt.keyType), _nested_nullable(dt.valueType), True)
     return dt
 
+def _norm_stat(v: Any) -> Any:
+    """Normalize a stats/literal value for manifest storage & comparison:
+    temporals → ISO strings (lexicographic order == chronological order),
+    bytes → utf-8 text."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _stats_may_match(entry: dict, col: str, op: str, lit_v: Any) -> bool:
+    """File-skip test against the manifest's per-file column min/max (the
+    Iceberg column-stats pruning analogue). Conservative on any type
+    mismatch or missing stats."""
+    s = (entry.get("stats") or {}).get(col)
+    if not s:
+        return True
+    mn, mx = s
+    b = _norm_stat(lit_v)
+    if isinstance(b, bool) or not isinstance(b, (int, float, str)):
+        return True
+    if isinstance(b, str) != isinstance(mn, str):
+        return True
+    try:
+        return {
+            "==": mn <= b <= mx,
+            ">=": mx >= b,
+            ">": mx > b,
+            "<=": mn <= b,
+            "<": mn < b,
+        }.get(op, True)
+    except TypeError:
+        return True
+
+
 def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
     """Can this data file contain rows satisfying ALL predicates? Maps each
     predicate bound into partition-value space via the spec's transforms
     (order-preserving ones only) and tests the file's manifest partition
-    values. Conservative: unknown/unmappable → keep. Boundary partitions
-    are kept for > / < (partition granularity); the row-level residual
-    filter finishes the job."""
+    values; additionally tests per-file column min/max stats (so sorted/
+    clustered files are skipped even on non-partition columns).
+    Conservative: unknown/unmappable → keep. Boundary partitions are kept
+    for > / < (partition granularity); the row-level residual filter
+    finishes the job."""
+    for col, op, lit_v in where:
+        if not _stats_may_match(entry, col, op, lit_v):
+            return False
     for col, op, lit_v in where:
         for t in spec:
             if t.source != col or not t.order_preserving:
@@ -103,6 +148,39 @@ def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
             if not ok:
                 return False
     return True
+
+
+def _collect_column_stats(md) -> dict[str, list]:
+    """Per-file [min, max] for top-level primitive columns, folded over
+    row groups (≙ the column bounds Iceberg writes into manifests — the
+    reference gets only record counts, #17/#19). Columns with any missing
+    row-group stats are omitted (conservative)."""
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: skip (top-level pruning only)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                continue
+            mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                dropped.add(name)
+                continue
+            if isinstance(mn, float) and (mn != mn or mx != mx):  # NaN
+                dropped.add(name)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {
+        k: [mins[k], maxs[k]] for k in mins if k not in dropped
+    }
 
 
 def _predicate(where: list) -> Column | None:
@@ -390,6 +468,7 @@ class ParquetTableManager:
                         "partition": pvals,
                         "records": md.num_rows,
                         "bytes": os.path.getsize(dst),
+                        "stats": _collect_column_stats(md),
                     }
                 )
         import shutil

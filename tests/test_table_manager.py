@@ -304,3 +304,20 @@ def test_sorted_compaction_clusters_value_ranges(mgr, spark, tmp_path):
         1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1]
     )
     assert overlaps == 0, f"sorted compaction left overlapping ranges: {ranges}"
+
+
+def test_stats_pruning_after_sorted_compaction(mgr, spark):
+    """Column min/max stats in the manifest + sort-clustered files =>
+    scans on the sorted (non-partition) column skip files."""
+    mgr.create_table("t", EVENTS_SCHEMA)
+    for _ in range(4):
+        # round-robin repartition: every file spans ~the full value range,
+        # so a value predicate cannot skip anything yet
+        mgr.append("t", make_events(spark, 100, tenants=4).repartition(8))
+    _, planned_before, total_before = mgr.scan("t", [("value", ">=", 900)])
+    assert planned_before == total_before
+    mgr.compact("t", target_bytes=4096, sort_by=["value"])
+    df, planned, total = mgr.scan("t", [("value", ">=", 900)])
+    assert total > 1
+    assert planned < total, "stats pruning must skip clustered files"
+    assert df.count() == 4 * sum(1 for i in range(100) if i * 10 >= 900)
