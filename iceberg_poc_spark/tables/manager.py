@@ -717,6 +717,61 @@ class ParquetTableManager:
         m["parent"] = self._current_version(name)
         return self._commit(name, m)
 
+    def read_incremental(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Rows appended strictly after ``from_snapshot`` up to
+        ``to_snapshot`` (≙ Iceberg incremental scan, the CDC-lite pattern
+        that lets a downstream job process only the new data each run).
+        Like Iceberg, only append snapshots are readable incrementally —
+        a replace/delete/merge in the range raises (its files mix old and
+        new rows)."""
+        to_v = self._current_version(name) if to_snapshot is None else to_snapshot
+        m_to = self._load_manifest(name, to_v)
+        seen = {e["path"] for e in self._load_manifest(name, from_snapshot)["files"]}
+        new_files: list[dict] = []
+        for v in range(from_snapshot + 1, to_v + 1):
+            m = self._load_manifest(name, v)
+            if m["operation"] not in ("append",):
+                raise ValueError(
+                    f"snapshot {v} is {m['operation']!r}: incremental read "
+                    "only spans append snapshots (Iceberg semantics)"
+                )
+            for e in m["files"]:
+                if e["path"] not in seen:
+                    seen.add(e["path"])
+                    new_files.append(e)
+        return self._read_files(name, m_to, new_files)
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict[str, int]:
+        """Retire all but the last ``keep_last`` snapshots and delete data
+        files no surviving snapshot references (≙ Iceberg
+        ``expire_snapshots`` + ``remove_orphan_files`` — the maintenance
+        loop that stops metadata and storage growing without bound under
+        streaming appends + compaction). Time travel remains valid only
+        for surviving snapshots."""
+        cur = self._current_version(name)
+        cutoff = max(0, cur - keep_last + 1)
+        live: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            if os.path.exists(self._manifest_path(name, v)):
+                live |= {e["path"] for e in self._load_manifest(name, v)["files"]}
+        removed_files = removed_snaps = 0
+        for v in range(cutoff):
+            p = self._manifest_path(name, v)
+            if not os.path.exists(p):
+                continue
+            for e in self._load_manifest(name, v)["files"]:
+                if e["path"] not in live:
+                    fp = os.path.join(self._dir(name), e["path"])
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed_files += 1
+                    live.add(e["path"])  # count each orphan once
+            os.remove(p)
+            removed_snaps += 1
+        return {"snapshots": removed_snaps, "files": removed_files}
+
     # ------------------------------------------------------------ compaction
     def compact(
         self,

@@ -321,3 +321,39 @@ def test_stats_pruning_after_sorted_compaction(mgr, spark):
     assert total > 1
     assert planned < total, "stats pruning must skip clustered files"
     assert df.count() == 4 * sum(1 for i in range(100) if i * 10 >= 900)
+
+
+def test_incremental_read_returns_only_new_rows(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    v1 = mgr.append("t", make_events(spark, 30))
+    v2 = mgr.append("t", make_events(spark, 20, start=dt.datetime(2025, 1, 1)))
+    inc = mgr.read_incremental("t", from_snapshot=v1)
+    assert inc.count() == 20
+    assert inc.agg(F.min("ts")).first()[0] >= dt.datetime(2025, 1, 1)
+    # full range from create sees everything
+    assert mgr.read_incremental("t", 0, v2).count() == 50
+    # a replace snapshot in the range is not incrementally readable
+    mgr.compact("t")
+    with pytest.raises(ValueError, match="replace"):
+        mgr.read_incremental("t", v1)
+
+
+def test_expire_snapshots_removes_orphans_keeps_current(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA)
+    for i in range(3):
+        mgr.append("t", make_events(spark, 20, start=dt.datetime(2024, 1 + i, 1)))
+    mgr.compact("t")  # pre-compaction files become historical-only
+    import os
+
+    n_disk_before = sum(
+        len(fs) for _, _, fs in os.walk(f"{mgr.warehouse}/t/data")
+    )
+    out = mgr.expire_snapshots("t", keep_last=1)
+    assert out["snapshots"] > 0 and out["files"] > 0
+    n_disk_after = sum(len(fs) for _, _, fs in os.walk(f"{mgr.warehouse}/t/data"))
+    assert n_disk_after < n_disk_before
+    # current snapshot intact
+    assert mgr.read("t").count() == 60
+    # expired history no longer time-travelable
+    with pytest.raises(FileNotFoundError):
+        mgr.read("t", snapshot_id=1)
