@@ -12,7 +12,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.registry import register
@@ -81,3 +88,61 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(median_udaf("value"), 2).alias("median_value")
     )
+
+
+UDTF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("sentence", StringType(), True),
+        StructField("n_words", IntegerType(), False),
+    ]
+)
+
+
+def _split_sentences(batches):
+    """mapInPandas UDTF kernel: one input document row expands to N output
+    sentence rows — the table-function shape (LATERAL VIEW / flatMap).
+    Arrow batches in and out; pure-Python splitting stands in for any
+    row-expanding library call (parser, tokenizer, chunker)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "sent_idx": [], "sentence": [], "n_words": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for i, s in enumerate(str(text).split(". ")):
+                out["doc_id"].append(doc_id)
+                out["sent_idx"].append(i)
+                out["sentence"].append(s)
+                out["n_words"].append(len(s.split()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, '. '), 1) - 1 AS sent_idx,
+               unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+           CAST(len(string_split(sentence, ' ')) -
+                len(list_filter(string_split(sentence, ' '), x -> x = ''))
+                AS INT) AS n_words
+    FROM s
+    WHERE doc_id <= 500
+    """,
+    doc="UDTF shape: mapInPandas expanding each document into one row per "
+    "sentence (Arrow-batched; the pattern for parser/tokenizer/chunker "
+    "libraries). The oracle is the UNNEST desugaring.",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 500)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(_split_sentences, schema=UDTF_SCHEMA)

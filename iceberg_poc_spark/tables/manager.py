@@ -333,19 +333,31 @@ class ParquetTableManager:
         with open(self._manifest_path(name, v)) as f:
             return json.load(f)
 
-    def _commit(self, name: str, manifest: dict) -> int:
+    def _commit(self, name: str, manifest: dict, rebase=None) -> int:
         """Atomic commit: write manifest vN+1, then atomically swap the
         ``current`` pointer (os.replace is atomic on POSIX). Readers load
         the pointer first, so they always see a complete snapshot —
         all-or-nothing visibility exactly like the reference's single
-        AppendFiles.commit()."""
+        AppendFiles.commit().
+
+        ``rebase(current_manifest) -> manifest`` re-derives the commit on
+        top of a concurrently-advanced table state (Iceberg's retry
+        semantics for appends: re-stage the same added files on the new
+        base instead of clobbering the winner's files)."""
         meta = self._meta_dir(name)
         os.makedirs(meta, exist_ok=True)
         while True:
             try:
-                version = self._current_version(name) + 1
+                cur = self._current_version(name)
             except FileNotFoundError:
-                version = 0
+                cur = -1
+            if (
+                rebase is not None
+                and manifest.get("parent") is not None
+                and cur != manifest["parent"]
+            ):
+                manifest = rebase(self._load_manifest(name, cur))
+            version = cur + 1
             manifest["version"] = version
             path = self._manifest_path(name, version)
             try:
@@ -473,7 +485,9 @@ class ParquetTableManager:
                 )
         import shutil
 
-        shutil.rmtree(os.path.join(self._dir(name), "_staging"), ignore_errors=True)
+        # remove only THIS call's staging dir — concurrent writers stage
+        # under sibling uuids in _staging/ at the same time
+        shutil.rmtree(staging, ignore_errors=True)
         return entries
 
     def append(self, name: str, df: DataFrame) -> int:
@@ -493,7 +507,17 @@ class ParquetTableManager:
         m["files"] = m["files"] + new_files
         m["operation"] = "append"
         m["parent"] = m["version"]
-        return self._commit(name, m)
+
+        def rebase(cur_m: dict) -> dict:
+            # lost-update protection: re-stage OUR files on the advanced
+            # base (the concurrent winner's files are in cur_m already)
+            out = dict(cur_m)
+            out["files"] = cur_m["files"] + new_files
+            out["operation"] = "append"
+            out["parent"] = cur_m["version"]
+            return out
+
+        return self._commit(name, m, rebase=rebase)
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         m = self._load_manifest(name)

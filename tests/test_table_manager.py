@@ -357,3 +357,34 @@ def test_expire_snapshots_removes_orphans_keeps_current(mgr, spark):
     # expired history no longer time-travelable
     with pytest.raises(FileNotFoundError):
         mgr.read("t", snapshot_id=1)
+
+
+def test_concurrent_appends_lose_no_files(mgr, spark):
+    """Optimistic-concurrency append: racing writers must BOTH land — the
+    loser rebases its added files onto the winner's snapshot instead of
+    clobbering it (Iceberg append-retry semantics)."""
+    import threading
+
+    mgr.create_table("t", EVENTS_SCHEMA)
+    dfs = [
+        make_events(spark, 50),
+        make_events(spark, 60, start=dt.datetime(2025, 1, 1)),
+        make_events(spark, 70, start=dt.datetime(2026, 1, 1)),
+    ]
+    errs = []
+
+    def do_append(df):
+        try:
+            mgr.append("t", df)
+        except Exception as e:  # surface thread failures in the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_append, args=(d,)) for d in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert mgr.read("t").count() == 50 + 60 + 70
+    ops = [s.operation for s in mgr.snapshots("t").collect()]
+    assert ops.count("append") == 3
