@@ -173,3 +173,25 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w_full).alias("last_price"),
     )
+
+
+@register(
+    "q_win_dist",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 4) AS pr,
+           ROUND(cume_dist() OVER w, 4) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window functions (percent_rank / cume_dist) with "
+    "tie-broken ordering for determinism.",
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
