@@ -182,3 +182,59 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard_bucket"),
     )
+
+
+MIN_CHARS = 50
+MIN_WORDS = 10
+MIN_UNIQUE_RATIO = 0.3
+
+
+@register(
+    "q_pipeline_corpus_prep",
+    oracle=f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+        SELECT d.lang, d.text, len(string_split(d.text, ' ')) AS n_words
+        FROM documents d JOIN keep USING (doc_id)
+        WHERE length(d.text) >= {MIN_CHARS}
+          AND len(string_split(d.text, ' ')) >= {MIN_WORDS}
+          AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+              / len(string_split(d.text, ' ')) >= {MIN_UNIQUE_RATIO}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS total_tokens,
+           {dround('AVG(length(text))', 2)} AS avg_chars
+    FROM kept
+    GROUP BY lang
+    """,
+    doc="End-to-end corpus-prep pipeline (the training-data shape): exact "
+    "dedup on a 16-byte content hash -> quality gate (length, word count, "
+    "unique-token ratio) -> per-language token accounting. One plan: "
+    "hash-agg dedup, semi-join back, scan-side filters, final small agg.",
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    words = words_col()
+    kept = (
+        d.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("n_words", F.size(words))
+        .filter(
+            (F.length("text") >= MIN_CHARS)
+            & (F.col("n_words") >= MIN_WORDS)
+            & (
+                F.size(F.array_distinct(words)).cast("double") / F.col("n_words")
+                >= MIN_UNIQUE_RATIO
+            )
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
