@@ -306,3 +306,24 @@ def q_agg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_median",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dround('quantile_cont(o_totalprice, 0.5)', 2)} AS median_price,
+           {dround('quantile_cont(o_totalprice, 0.9)', 2)} AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median + p90). Exact percentile "
+    "needs the group's values sorted — at 100 TB prefer approx_percentile "
+    "(t-digest sketch, mergeable map-side) unless exactness is required.",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
