@@ -88,3 +88,32 @@ def test_window_no_extra_shuffle_for_same_partitioning(spark):
     plan = explain_str(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    df = Q["q_tpch_q6"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf!r}"
+    cols = set(read_schema_columns(df))
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_sim_topk_broadcasts_query_vector(spark):
+    df = Q["q_sim_topk"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_dedup_near_no_cartesian(spark):
+    assert_no_cartesian(Q["q_dedup_near"].fn(spark, SF_DIR))
+
+
+def test_corpus_prep_no_cartesian_and_pruned_scan(spark):
+    df = Q["q_pipeline_corpus_prep"].fn(spark, SF_DIR)
+    assert_no_cartesian(df)
+    # the dedup hash-agg branch must not drag every column through the
+    # shuffle: only doc_id + text are needed before the semi join
+    cols = set(read_schema_columns(df))
+    assert "embedding" not in cols
