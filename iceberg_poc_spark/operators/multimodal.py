@@ -21,6 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -125,4 +128,107 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = attach_payload(docs)
     return with_payload.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=META_SCHEMA
+    )
+
+
+# ------------------------------------------------ feature / resize / frames
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("features", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def extract_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload -> fixed-size float feature vector.
+    Deterministic stand-in (normalized 16-bin byte histogram) for a real
+    embedding/CNN feature extractor; the plumbing — Arrow batches in,
+    array<float> column out — is exactly what the real one uses."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for p in pdf["payload"]:
+            arr = np.frombuffer(bytes(p), dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
+            total = hist.sum()
+            feats.append((hist / total if total else hist).tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "features": feats})
+
+
+def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract_features_batches, schema=FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_media(docs_with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: binary in -> binary out at a declared target size.
+    REAL decode+resample (PIL `Image.resize`) is unavailable in this
+    container — the stand-in truncates/zero-pads to width*height bytes,
+    keeping output schema, size invariants and batch shape identical to
+    the real kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = [bytes(p)[:target].ljust(target, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    docs_with_payload: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing (video -> every Nth frame as its own row):
+    one input row expands to F rows — the UDTF shape a real pyav/ffmpeg
+    sampler produces. Stand-in frames are fixed-size byte chunks."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = max(1, len(b) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
     )
