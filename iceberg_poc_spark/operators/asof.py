@@ -38,6 +38,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     prefix: str = "asof_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``keys`` group (inclusive).
@@ -47,6 +48,11 @@ def asof_join(
     NULLs. If several right rows share the greatest timestamp, the one last
     in the (deterministic only up to that timestamp) union order wins —
     pass a unique ``right_cols`` ordering column if that matters.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"30 minutes"``) bounds
+    the lookback: a prior right row older than ``left_ts - tolerance``
+    is treated as no match (NULLs) — pandas ``merge_asof(tolerance=...)``
+    semantics.
     """
     carried = [right_ts, *right_cols]
     out_names = {c: f"{prefix}{c}" for c in carried}
@@ -70,7 +76,19 @@ def asof_join(
     )
     for c in out_names.values():
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col(_SRC) == 1).drop(_SRC, _TS)
+    out = unioned.filter(F.col(_SRC) == 1).drop(_SRC, _TS)
+    if tolerance is not None:
+        fresh = F.col(out_names[right_ts]) >= (
+            F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        )
+        ts_out = out_names[right_ts]
+        # NULL the payload columns first, the carried timestamp last (the
+        # freshness predicate reads it)
+        for c in out_names.values():
+            if c != ts_out:
+                out = out.withColumn(c, F.when(fresh, F.col(c)))
+        out = out.withColumn(ts_out, F.when(fresh, F.col(ts_out)))
+    return out
 
 
 @register(
