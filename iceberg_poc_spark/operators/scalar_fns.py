@@ -196,3 +196,54 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255          AS low_byte,
+           o_orderkey | 4096         AS with_flag,
+           xor(o_orderkey, 21845)    AS xored,
+           o_orderkey << 2           AS shl,
+           o_orderkey >> 3           AS shr
+    FROM orders
+    WHERE o_orderkey <= 4000
+    """,
+    doc="Bitwise scalar functions (and/or/xor/shifts) — the hash/flag "
+    "manipulation toolkit.",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@register(
+    "q_fn_nulls",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+           IFNULL(NULLIF(c_acctbal, 0.0), -1.0)                  AS bal,
+           CAST(c_acctbal IS NOT NULL AS INT)                    AS has_bal
+    FROM customer
+    """,
+    doc="NULL-handling scalars: coalesce / nullif / ifnull / IS NOT NULL.",
+)
+def q_fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("REDACTED")
+        ).alias("seg"),
+        F.ifnull(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias("bal"),
+        F.col("c_acctbal").isNotNull().cast("int").alias("has_bal"),
+    )
