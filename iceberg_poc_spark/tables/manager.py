@@ -46,7 +46,14 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DataType, MapType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _nested_nullable(dt: DataType) -> DataType:
@@ -425,9 +432,138 @@ class ParquetTableManager:
         """Schema evolution: append an optional column. Existing data files
         are untouched; reads project NULL for them (Iceberg semantics)."""
         m = self._load_manifest(name)
-        schema = StructType.fromJson(m["schema"]).add(col, dtype, True)
+        schema = StructType.fromJson(m["schema"])
+        if col in schema.fieldNames():
+            raise ValueError(f"column {col!r} already exists")
+        if any(col in f.metadata.get("former_names", []) for f in schema.fields):
+            # old data files still hold this name — a new column under it
+            # would resurrect their values through the rename-coalesce read
+            raise ValueError(f"{col!r} is a former name of a renamed column")
+        schema = schema.add(col, dtype, True)
         m["schema"] = json.loads(schema.json())
         m["operation"] = "add-column"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def drop_column(self, name: str, col: str) -> int:
+        """Schema evolution: drop a column. Metadata-only — data files keep
+        the physical column; the explicit read schema simply stops
+        projecting it (Iceberg semantics). Partition source columns cannot
+        be dropped while a transform references them."""
+        m = self._load_manifest(name)
+        schema = StructType.fromJson(m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column {col!r}")
+        if any(t.source == col for t in self._spec(m)):
+            raise ValueError(
+                f"{col!r} is a partition source; drop the partition field first"
+            )
+        m["schema"] = json.loads(
+            StructType([f for f in schema.fields if f.name != col]).json()
+        )
+        m["operation"] = "drop-column"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        """Schema evolution: rename a column, metadata-only (≙ Iceberg
+        ``ALTER TABLE ... RENAME COLUMN``, which resolves via field IDs).
+        The field records its former names in metadata; reads coalesce the
+        historical names so files written before the rename still resolve.
+        Renaming a partition source is rejected (transforms bind by name
+        here, and identity sources are baked into hive paths)."""
+        m = self._load_manifest(name)
+        schema = StructType.fromJson(m["schema"])
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if any(t.source == old for t in self._spec(m)):
+            raise ValueError(f"{old!r} is a partition source; cannot rename")
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                meta = dict(f.metadata)
+                meta["former_names"] = list(
+                    dict.fromkeys([*meta.get("former_names", []), old])
+                )
+                fields.append(StructField(new, f.dataType, f.nullable, meta))
+            else:
+                fields.append(f)
+        m["schema"] = json.loads(StructType(fields).json())
+        m["operation"] = "rename-column"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def add_partition_field(self, name: str, transform: Transform) -> int:
+        """Partition-spec evolution (≙ ``ALTER TABLE ... ADD PARTITION
+        FIELD``, aig/TimeBasedPartitioningExamples.java:211-216): future
+        writes partition by the extended spec; existing files keep their
+        old layout and are never rewritten. Pruning stays correct on both:
+        a file missing the new partition value is conservatively kept."""
+        m = self._load_manifest(name)
+        schema = StructType.fromJson(m["schema"])
+        if transform.source not in schema.fieldNames():
+            raise ValueError(f"no such column {transform.source!r}")
+        if any(
+            t.field_name == transform.field_name for t in self._spec(m)
+        ):
+            raise ValueError(f"partition field {transform.field_name!r} already in spec")
+        m["spec"] = m["spec"] + [
+            {"kind": transform.kind, "source": transform.source, "arg": transform.arg}
+        ]
+        m["operation"] = "add-partition-field"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def drop_partition_field(self, name: str, field_name: str) -> int:
+        """Partition-spec evolution (≙ ``ALTER TABLE ... DROP PARTITION
+        FIELD``, aig/TimeBasedPartitioningExamples.java:218-221): future
+        writes stop partitioning by the field; existing files keep their
+        layout and their manifest partition values still prune."""
+        m = self._load_manifest(name)
+        spec = self._spec(m)
+        if not any(t.field_name == field_name for t in spec):
+            raise ValueError(f"no partition field {field_name!r} in spec")
+        m["spec"] = [
+            s
+            for s, t in zip(m["spec"], spec)
+            if t.field_name != field_name
+        ]
+        m["operation"] = "drop-partition-field"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    # value-preserving widenings Iceberg allows (no file rewrite needed:
+    # reads up-cast old files through the align-cast in _read_files)
+    _WIDENINGS = {("integer", "long"), ("float", "double")}
+
+    def widen_column(self, name: str, col: str, to_type: str) -> int:
+        """Schema evolution: widen a column's type in place (int→long,
+        float→double — the promotions Iceberg permits). Metadata-only:
+        existing files keep the narrow type and reads cast up; anything
+        else would silently corrupt values and is rejected."""
+        m = self._load_manifest(name)
+        schema = StructType.fromJson(m["schema"])
+        old = schema[col].dataType.typeName()
+        if (old, to_type) not in self._WIDENINGS and old != to_type:
+            raise ValueError(
+                f"cannot widen {col!r} {old} -> {to_type}: only "
+                f"{sorted(self._WIDENINGS)} are value-preserving"
+            )
+        fields = [
+            StructField(
+                f.name,
+                StructType.fromDDL(f"x {to_type}")[0].dataType
+                if f.name == col
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        m["schema"] = json.loads(StructType(fields).json())
+        m["operation"] = "widen-column"
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -629,28 +765,77 @@ class ParquetTableManager:
 
     # ---------------------------------------------------------------- reads
     def _read_files(self, name: str, manifest: dict, files: list[dict]) -> DataFrame:
+        """Plan a read over manifest-listed files.
+
+        Files are grouped by their hive partition layout (the key set of
+        their manifest partition values) so partition-spec evolution works:
+        files written under different specs live at different path depths,
+        and each group is read with its own layout then unioned — mixing
+        depths in one ``spark.read`` would trip partition discovery.
+
+        Each group reads with an EXPLICIT schema instead of mergeSchema:
+        evolved-away columns come back NULL, and files written before a
+        ``widen_column`` read through Spark's parquet widening promotion
+        (int32→long, float→double) — mergeSchema would refuse that merge.
+        Renamed columns resolve via ``former_names`` field metadata:
+        the read schema carries every historical name and the projection
+        coalesces them (a file has exactly one of the names). Path-only
+        partition columns are typed string and dropped; their parse type
+        never matters."""
         schema = StructType.fromJson(manifest["schema"])
-        hidden = [
-            t.field_name for t in self._spec(manifest) if t.kind != "identity"
-        ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self._dir(name), e["path"]) for e in files]
-        df = (
-            self.spark.read.option("basePath", os.path.join(self._dir(name), "data"))
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
-        # hidden partition columns stay hidden; evolved columns appear as
-        # NULL for pre-evolution files.
-        return df.select(
-            *[
-                F.col(f.name).cast(_nested_nullable(f.dataType))
-                if f.name in df.columns
-                else F.lit(None).cast(_nested_nullable(f.dataType)).alias(f.name)
-                for f in schema.fields
+        names = {f.name for f in schema.fields}
+        former = {
+            f.name: [
+                n
+                for n in f.metadata.get("former_names", [])
+                if n not in names
             ]
-        ).drop(*hidden)
+            for f in schema.fields
+        }
+        groups: dict[tuple, list[dict]] = {}
+        for e in files:
+            groups.setdefault(tuple(sorted(e["partition"])), []).append(e)
+
+        parts: list[DataFrame] = []
+        for layout, entries in groups.items():
+            hidden = [k for k in layout if k not in names]
+            read_schema = StructType(
+                [
+                    StructField(f.name, _nested_nullable(f.dataType), True)
+                    for f in schema.fields
+                ]
+                + [
+                    StructField(n, _nested_nullable(f.dataType), True)
+                    for f in schema.fields
+                    for n in former[f.name]
+                ]
+                + [StructField(h, StringType(), True) for h in hidden]
+            )
+            df = (
+                self.spark.read.option(
+                    "basePath", os.path.join(self._dir(name), "data")
+                )
+                .schema(read_schema)
+                .parquet(*[os.path.join(self._dir(name), e["path"]) for e in entries])
+            )
+            parts.append(
+                df.select(
+                    *[
+                        F.coalesce(F.col(f.name), *[F.col(n) for n in former[f.name]])
+                        .cast(_nested_nullable(f.dataType))
+                        .alias(f.name)
+                        if former[f.name]
+                        else F.col(f.name).cast(_nested_nullable(f.dataType))
+                        for f in schema.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at the current (or a historical) snapshot —
