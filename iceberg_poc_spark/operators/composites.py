@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
 
@@ -143,4 +144,215 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): quarter of orders with "
+    "at least one late-shipped lineitem (testdata has no l_commitdate/"
+    "l_receiptdate; 'late' = shipped >90 days after order). The EXISTS "
+    "decorrelates to a left-semi join on Spark's side.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT {dround(
+        "100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+        "/ SUM(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): one month of lineitems, "
+    "broadcast part join, conditional-revenue ratio in a single row.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 140
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d'), ROUND(o.o_totalprice, 2)
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): self-aggregated "
+    "lineitem HAVING filter drives a semi join back onto the fact, then "
+    "customer/orders enrichment and top-100 by order value.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 140)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "k")),
+                li.l_orderkey == F.col("k"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): disjunction of brand/size/"
+    "quantity bands over a broadcast part join — the classic OR-of-ANDs "
+    "predicate Catalyst cannot push below the join, applied post-join.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): above-average-balance "
+    "customers lapsed since 2001 (every testdata customer has SOME order, "
+    "and there are no c_phone country codes — the shape is what matters: "
+    "scalar subquery broadcast + NOT EXISTS as a left-anti join).",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    # scalar subquery as a broadcast single-row cross join: stays one plan,
+    # no driver-side collect
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey", "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
     )
