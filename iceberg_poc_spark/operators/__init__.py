@@ -9,6 +9,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     filters,
     joins,
     multimodal,
+    sampling,
     scalar_fns,
     scans,
     sessionize,

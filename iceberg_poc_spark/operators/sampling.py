@@ -1,0 +1,157 @@
+"""Dataset-assembly operators for training-data pipelines (✦ north-star,
+SURVEY.md §2B): deterministic splits, stratified sampling, and
+context-window sequence packing over the ``documents`` corpus.
+
+All three are *content-addressed* (md5-hex thresholds), not RNG-seeded:
+the split/sample decision for a document is a pure function of its id, so
+it is stable across runs, engines, cluster sizes, and re-partitioning —
+the property a 100 TB pipeline needs so that re-running a stage never
+shuffles examples between train and test. A fixed-width lowercase-hex
+prefix compares lexicographically exactly like the integer it encodes,
+so ``substr(md5(x), 1, 8) < 'cccccccc'`` IS ``u32(x) < 0.8 * 2^32`` —
+byte-identical in Spark and DuckDB, which keeps every operator
+oracle-checkable (no reference analogue; the reference has no sampling
+surface, SURVEY.md §2C).
+
+Scale notes: all decisions are per-row map-side expressions (no shuffle
+to decide membership); the only shuffles are the final reporting
+aggregations. Packing uses a running sum over a deterministic order —
+global here for oracle parity, per-shard (``partitionBy(shard)``) at
+100 TB so no single-partition window appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+# u32 thresholds as fixed-width hex: floor(f * 2^32) in 8 lowercase hex chars
+TRAIN_HEX = "cccccccc"  # 0.80 * 2^32
+VAL_HEX = "e6666666"  # 0.90 * 2^32
+EN_KEEP_HEX = "80000000"  # 0.50 * 2^32
+PACK_BUDGET = 512  # tokens per packed context window
+
+
+def _u32_hex(col, salt: str):
+    """First 8 hex chars of md5('<salt>:' || col) — a uniform u32 draw,
+    reproducible byte-for-byte in DuckDB."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string")).cast("binary")), 1, 8
+    )
+
+
+@register(
+    "q_sample_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{TRAIN_HEX}' THEN 'train'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{VAL_HEX}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: membership is a pure "
+    "function of md5(doc_id), so it never changes under re-runs, engine "
+    "swaps, or repartitioning — unlike randomSplit, which is seed- and "
+    "partitioning-dependent. Zero-shuffle assignment; only the report "
+    "aggregates.",
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_hex(F.col("doc_id"), "split")
+    return (
+        d.select(
+            F.when(u < TRAIN_HEX, "train")
+            .when(u < VAL_HEX, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.size(F.split("text", " ")).alias("t"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("tokens"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < (CASE WHEN lang = 'en' THEN '{EN_KEEP_HEX}' ELSE 'g' END)
+               THEN 1 ELSE 0 END) AS n_kept
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Stratified (per-language) deterministic sampling — the mixture "
+    "rebalance step of corpus assembly: the dominant language (en) is "
+    "downsampled to 50%, the rest kept whole. 'g' sorts above every hex "
+    "digit, so it encodes rate 1.0. Per-row map-side decision, no shuffle "
+    "to sample.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_hex(F.col("doc_id"), "strat")
+    thresh = F.when(F.col("lang") == "en", F.lit(EN_KEEP_HEX)).otherwise(F.lit("g"))
+    return (
+        d.select("lang", (u < thresh).cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"), F.sum("keep").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tokens,
+               SUM(tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tokens AS start_offset
+        FROM t
+    )
+    SELECT CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"Context-window sequence packing: documents in deterministic "
+    f"doc_id order fill {PACK_BUDGET}-token windows; a doc belongs to the "
+    f"window its start offset falls in (docs may straddle — the "
+    f"concat-then-chunk packing used for LLM pretraining batches). The "
+    f"running sum is a single window cumsum; at 100 TB partition it by "
+    f"shard = md5-prefix of doc_id so no global single-partition window "
+    f"exists.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("start_offset", F.sum("tokens").over(w) - F.col("tokens"))
+    return (
+        c.groupBy(
+            (F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
