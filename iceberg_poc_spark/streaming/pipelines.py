@@ -236,3 +236,59 @@ def run_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def rate_events(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
+    """Synthetic live event stream from the deterministic rate-micro-batch
+    source — the streaming twin of the reference's synthetic event
+    generator (aig/AIGEventsTableCreator.java:209-281: cyclic dimension
+    values over a record counter). Each micro-batch emits exactly
+    ``rows_per_batch`` rows with monotonically increasing ``value``
+    counters and evenly spaced timestamps, so demos and tests are
+    reproducible (unlike the wall-clock ``rate`` source).
+
+    Column derivations mirror the reference's generator: user/tenant ids
+    cycle over a modulus, event types cycle over a fixed vocabulary."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )  # columns: timestamp TIMESTAMP, value LONG
+    etype = F.array(F.lit("view"), F.lit("click"), F.lit("buy"))
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(etype, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.to_json(F.struct((F.col("value") % 7).alias("shard"))).alias("props"),
+    )
+
+
+def run_batches(stream_df: DataFrame, name: str, n_batches: int,
+                output_mode: str = "append"):
+    """Run a (possibly unbounded) stream for exactly ``n_batches``
+    micro-batches into a memory sink, then stop. For rate-source demos
+    where availableNow never terminates."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            progress = q.recentProgress
+            done = sum(1 for p in progress if p["numInputRows"] > 0)
+            if done >= n_batches:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return q
