@@ -117,3 +117,33 @@ def test_corpus_prep_no_cartesian_and_pruned_scan(spark):
     # shuffle: only doc_id + text are needed before the semi join
     cols = set(read_schema_columns(df))
     assert "embedding" not in cols
+
+
+def test_tpch_composites_broadcast_and_no_cartesian(spark):
+    """The new TPC-H shapes keep their dims broadcast and never fall back
+    to a cartesian product (Q22's single-row scalar cross join is the one
+    sanctioned BroadcastNestedLoopJoin — size-1 build side)."""
+    for qid in ["q_tpch_q4", "q_tpch_q14", "q_tpch_q18", "q_tpch_q19"]:
+        df = Q[qid].fn(spark, SF_DIR)
+        assert has_broadcast_join(df), f"{qid}: no broadcast join"
+        assert_no_cartesian(df)
+
+
+def test_tpch_q14_pushes_shipdate(spark):
+    pf = pushed_filters(Q["q_tpch_q14"].fn(spark, SF_DIR))
+    assert "l_shipdate" in pf
+
+
+def test_sampling_no_shuffle_before_report(spark):
+    """Split/stratify membership is a map-side expression: exactly one
+    shuffle (the report aggregation) in the whole plan."""
+    for qid in ["q_sample_split", "q_sample_stratified"]:
+        plan = explain_str(Q[qid].fn(spark, SF_DIR))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        # one partial->final agg exchange + one ordering exchange at most
+        assert n_ex <= 2, f"{qid}: {n_ex} exchanges\n{plan}"
+
+
+def test_pack_sequences_reads_two_columns(spark):
+    cols = set(read_schema_columns(Q["q_pack_sequences"].fn(spark, SF_DIR)))
+    assert cols == {"doc_id", "text"}, cols
