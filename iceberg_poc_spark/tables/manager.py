@@ -568,11 +568,23 @@ class ParquetTableManager:
         return self._commit(name, m)
 
     # --------------------------------------------------------------- writes
-    def _write_files(self, name: str, df: DataFrame, spec: list[Transform]) -> list[dict]:
+    def _write_files(
+        self,
+        name: str,
+        df: DataFrame,
+        spec: list[Transform],
+        sort_within: list[Column] | None = None,
+    ) -> list[dict]:
         """Write df as parquet into an invisible staging dir (hidden
         partition columns derived, hive layout), then move the files under
         data/ keeping their partition subpaths. Returns file entries with
-        partition values + stats for the manifest."""
+        partition values + stats for the manifest.
+
+        ``sort_within`` (expressions over the data columns) sorts rows
+        inside each task before writing — compaction passes its sort/
+        z-order keys here so the clustering survives the partition
+        co-location shuffle below (sorting before that shuffle would be
+        undone by it)."""
         staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
         part_cols = [t.field_name for t in spec]
         out = df
@@ -584,6 +596,10 @@ class ParquetTableManager:
             # partition per append instead of one per (task x partition) —
             # the small-files guard that matters under frequent appends.
             out = out.repartition(*[F.col(c) for c in part_cols])
+        if sort_within:
+            out = out.sortWithinPartitions(
+                *[F.col(c) for c in part_cols], *sort_within
+            )
         writer = out.write.mode("overwrite").option("compression", "zstd")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -982,11 +998,72 @@ class ParquetTableManager:
         return {"snapshots": removed_snaps, "files": removed_files}
 
     # ------------------------------------------------------------ compaction
+    _ZBITS = 16  # bin resolution per z-order dimension
+
+    def _zvalue(self, m: dict, cols: list[str]) -> Column:
+        """Z-order key: each column is uniformly binned to _ZBITS bits
+        between its manifest-global min and max (the stats already in the
+        manifest — no extra pass over the data), and the bins'
+        bits are interleaved. Pure JVM expressions (shift/and/or), no UDF.
+        Numeric and timestamp columns only; NULL and degenerate (min==max)
+        values bin to 0."""
+        schema = StructType.fromJson(m["schema"])
+        n = len(cols)
+        binned = []
+        for c in cols:
+            dt = schema[c].dataType.typeName()
+            if dt not in {
+                "integer", "long", "short", "byte", "float", "double",
+                "timestamp", "timestamp_ntz", "date",
+            }:
+                raise ValueError(f"zorder column {c!r} has type {dt}; only "
+                                 "numeric/timestamp/date columns are supported")
+            stats = [e["stats"][c] for e in m["files"] if c in e.get("stats", {})]
+            if not stats:
+                raise ValueError(f"no column stats for zorder column {c!r}")
+            lo = min(s[0] for s in stats)
+            hi = max(s[1] for s in stats)
+            v = F.col(c)
+            if dt in {"timestamp", "timestamp_ntz"}:
+                # manifest stats are ISO strings; epoch-seconds both sides
+                # (UTC — bin edges only affect locality, never correctness)
+                import calendar
+                import datetime as _dt
+
+                lo = calendar.timegm(_dt.datetime.fromisoformat(lo).timetuple())
+                hi = calendar.timegm(_dt.datetime.fromisoformat(hi).timetuple())
+                v = v.cast("timestamp").cast("double")
+            elif dt == "date":
+                import datetime as _dt
+
+                epoch = _dt.date(1970, 1, 1).toordinal()
+                lo = _dt.date.fromisoformat(lo).toordinal() - epoch
+                hi = _dt.date.fromisoformat(hi).toordinal() - epoch
+                v = F.datediff(v, F.lit("1970-01-01"))
+            v = v.cast("double")
+            if hi <= lo:
+                binned.append(F.lit(0).cast("long"))
+                continue
+            scale = (2**self._ZBITS - 1) / float(hi - lo)
+            b = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
+            binned.append(
+                F.coalesce(F.greatest(F.least(b, F.lit(2**self._ZBITS - 1)),
+                                      F.lit(0)), F.lit(0))
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(self._ZBITS):
+            for j, b in enumerate(binned):
+                z = z.bitwiseOR(
+                    F.shiftleft(b.bitwiseAND(F.lit(1 << bit)), bit * (n - 1) + j)
+                )
+        return z
+
     def compact(
         self,
         name: str,
         target_bytes: int | None = None,
         sort_by: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> int:
         """``rewrite_data_files`` analogue: coalesce small files per
         partition up to write.target-file-size-bytes, commit as a REPLACE
@@ -998,7 +1075,13 @@ class ParquetTableManager:
         sort within files, ≙ ``rewrite_data_files(strategy => 'sort')``):
         each output file then covers a narrow value range, so parquet
         min/max row-group stats prune scans on those columns — the cheap
-        80% of what Z-ordering buys, for single-column-dominant filters."""
+        80% of what Z-ordering buys, for single-column-dominant filters.
+
+        ``zorder`` clusters on the interleaved-bits space-filling curve
+        (≙ ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(a, b)')``): every listed dimension gets narrow per-file
+        min/max ranges simultaneously, so predicates on ANY of them skip
+        files — what a linear sort only gives its leading column."""
         m = self._load_manifest(name)
         target = target_bytes or int(
             m["properties"].get("write.target-file-size-bytes", 128 * 1024 * 1024)
@@ -1007,12 +1090,19 @@ class ParquetTableManager:
         df = self._read_files(name, m, m["files"])
         total_bytes = sum(e["bytes"] for e in m["files"])
         n_out = int(max(1, -(-total_bytes // target)))  # ceil
-        if sort_by:
-            cols = [F.col(c) for c in sort_by]
-            df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+        if sort_by and zorder:
+            raise ValueError("sort_by and zorder are mutually exclusive")
+        if zorder:
+            cluster = [self._zvalue(m, zorder)]
+        elif sort_by:
+            cluster = [F.col(c) for c in sort_by]
+        else:
+            cluster = None
+        if cluster:
+            df = df.repartitionByRange(n_out, *cluster)
         else:
             df = df.repartition(n_out)
-        new_files = self._write_files(name, df, spec)
+        new_files = self._write_files(name, df, spec, sort_within=cluster)
         m["files"] = new_files
         m["operation"] = "replace"
         m["parent"] = m["version"]
