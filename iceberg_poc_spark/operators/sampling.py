@@ -155,3 +155,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+MIX_TOPK = 200
+HEAVY_SOURCES = ("src0", "src1")
+HEAVY_WEIGHT = 4  # power of two: rn/weight stays float-exact cross-engine
+
+
+@register(
+    "q_mix_sources",
+    oracle=f"""
+    WITH pos AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               / (CASE WHEN source IN {HEAVY_SOURCES} THEN {HEAVY_WEIGHT}.0
+                       ELSE 1.0 END) AS p
+        FROM documents
+    ),
+    head AS (
+        SELECT source FROM pos ORDER BY p, doc_id LIMIT {MIX_TOPK}
+    )
+    SELECT source, COUNT(*) AS n_docs
+    FROM head GROUP BY source ORDER BY source
+    """,
+    doc=f"Weighted source-mixture interleave — the sampling schedule of "
+    f"multi-corpus training: doc k of a weight-w source surfaces at "
+    f"stream position k/w, so heavier sources appear w times as often in "
+    f"any prefix. Reports the source mix of the first {MIX_TOPK} "
+    f"positions ({HEAVY_SOURCES} at weight {HEAVY_WEIGHT}). Deterministic "
+    f"(no RNG): per-source rank + division, exact under float because the "
+    f"weights are powers of two. Scale: the window partitions by source "
+    f"(many independent partitions), and a prefix of the mixture never "
+    f"needs a global sort — each source contributes its own rank range.",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    weight = (
+        F.when(F.col("source").isin(*HEAVY_SOURCES), F.lit(float(HEAVY_WEIGHT)))
+        .otherwise(F.lit(1.0))
+    )
+    pos = d.select(
+        "source", "doc_id", (F.row_number().over(w) / weight).alias("p")
+    )
+    head = pos.orderBy("p", "doc_id").limit(MIX_TOPK)
+    return head.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
