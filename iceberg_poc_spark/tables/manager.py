@@ -998,6 +998,59 @@ class ParquetTableManager:
         return {"snapshots": removed_snaps, "files": removed_files}
 
     # ------------------------------------------------------------ compaction
+    def compact_partitions(
+        self,
+        name: str,
+        small_file_bytes: int | None = None,
+        min_files: int = 2,
+    ) -> dict[str, int]:
+        """Targeted maintenance — the 100 TB-viable form of :meth:`compact`:
+        rewrite ONLY partitions fragmented by frequent small appends
+        (>= ``min_files`` files with at least one under ``small_file_bytes``,
+        default a quarter of the target file size). Everything else is
+        untouched — a full-table rewrite is infeasible once the table is
+        large, and unnecessary: streaming ingest fragments the recent
+        partitions only.
+
+        Concurrency: commits with a rebase that keeps files added by a
+        concurrent append; a concurrent commit that removed any file being
+        rewritten aborts the rewrite (Iceberg ``rewrite_data_files``
+        validation semantics)."""
+        m = self._load_manifest(name)
+        target = int(
+            m["properties"].get("write.target-file-size-bytes", 128 * 1024 * 1024)
+        )
+        small = small_file_bytes if small_file_bytes is not None else target // 4
+        groups: dict[tuple, list[dict]] = {}
+        for e in m["files"]:
+            groups.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        affected: list[dict] = []
+        for entries in groups.values():
+            if len(entries) >= min_files and any(e["bytes"] < small for e in entries):
+                affected.extend(entries)
+        if not affected:
+            return {"version": m["version"], "rewritten": 0, "added": 0}
+        df = self._read_files(name, m, affected)
+        new_files = self._write_files(name, df, self._spec(m))
+        rewritten = {e["path"] for e in affected}
+
+        def apply(base: dict) -> dict:
+            paths = {e["path"] for e in base["files"]}
+            if not rewritten <= paths:
+                raise RuntimeError(
+                    "concurrent commit removed files being rewritten; aborting"
+                )
+            out = dict(base)
+            out["files"] = [
+                e for e in base["files"] if e["path"] not in rewritten
+            ] + new_files
+            out["operation"] = "rewrite-data-files"
+            out["parent"] = base["version"]
+            return out
+
+        v = self._commit(name, apply(m), rebase=apply)
+        return {"version": v, "rewritten": len(rewritten), "added": len(new_files)}
+
     _ZBITS = 16  # bin resolution per z-order dimension
 
     def _zvalue(self, m: dict, cols: list[str]) -> Column:

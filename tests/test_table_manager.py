@@ -516,3 +516,36 @@ def test_zorder_compaction_prunes_both_dimensions(mgr, spark):
     assert mgr.read("t_z").count() == 20_000
     with pytest.raises(ValueError, match="mutually exclusive"):
         mgr.compact("t_z", sort_by=["x"], zorder=["y"])
+
+
+def test_compact_partitions_targets_only_fragmented(mgr, spark):
+    """Partition-scoped maintenance: only fragmented partitions are
+    rewritten; cold partitions keep their exact files."""
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    # tenant 0 written once (cold); tenants 0..3 then fragmented by
+    # 4 more small appends hitting tenants 1..3 only
+    mgr.append("t", make_events(spark, 40, tenants=1))  # all tenant 0
+    for i in range(4):
+        df = make_events(spark, 30, tenants=3,
+                         start=dt.datetime(2024, 2 + i, 1)).withColumn(
+            "tenant_id", F.col("tenant_id") + 1
+        )
+        mgr.append("t", df)
+    before = {r.path for r in mgr.files("t").collect()}
+    cold = {p for p in before if "tenant_id=0" in p}
+    total = mgr.read("t").agg(F.sum("value")).first()[0]
+
+    res = mgr.compact_partitions("t", small_file_bytes=10**9)  # all "small"
+    after = {r.path for r in mgr.files("t").collect()}
+    # cold partition untouched (single file -> below min_files)
+    assert cold <= after
+    # fragmented tenants merged: one file per tenant now
+    frag_after = [p for p in after if "tenant_id=0" not in p]
+    assert len(frag_after) == 3 and res["rewritten"] == 12 and res["added"] == 3
+    assert mgr.read("t").agg(F.sum("value")).first()[0] == total
+    ops = [s.operation for s in mgr.snapshots("t").collect()]
+    assert ops[-1] == "rewrite-data-files"
+    # second run: nothing fragmented anymore -> no-op, no new snapshot
+    v = mgr._current_version("t")
+    res2 = mgr.compact_partitions("t", small_file_bytes=10**9)
+    assert res2["rewritten"] == 0 and mgr._current_version("t") == v
