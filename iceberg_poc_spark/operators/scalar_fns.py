@@ -247,3 +247,39 @@ def q_fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias("bal"),
         F.col("c_acctbal").isNotNull().cast("int").alias("has_bal"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS p,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS top_orderkey, p AS top_totalprice
+    FROM r WHERE rn = 1
+    """,
+    doc="Struct construction, lexicographic struct comparison, and field "
+    "access — the argmax idiom: max(struct(price, key)) finds each "
+    "customer's highest-value order in ONE aggregation pass (map-side "
+    "partials included) where the naive form needs a groupBy + self-join. "
+    "The oracle is the equivalent window top-1 with the same tiebreak.",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(s).alias("s"))
+        .select(
+            "o_custkey",
+            F.col("s.k").alias("top_orderkey"),
+            F.col("s.p").alias("top_totalprice"),
+        )
+    )
