@@ -5,6 +5,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     aggregates,
     asof,
     composites,
+    composites2,
     dedup,
     filters,
     joins,

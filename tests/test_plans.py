@@ -129,6 +129,49 @@ def test_tpch_composites_broadcast_and_no_cartesian(spark):
         assert_no_cartesian(df)
 
 
+def test_tpch_batch2_broadcast_and_no_cartesian(spark):
+    """Batch-2 TPC-H shapes: dims broadcast, no cartesian fallback.
+    (q_tpch_q11/q_tpch_q15 are excluded here: their single-row scalar
+    threshold is a sanctioned size-1 BroadcastNestedLoopJoin, same as
+    q_tpch_q22.)"""
+    for qid in [
+        "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
+        "q_tpch_q13", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+    ]:
+        df = Q[qid].fn(spark, SF_DIR)
+        assert has_broadcast_join(df), f"{qid}: no broadcast join"
+        assert_no_cartesian(df)
+
+
+def test_tpch_star_joins_at_most_one_shuffle_join(spark):
+    """Q5/Q8/Q9: every dimension ships broadcast, so the only join allowed
+    to shuffle is the orders<->lineitem fact join (at sf0.01 even that one
+    broadcasts; the gate bounds what survives a 100x scale-up)."""
+    for qid in ["q_tpch_q5", "q_tpch_q8", "q_tpch_q9"]:
+        plan = explain_str(Q[qid].fn(spark, SF_DIR))
+        n = len(re.findall(r"\(\d+\) SortMergeJoin", plan)) + len(
+            re.findall(r"\(\d+\) ShuffledHashJoin", plan)
+        )
+        assert n <= 1, f"{qid}: {n} shuffle joins\n{plan}"
+
+
+def test_tpch_q21_single_lineitem_scan(spark):
+    """The one-pass reformulation reads lineitem ONCE; the spec's
+    EXISTS/NOT-EXISTS form (kept as the oracle) would scan it three
+    times — at 100 TB that is the whole game."""
+    plan = explain_str(Q["q_tpch_q21"].fn(spark, SF_DIR))
+    n = len(re.findall(r"Location:.*lineitem", plan))
+    assert n == 1, f"{n} lineitem scans\n{plan}"
+
+
+def test_tpch_q7_pushes_shipdate_and_nation_prefilter(spark):
+    df = Q["q_tpch_q7"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+    # the nation-pair narrowing reaches the nation scans as In-filters
+    assert "n_name" in pf, pf
+
+
 def test_tpch_q14_pushes_shipdate(spark):
     pf = pushed_filters(Q["q_tpch_q14"].fn(spark, SF_DIR))
     assert "l_shipdate" in pf
