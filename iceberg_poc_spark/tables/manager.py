@@ -27,6 +27,12 @@ Reference parity map (SURVEY.md §2A):
   :meth:`compact` (the ``rewrite_data_files`` analogue).
 - schema evolution (§1.4): :meth:`add_column`; old files read as NULL for
   new columns, exactly like Iceberg.
+- named refs (beyond the reference, ≙ Iceberg branches/tags): commits CAS a
+  per-branch head pointer over globally-numbered snapshots;
+  :meth:`create_branch` + ``append(ref=...)`` + :meth:`fast_forward` is the
+  write-audit-publish flow, :meth:`cherry_pick` the selective publish,
+  :meth:`create_tag` an immutable pin that :meth:`expire_snapshots`
+  honors.
 
 Scale notes: the commit protocol is O(1) driver-side (one JSON rename);
 data moves only through executor-parallel ``df.write``. Manifests list
@@ -328,56 +334,115 @@ class ParquetTableManager:
     def _manifest_path(self, name: str, version: int) -> str:
         return os.path.join(self._meta_dir(name), f"v{version}.json")
 
+    def _heads_dir(self, name: str, ref: str) -> str:
+        return os.path.join(self._meta_dir(name), "heads", ref)
+
+    def _tag_path(self, name: str, tag: str) -> str:
+        return os.path.join(self._meta_dir(name), "tags", tag)
+
+    def _ref_head(self, name: str, ref: str = "main") -> tuple[int, int]:
+        """(seq, manifest_version) of a branch head, or (-1, -1) if the
+        branch has no commits. The head is the highest ``seq-*`` file; each
+        seq file appears atomically WITH its content (hard-linked from a
+        fully-written temp file), so readers never observe a half-written
+        pointer."""
+        d = self._heads_dir(name, ref)
+        try:
+            entries = [fn for fn in os.listdir(d) if fn.startswith("seq-")]
+        except FileNotFoundError:
+            return (-1, -1)
+        if not entries:
+            return (-1, -1)
+        top = max(entries)
+        with open(os.path.join(d, top)) as f:
+            return (int(top[4:]), int(f.read().strip()))
+
     def _current_version(self, name: str) -> int:
-        ptr = os.path.join(self._meta_dir(name), "current")
-        if not os.path.exists(ptr):
+        _seq, v = self._ref_head(name, "main")
+        if v < 0:
             raise FileNotFoundError(f"table {name!r} does not exist")
-        with open(ptr) as f:
-            return int(f.read().strip())
+        return v
 
     def _load_manifest(self, name: str, version: int | None = None) -> dict:
         v = self._current_version(name) if version is None else version
         with open(self._manifest_path(name, v)) as f:
             return json.load(f)
 
-    def _commit(self, name: str, manifest: dict, rebase=None) -> int:
-        """Atomic commit: write manifest vN+1, then atomically swap the
-        ``current`` pointer (os.replace is atomic on POSIX). Readers load
-        the pointer first, so they always see a complete snapshot —
-        all-or-nothing visibility exactly like the reference's single
-        AppendFiles.commit().
-
-        ``rebase(current_manifest) -> manifest`` re-derives the commit on
-        top of a concurrently-advanced table state (Iceberg's retry
-        semantics for appends: re-stage the same added files on the new
-        base instead of clobbering the winner's files)."""
+    def _max_manifest_version(self, name: str) -> int:
         meta = self._meta_dir(name)
-        os.makedirs(meta, exist_ok=True)
+        best = -1
+        try:
+            for fn in os.listdir(meta):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    try:
+                        best = max(best, int(fn[1:-5]))
+                    except ValueError:
+                        pass
+        except FileNotFoundError:
+            pass
+        return best
+
+    def _alloc_version(self, name: str, manifest: dict) -> int:
+        """Allocate a globally-unique snapshot id by exclusive-create of
+        the manifest file at max+1 (ids are shared across all branches, as
+        in Iceberg)."""
         while True:
+            v = self._max_manifest_version(name) + 1
+            manifest["version"] = v
             try:
-                cur = self._current_version(name)
-            except FileNotFoundError:
-                cur = -1
+                with open(self._manifest_path(name, v), "x") as f:
+                    json.dump(manifest, f)
+                return v
+            except FileExistsError:
+                continue
+
+    def _link_pointer(self, path: str, content: str) -> bool:
+        """Atomically publish ``content`` at ``path`` iff it doesn't exist
+        (hard link from a written temp = exclusive create WITH content).
+        Returns False if another writer won."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def _commit(self, name: str, manifest: dict, rebase=None, ref: str = "main") -> int:
+        """Atomic commit to a branch: allocate the manifest (globally-
+        numbered snapshot), then advance the branch head by exclusive-create
+        of the next ``seq`` pointer — a lock-free compare-and-swap. Readers
+        resolve the head pointer first, so they always see a complete
+        snapshot — all-or-nothing visibility exactly like the reference's
+        single AppendFiles.commit().
+
+        ``rebase(head_manifest) -> manifest`` re-derives the commit on top
+        of a concurrently-advanced branch state (Iceberg's retry semantics
+        for appends: re-stage the same added files on the new base instead
+        of clobbering the winner's files). A manifest whose head-advance
+        lost the CAS is left orphaned and reaped by
+        :meth:`expire_snapshots`."""
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        while True:
+            seq, cur = self._ref_head(name, ref)
             if (
                 rebase is not None
                 and manifest.get("parent") is not None
                 and cur != manifest["parent"]
             ):
                 manifest = rebase(self._load_manifest(name, cur))
-            version = cur + 1
-            manifest["version"] = version
-            path = self._manifest_path(name, version)
-            try:
-                # exclusive create = optimistic concurrency (retry on clash)
-                with open(path, "x") as f:
-                    json.dump(manifest, f)
-            except FileExistsError:
-                continue
-            tmp = os.path.join(meta, f".current.{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                f.write(str(version))
-            os.replace(tmp, os.path.join(meta, "current"))
-            return version
+            version = self._alloc_version(name, manifest)
+            seq_path = os.path.join(
+                self._heads_dir(name, ref), f"seq-{seq + 1:09d}"
+            )
+            if self._link_pointer(seq_path, str(version)):
+                return version
 
     # ----------------------------------------------------------------- DDL
     def create_table(
@@ -407,7 +472,7 @@ class ParquetTableManager:
         self._commit(name, manifest)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._meta_dir(name), "current"))
+        return self._ref_head(name, "main")[1] >= 0
 
     def _spec(self, manifest: dict) -> list[Transform]:
         return [
@@ -642,11 +707,16 @@ class ParquetTableManager:
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
-    def append(self, name: str, df: DataFrame) -> int:
+    def append(self, name: str, df: DataFrame, ref: str = "main") -> int:
         """Atomic multi-file append: all files of this call become visible
         in ONE commit (reference #20/#21: the whole parallel bulk load lands
-        as a single snapshot)."""
-        m = self._load_manifest(name)
+        as a single snapshot). ``ref`` targets a branch — the
+        write-audit-publish staging path: append to an audit branch,
+        validate it, then :meth:`fast_forward` main."""
+        _seq, head = self._ref_head(name, ref)
+        if head < 0:
+            raise ValueError(f"branch {ref!r} does not exist on {name!r}")
+        m = self._load_manifest(name, head)
         spec = self._spec(m)
         schema_cols = [f.name for f in self.schema(name).fields]
         aligned = df.select(
@@ -669,7 +739,7 @@ class ParquetTableManager:
             out["parent"] = cur_m["version"]
             return out
 
-        return self._commit(name, m, rebase=rebase)
+        return self._commit(name, m, rebase=rebase, ref=ref)
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         m = self._load_manifest(name)
@@ -853,11 +923,166 @@ class ParquetTableManager:
             out = out.unionByName(p)
         return out
 
-    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
-        """Read the table at the current (or a historical) snapshot —
-        time travel ≙ Iceberg ``VERSION AS OF``."""
-        m = self._load_manifest(name, snapshot_id)
+    def _resolve(
+        self, name: str, snapshot_id: int | None = None, ref: str | None = None
+    ) -> int:
+        """Resolve a read target: explicit snapshot id > tag > branch >
+        main head."""
+        if snapshot_id is not None:
+            return snapshot_id
+        if ref is not None and ref != "main":
+            tag = self._tag_path(name, ref)
+            if os.path.exists(tag):
+                with open(tag) as f:
+                    return int(f.read().strip())
+            _seq, v = self._ref_head(name, ref)
+            if v >= 0:
+                return v
+            raise ValueError(f"no branch or tag {ref!r} on table {name!r}")
+        return self._current_version(name)
+
+    def read(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Read the table at the current snapshot, a historical snapshot
+        (time travel ≙ Iceberg ``VERSION AS OF``), or a named branch/tag
+        (≙ ``VERSION AS OF 'ref'``)."""
+        m = self._load_manifest(name, self._resolve(name, snapshot_id, ref))
         return self._read_files(name, m, m["files"])
+
+    # ----------------------------------------------------- branches & tags
+    def create_branch(
+        self, name: str, branch: str, at_snapshot: int | None = None
+    ) -> int:
+        """Create a mutable named ref at ``at_snapshot`` (default: main
+        head). Appends with ``ref=branch`` advance only the branch — the
+        write-audit-publish staging pattern (≙ Iceberg branching)."""
+        if branch == "main":
+            raise ValueError("'main' is reserved")
+        base = (
+            self._current_version(name) if at_snapshot is None else at_snapshot
+        )
+        if not os.path.exists(self._manifest_path(name, base)):
+            raise ValueError(f"snapshot {base} does not exist on {name!r}")
+        seq_path = os.path.join(self._heads_dir(name, branch), "seq-000000000")
+        if not self._link_pointer(seq_path, str(base)):
+            raise ValueError(f"branch {branch!r} already exists on {name!r}")
+        return base
+
+    def create_tag(self, name: str, tag: str, at_snapshot: int | None = None) -> int:
+        """Create an immutable named snapshot pointer (≙ Iceberg tags).
+        Tagged snapshots survive :meth:`expire_snapshots`."""
+        base = (
+            self._current_version(name) if at_snapshot is None else at_snapshot
+        )
+        if not os.path.exists(self._manifest_path(name, base)):
+            raise ValueError(f"snapshot {base} does not exist on {name!r}")
+        if not self._link_pointer(self._tag_path(name, tag), str(base)):
+            raise ValueError(f"tag {tag!r} already exists on {name!r}")
+        return base
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        if branch == "main":
+            raise ValueError("cannot drop 'main'")
+        import shutil
+
+        shutil.rmtree(self._heads_dir(name, branch))
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        os.remove(self._tag_path(name, tag))
+
+    def refs(self, name: str) -> DataFrame:
+        """All named refs (≙ Iceberg ``.refs`` metadata table)."""
+        rows = [("main", "branch", self._current_version(name))]
+        heads = os.path.join(self._meta_dir(name), "heads")
+        if os.path.isdir(heads):
+            for b in sorted(os.listdir(heads)):
+                if b != "main":
+                    rows.append((b, "branch", self._ref_head(name, b)[1]))
+        tags = os.path.join(self._meta_dir(name), "tags")
+        if os.path.isdir(tags):
+            for t in sorted(os.listdir(tags)):
+                with open(os.path.join(tags, t)) as f:
+                    rows.append((t, "tag", int(f.read().strip())))
+        return self.spark.createDataFrame(
+            rows, "ref STRING, type STRING, snapshot_id INT"
+        )
+
+    def _ancestors(self, name: str, version: int) -> list[int]:
+        """Snapshot ids reachable from ``version`` via parent links (stops
+        at expired history)."""
+        out, v = [], version
+        while v is not None and os.path.exists(self._manifest_path(name, v)):
+            out.append(v)
+            v = self._load_manifest(name, v).get("parent")
+        return out
+
+    def fast_forward(self, name: str, branch: str, ref: str = "main") -> int:
+        """Advance ``ref`` (default main) to ``branch``'s head — the
+        publish step of write-audit-publish. Fails unless the target head
+        descends from the current ``ref`` head (same rule as Iceberg's
+        ``fast_forward`` procedure); lock-free CAS retries if ``ref``
+        moves concurrently."""
+        while True:
+            seq, cur = self._ref_head(name, ref)
+            _bseq, target = self._ref_head(name, branch)
+            if target < 0:
+                raise ValueError(f"no branch {branch!r} on table {name!r}")
+            if target == cur:
+                return cur
+            if cur >= 0 and cur not in self._ancestors(name, target):
+                raise ValueError(
+                    f"{ref!r} (at {cur}) is not an ancestor of "
+                    f"{branch!r} (at {target}); not a fast-forward"
+                )
+            seq_path = os.path.join(
+                self._heads_dir(name, ref), f"seq-{seq + 1:09d}"
+            )
+            if self._link_pointer(seq_path, str(target)):
+                return target
+
+    def cherry_pick(self, name: str, snapshot_id: int, ref: str = "main") -> int:
+        """Re-apply one append snapshot's added files on top of ``ref``'s
+        head (≙ Iceberg ``cherrypick_snapshot`` — the other WAP publish
+        path, when only SOME audited commits should ship). Only append
+        snapshots are cherry-pickable; a file already present on the
+        target head aborts (double-publish guard)."""
+        snap = self._load_manifest(name, snapshot_id)
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"snapshot {snapshot_id} is {snap['operation']!r}: only "
+                "append snapshots can be cherry-picked"
+            )
+        parent = snap.get("parent")
+        parent_paths = (
+            {e["path"] for e in self._load_manifest(name, parent)["files"]}
+            if parent is not None
+            else set()
+        )
+        added = [e for e in snap["files"] if e["path"] not in parent_paths]
+
+        def apply(base: dict) -> dict:
+            clash = {e["path"] for e in base["files"]} & {
+                e["path"] for e in added
+            }
+            if clash:
+                raise ValueError(
+                    f"cherry-pick of {snapshot_id} conflicts: "
+                    f"{len(clash)} file(s) already on target"
+                )
+            out = dict(base)
+            out["files"] = base["files"] + added
+            out["operation"] = "append"
+            out["parent"] = base["version"]
+            return out
+
+        _seq, head = self._ref_head(name, ref)
+        return self._commit(
+            name, apply(self._load_manifest(name, head)), rebase=apply, ref=ref
+        )
 
     def scan(
         self, name: str, where: list[tuple[str, str, Any]] | None = None
@@ -883,17 +1108,14 @@ class ParquetTableManager:
         return df, len(files), total
 
     # ------------------------------------------------------------- metadata
-    def snapshots(self, name: str) -> DataFrame:
-        """Snapshot history ≙ ``table.snapshots()`` iteration (reference
-        #27, aig/PartitionValueDebugger.java:164-196)."""
+    def snapshots(self, name: str, ref: str = "main") -> DataFrame:
+        """Snapshot history of a branch — the parent chain from its head
+        (≙ ``table.snapshots()`` iteration, reference #27,
+        aig/PartitionValueDebugger.java:164-196). With branches, snapshot
+        ids are global but each branch sees only its own lineage."""
         rows = []
-        v = self._current_version(name)
-        for i in range(v + 1):
-            p = self._manifest_path(name, i)
-            if not os.path.exists(p):
-                continue
-            with open(p) as f:
-                m = json.load(f)
+        for v in sorted(self._ancestors(name, self._resolve(name, ref=ref))):
+            m = self._load_manifest(name, v)
             rows.append(
                 (
                     m["version"],
@@ -953,15 +1175,24 @@ class ParquetTableManager:
         new rows)."""
         to_v = self._current_version(name) if to_snapshot is None else to_snapshot
         m_to = self._load_manifest(name, to_v)
-        seen = {e["path"] for e in self._load_manifest(name, from_snapshot)["files"]}
-        new_files: list[dict] = []
-        for v in range(from_snapshot + 1, to_v + 1):
+        chain: list[dict] = []  # (from, to] walking parent links
+        v: int | None = to_v
+        while v is not None and v != from_snapshot:
             m = self._load_manifest(name, v)
             if m["operation"] not in ("append",):
                 raise ValueError(
                     f"snapshot {v} is {m['operation']!r}: incremental read "
                     "only spans append snapshots (Iceberg semantics)"
                 )
+            chain.append(m)
+            v = m.get("parent")
+        if v is None:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of {to_v}"
+            )
+        seen = {e["path"] for e in self._load_manifest(name, from_snapshot)["files"]}
+        new_files: list[dict] = []
+        for m in reversed(chain):
             for e in m["files"]:
                 if e["path"] not in seen:
                     seen.add(e["path"])
@@ -975,17 +1206,35 @@ class ParquetTableManager:
         loop that stops metadata and storage growing without bound under
         streaming appends + compaction). Time travel remains valid only
         for surviving snapshots."""
-        cur = self._current_version(name)
-        cutoff = max(0, cur - keep_last + 1)
+        # keep: newest keep_last of the main chain, plus EVERYTHING
+        # reachable from any branch head or tag (Iceberg: refs pin history)
+        keep = set(
+            sorted(self._ancestors(name, self._current_version(name)))[
+                -keep_last:
+            ]
+        )
+        heads = os.path.join(self._meta_dir(name), "heads")
+        if os.path.isdir(heads):
+            for b in os.listdir(heads):
+                if b != "main":
+                    keep |= set(self._ancestors(name, self._ref_head(name, b)[1]))
+        tags = os.path.join(self._meta_dir(name), "tags")
+        if os.path.isdir(tags):
+            for t in os.listdir(tags):
+                with open(os.path.join(tags, t)) as f:
+                    keep |= set(self._ancestors(name, int(f.read().strip())))
+        # everything else — expired main history AND orphaned loser
+        # manifests from lost commit CASes — goes
+        drop = [
+            v
+            for v in range(self._max_manifest_version(name) + 1)
+            if v not in keep and os.path.exists(self._manifest_path(name, v))
+        ]
         live: set[str] = set()
-        for v in range(cutoff, cur + 1):
-            if os.path.exists(self._manifest_path(name, v)):
-                live |= {e["path"] for e in self._load_manifest(name, v)["files"]}
+        for v in keep:
+            live |= {e["path"] for e in self._load_manifest(name, v)["files"]}
         removed_files = removed_snaps = 0
-        for v in range(cutoff):
-            p = self._manifest_path(name, v)
-            if not os.path.exists(p):
-                continue
+        for v in drop:
             for e in self._load_manifest(name, v)["files"]:
                 if e["path"] not in live:
                     fp = os.path.join(self._dir(name), e["path"])
@@ -993,7 +1242,7 @@ class ParquetTableManager:
                         os.remove(fp)
                         removed_files += 1
                     live.add(e["path"])  # count each orphan once
-            os.remove(p)
+            os.remove(self._manifest_path(name, v))
             removed_snaps += 1
         return {"snapshots": removed_snaps, "files": removed_files}
 

@@ -549,3 +549,90 @@ def test_compact_partitions_targets_only_fragmented(mgr, spark):
     v = mgr._current_version("t")
     res2 = mgr.compact_partitions("t", small_file_bytes=10**9)
     assert res2["rewritten"] == 0 and mgr._current_version("t") == v
+
+
+# ------------------------------------------------------- branches & tags
+
+
+def test_branch_write_audit_publish(mgr, spark):
+    """WAP: append lands on the audit branch only; after validation,
+    fast_forward publishes it to main atomically."""
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 50))
+    main_before = mgr.read("t").count()
+
+    mgr.create_branch("t", "audit")
+    mgr.append("t", make_events(spark, 30, start=dt.datetime(2024, 6, 1)),
+               ref="audit")
+    # write: branch sees staged data, main does not
+    assert mgr.read("t", ref="audit").count() == 80
+    assert mgr.read("t").count() == main_before
+    # audit: validate on the branch
+    assert mgr.read("t", ref="audit").filter(F.col("value") < 0).count() == 0
+    # publish: main jumps to the branch head
+    v = mgr.fast_forward("t", "audit")
+    assert mgr.read("t").count() == 80
+    assert mgr._current_version("t") == v
+    # branch lineage is main lineage now
+    main_ids = [s.snapshot_id for s in mgr.snapshots("t").collect()]
+    audit_ids = [s.snapshot_id for s in mgr.snapshots("t", ref="audit").collect()]
+    assert main_ids == audit_ids
+
+
+def test_fast_forward_rejects_divergence(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    mgr.create_branch("t", "b")
+    mgr.append("t", make_events(spark, 10, start=dt.datetime(2024, 5, 1)), ref="b")
+    # main advances independently -> no longer an ancestor of b's head
+    mgr.append("t", make_events(spark, 10, start=dt.datetime(2024, 7, 1)))
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        mgr.fast_forward("t", "b")
+
+
+def test_cherry_pick_single_snapshot(mgr, spark):
+    """Publish ONE of several audited appends onto main."""
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 20))
+    mgr.create_branch("t", "stage")
+    v1 = mgr.append("t", make_events(spark, 5, start=dt.datetime(2024, 5, 1)),
+                    ref="stage")
+    mgr.append("t", make_events(spark, 7, start=dt.datetime(2024, 6, 1)),
+               ref="stage")
+    assert mgr.read("t").count() == 20
+    mgr.cherry_pick("t", v1)
+    assert mgr.read("t").count() == 25  # only v1's 5 rows published
+    # double publish of the same files is rejected
+    with pytest.raises(ValueError, match="conflicts"):
+        mgr.cherry_pick("t", v1)
+
+
+def test_tag_time_travel_and_refs_listing(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    v_small = mgr._current_version("t")
+    mgr.create_tag("t", "v1.0")
+    mgr.append("t", make_events(spark, 10, start=dt.datetime(2024, 8, 1)))
+    assert mgr.read("t", ref="v1.0").count() == 10
+    assert mgr.read("t").count() == 20
+    refs = {(r.ref, r.type, r.snapshot_id) for r in mgr.refs("t").collect()}
+    assert ("v1.0", "tag", v_small) in refs
+    assert ("main", "branch", mgr._current_version("t")) in refs
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create_tag("t", "v1.0")
+
+
+def test_expire_keeps_ref_pinned_snapshots(mgr, spark):
+    """Snapshots reachable from a tag or branch survive expiration; the
+    tagged read still works afterwards."""
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    mgr.create_tag("t", "pin")
+    for i in range(3):
+        mgr.overwrite("t", make_events(spark, 5 + i,
+                                       start=dt.datetime(2024, 9 + i, 1)))
+    out = mgr.expire_snapshots("t", keep_last=1)
+    assert out["snapshots"] > 0
+    # pinned history still readable, unpinned overwrites are gone
+    assert mgr.read("t", ref="pin").count() == 10
+    assert mgr.read("t").count() == 7
