@@ -1,5 +1,5 @@
-"""CSV/JSON sources & sinks — absent from the reference (SURVEY.md §2B),
-part of the complete source surface.
+"""CSV/JSON/ORC/text sources & sinks — absent from the reference
+(SURVEY.md §2B), part of the complete source surface.
 
 Readers are schema-explicit by default: at 100 TB, schema inference on
 text formats means a full extra pass over the data, and silently-wrong
@@ -53,3 +53,26 @@ def read_json(
 
 def write_json(df: DataFrame, path: str, compression: str = "gzip") -> None:
     df.write.option("compression", compression).mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC is self-describing (embedded schema + column stats), so no
+    schema argument: like parquet, predicate pushdown and column pruning
+    apply natively."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.option("compression", compression).mode("overwrite").orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-per-row (or file-per-row with ``whole=True``) raw text —
+    the ingest format of LLM corpus pipelines (one document per line /
+    file before structuring)."""
+    return spark.read.option("wholetext", str(whole).lower()).text(path)
+
+
+def write_text(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """``df`` must be a single string column (Spark text-sink contract)."""
+    df.write.option("compression", compression).mode("overwrite").text(path)

@@ -52,3 +52,28 @@ def test_schemaless_read_requires_opt_in(spark, tmp_path, orders):
         read_csv(spark, p)
     inferred = read_csv(spark, p, infer=True)
     assert inferred.count() == 500
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from iceberg_poc_spark.sources.formats import read_orc, write_orc
+
+    li = load_table(spark, SF_DIR, "lineitem").limit(1000)
+    p = str(tmp_path / "li_orc")
+    write_orc(li, p)
+    back = read_orc(spark, p)
+    assert back.schema == li.schema
+    assert back.count() == 1000
+    # predicate reaches the ORC reader (same gate as parquet scans)
+    plan = back.filter(F.col("l_quantity") > 25)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_text_roundtrip_line_per_doc(spark, tmp_path):
+    from iceberg_poc_spark.sources.formats import read_text, write_text
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").limit(200)
+    p = str(tmp_path / "docs_txt")
+    write_text(docs, p)
+    back = read_text(spark, p)
+    assert back.columns == ["value"]
+    assert _rows(back.select(F.col("value").alias("text"))) == _rows(docs)
