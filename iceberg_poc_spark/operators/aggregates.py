@@ -327,3 +327,37 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
     )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT lang,
+           arg_max(doc_id, n_chars * 100000000 + doc_id) AS longest_doc,
+           arg_min(doc_id, n_chars * 100000000 + doc_id) AS shortest_doc,
+           MAX(n_chars) AS max_chars,
+           MIN(n_chars) AS min_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="max_by/min_by argmax aggregates (DuckDB arg_max/arg_min): the "
+    "longest and shortest document per language in ONE pass, no window or "
+    "self-join. Ties broken deterministically by folding doc_id into the "
+    "ordering key (a composite struct ordering on the Spark side would "
+    "work too, but DuckDB's arg_max needs a scalar — the encoded key is "
+    "the shared form).",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("n_chars") * F.lit(100000000) + F.col("doc_id")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.max_by("doc_id", key).alias("longest_doc"),
+            F.min_by("doc_id", key).alias("shortest_doc"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )

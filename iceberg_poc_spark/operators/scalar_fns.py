@@ -283,3 +283,34 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.p").alias("top_totalprice"),
         )
     )
+
+
+@register(
+    "q_fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,
+           quarter(o_orderdate) AS qtr,
+           weekofyear(o_orderdate) AS iso_week
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+    doc="Calendar arithmetic scalars: add_months (end-of-month clamping, "
+    "matched by DuckDB's month-interval addition), last_day, dayofweek "
+    "(Spark is 1=Sunday, DuckDB 0=Sunday — offset in the oracle), "
+    "quarter, ISO week number. All codegen'd JVM expressions.",
+)
+def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus_quarter"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )

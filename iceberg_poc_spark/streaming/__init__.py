@@ -1,5 +1,6 @@
 from iceberg_poc_spark.streaming.pipelines import (
     dedup_stream,
+    enrich_stream,
     load_events_stream,
     run_to_table,
     session_stream,
@@ -11,5 +12,6 @@ __all__ = [
     "tumbling_stream",
     "session_stream",
     "dedup_stream",
+    "enrich_stream",
     "run_to_table",
 ]

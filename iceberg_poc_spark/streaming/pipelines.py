@@ -200,6 +200,19 @@ def attribution_stream(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static join: enrich each event with a dimension row.
+
+    The static side is broadcast — no state, no watermark needed (unlike
+    stream-stream joins): every micro-batch joins against the CURRENT dim
+    snapshot, which is exactly the semantics a slowly-changing enrichment
+    table wants. At 100 TB/day the dim ships once per executor, the stream
+    never shuffles."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory sink; returns
     after all input is processed (deterministic for tests)."""

@@ -199,3 +199,26 @@ def test_rate_source_events_tumbling(spark):
     run_batches(agg, "rate_agg", n_batches=2, output_mode="update")
     got = spark.table("rate_agg")
     assert {"window_start", "event_type", "n", "sum_value"} <= set(got.columns)
+
+
+def test_stream_static_enrich_equals_batch(spark, events_stream):
+    """Stream-static broadcast join: per-batch join against the static dim,
+    no streaming state; result equals the batch join exactly (inner-ish
+    left: every user_id resolves)."""
+    from iceberg_poc_spark.streaming import enrich_stream
+
+    dim = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = enrich_stream(events_stream, dim).groupBy("c_mktsegment").count()
+    run_to_memory(out, "t_enrich", output_mode="complete")
+    got = {tuple(r) for r in spark.table("t_enrich").collect()}
+    want = {
+        tuple(r)
+        for r in batch_events(spark)
+        .join(F.broadcast(dim), F.col("user_id") == dim.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 1
