@@ -238,3 +238,100 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_tokens"),
         F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_sql()}) AS shingle
+        FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(DISTINCT shingle) AS n_unique,
+           {dround("1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*)", 4)}
+             AS dup_ngram_ratio
+    FROM sh GROUP BY doc_id
+    """,
+    doc="Repetition scoring — the boilerplate/degenerate-text detector of "
+    "corpus prep: per document, the fraction of 3-gram occurrences that "
+    "are repeats (1 - unique/total). Multiset shingles (NO array_distinct "
+    "— repeats are the signal). Map-side partial counts; the single "
+    "distinct aggregate plans as a two-phase agg, no Expand.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    sh = with_words(d).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("shingle").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("shingle").cast("double") / F.count("*"), 4
+        ).alias("dup_ngram_ratio"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct({shingles_sql(k=8)})) AS shingle
+        FROM documents WHERE source = 'src0'
+    ),
+    cand AS (
+        SELECT doc_id, source, unnest(list_distinct({shingles_sql(k=8)})) AS sh
+        FROM documents WHERE source <> 'src0'
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM cand
+        WHERE sh IN (SELECT shingle FROM bench)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Benchmark decontamination — remove training documents that "
+    "overlap the evaluation set (here: source src0 stands in as the "
+    "benchmark): any shared 8-gram (the published LLM-decontamination overlap rule) marks a candidate contaminated. The "
+    "benchmark n-gram set is tiny relative to the corpus, so it "
+    "broadcasts; the candidate side streams through a broadcast LEFT "
+    "SEMI join — at 100 TB the corpus is never shuffled at all.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    bench_sh = (
+        with_words(d.filter(F.col("source") == "src0"))
+        .select(F.explode(F.array_distinct(shingles_col(k=8))).alias("shingle"))
+        .distinct()
+    )
+    cand = d.filter(F.col("source") != "src0")
+    cand_sh = with_words(cand).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(k=8))).alias("sh")
+    )
+    contaminated = (
+        cand_sh.join(
+            F.broadcast(bench_sh), cand_sh.sh == bench_sh.shingle, "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        cand.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )
