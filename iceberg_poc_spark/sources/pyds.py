@@ -1,0 +1,256 @@
+"""Python DataSource (Spark 4) exposing the snapshot table layer through
+``spark.read.format("snaptable")`` / ``readStream.format("snaptable")``.
+
+This is the connector face of :mod:`iceberg_poc_spark.tables.manager` —
+the same integration Iceberg ships as a DataSourceV2 catalog (reference:
+``aig/PartitionValueDebugger.java:118`` reads through the Iceberg table
+API), rebuilt on Spark's Python DataSource API:
+
+- **batch**: time travel (``snapshot``), branches/tags (``ref``), one
+  :class:`InputPartition` per data file (scan parallelism = file count,
+  no mixed-hive-layout pitfalls under partition-spec evolution),
+  manifest-level file pruning driven by Spark's own pushed filters
+  (``pushFilters`` — partition values AND column min/max stats), and
+  schema-evolution-aware file reads (added columns → NULL, renamed
+  columns resolved via former_names, widened types cast up).
+- **streaming**: the table-changes source (≙ Iceberg streaming read):
+  offsets are snapshot versions; each micro-batch plans exactly the files
+  appended in ``(start, end]`` by walking the manifest parent chain —
+  appends only, a non-append snapshot in range fails the stream rather
+  than silently replaying rewritten data.
+
+Everything driver-side is manifest JSON (O(files) metadata, no data I/O);
+executors read single parquet files via Arrow and never see the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from iceberg_poc_spark.tables.manager import (
+    ParquetTableManager,
+    _may_match,
+    _nested_nullable,
+)
+
+_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _mgr(options) -> tuple[ParquetTableManager, str]:
+    warehouse = options.get("warehouse")
+    table = options.get("table")
+    if not warehouse or not table:
+        raise ValueError("snaptable requires options warehouse= and table=")
+    # the manager's metadata methods are pure path/JSON work — no session
+    return ParquetTableManager(None, warehouse), table
+
+
+def _resolve_manifest(options) -> tuple[dict, str]:
+    mgr, table = _mgr(options)
+    snap = options.get("snapshot")
+    v = mgr._resolve(
+        table,
+        snapshot_id=int(snap) if snap is not None else None,
+        ref=options.get("ref"),
+    )
+    return mgr._load_manifest(table, v), mgr._dir(table)
+
+
+def _read_file_as_batches(
+    entry: dict, table_dir: str, schema_json: dict
+) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+    """Read ONE manifest file entry aligned to the current table schema:
+    present columns cast up (widening promotion), renamed columns resolved
+    via former_names, identity-partition columns restored from the hive
+    partition values, evolved-in columns filled with NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = StructType.fromJson(schema_json)
+    target = to_arrow_schema(
+        StructType(
+            [
+                type(f)(f.name, _nested_nullable(f.dataType), True)
+                for f in schema.fields
+            ]
+        ),
+        timestamp_utc=False,
+    )
+    tbl = pq.read_table(os.path.join(table_dir, entry["path"]))
+    n = tbl.num_rows
+    cols = []
+    for f, afield in zip(schema.fields, target):
+        name = f.name
+        source = None
+        if name in tbl.column_names:
+            source = tbl[name]
+        else:
+            for old in f.metadata.get("former_names", []):
+                if old in tbl.column_names:
+                    source = tbl[old]
+                    break
+        if source is None and name in entry["partition"]:
+            raw = unquote(str(entry["partition"][name]))
+            source = pc.cast(pa.array([raw] * n, pa.string()), afield.type)
+        if source is None:
+            source = pa.nulls(n, afield.type)
+        cols.append(pc.cast(source, afield.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
+class SnapTableReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        manifest, table_dir = _resolve_manifest(options)
+        self._table_dir = table_dir
+        self._schema_json = manifest["schema"]
+        self._spec = manifest["spec"]
+        self._files = manifest["files"]
+
+    def pushFilters(self, filters: list[Filter]):
+        """Plan-time file pruning from Spark's own pushed predicates:
+        flat-column comparisons prune via manifest partition values and
+        column min/max stats (same _may_match as the manager's scan). All
+        filters are returned as unsupported so Spark still applies them
+        row-level — pruning only shrinks the file list, it never claims
+        exact evaluation."""
+        where = []
+        for f in filters:
+            op = _OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                where.append((f.attribute[0], op, f.value))
+        if where:
+            spec = ParquetTableManager._spec(None, {"spec": self._spec})
+            self._files = [
+                e for e in self._files if _may_match(spec, e, where)
+            ]
+        return filters
+
+    def partitions(self):
+        return [InputPartition((e, self._table_dir, self._schema_json))
+                for e in self._files]
+
+    def read(self, partition):
+        entry, table_dir, schema_json = partition.value
+        yield from _read_file_as_batches(entry, table_dir, schema_json)
+
+
+class SnapTableStreamReader(DataSourceStreamReader):
+    """Table-changes stream: snapshot versions are the offsets."""
+
+    def __init__(self, options, schema: StructType):
+        self._options = options
+        mgr, table = _mgr(options)
+        self._warehouse = options["warehouse"]
+        self._table = table
+        # lock the read schema at stream start: files appended after a
+        # mid-stream schema evolution still align to what the sink expects
+        self._schema_json = schema.jsonValue()
+        start = options.get("from_snapshot")
+        self._start = (
+            int(start) if start is not None else mgr._current_version(table)
+        )
+
+    def _m(self) -> tuple[ParquetTableManager, str]:
+        return _mgr(self._options)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        mgr, table = self._m()
+        return {"version": mgr._current_version(table)}
+
+    def partitions(self, start: dict, end: dict):
+        mgr, table = self._m()
+        sv, ev = start["version"], end["version"]
+        chain = []
+        v: Any = ev
+        while v is not None and v != sv:
+            m = mgr._load_manifest(table, v)
+            if m["operation"] not in ("append", "create"):
+                raise ValueError(
+                    f"snapshot {v} is {m['operation']!r}: the snaptable "
+                    "stream replays appends only (Iceberg semantics)"
+                )
+            chain.append(m)
+            v = m.get("parent")
+        if v is None:
+            raise ValueError(f"offset {sv} is not an ancestor of {ev}")
+        seen = {e["path"] for e in mgr._load_manifest(table, sv)["files"]}
+        table_dir = mgr._dir(table)
+        out = []
+        for m in reversed(chain):
+            for e in m["files"]:
+                if e["path"] not in seen:
+                    seen.add(e["path"])
+                    out.append(
+                        InputPartition((e, table_dir, self._schema_json))
+                    )
+        return out
+
+    def read(self, partition):
+        entry, table_dir, schema_json = partition.value
+        yield from _read_file_as_batches(entry, table_dir, schema_json)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SnapTableDataSource(DataSource):
+    """``spark.read.format("snaptable").option("warehouse", w)
+    .option("table", t)[.option("snapshot", id) | .option("ref", name)]``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snaptable"
+
+    def schema(self) -> StructType:
+        manifest, _ = _resolve_manifest(self.options)
+        declared = StructType.fromJson(manifest["schema"])
+        # nullable-ized like the manager's read (files predating a schema
+        # evolution legitimately surface NULLs), former_names metadata
+        # stripped — it's internal bookkeeping, not read-schema surface
+        return StructType(
+            [
+                type(f)(f.name, _nested_nullable(f.dataType), True)
+                for f in declared.fields
+            ]
+        )
+
+    def reader(self, schema: StructType) -> SnapTableReader:
+        return SnapTableReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> SnapTableStreamReader:
+        return SnapTableStreamReader(self.options, schema)
+
+
+def register_snaptable(spark) -> None:
+    # runtime SQL conf: without it Spark refuses a reader that implements
+    # pushFilters (the manifest pruning would silently not happen)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapTableDataSource)

@@ -1,0 +1,120 @@
+"""Python DataSource ("snaptable") over the snapshot table layer: batch
+reads (time travel, refs, schema evolution, pushdown pruning) and the
+table-changes stream must match the manager's own read paths."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+from iceberg_poc_spark.sources.pyds import (
+    SnapTableReader,
+    register_snaptable,
+)
+from iceberg_poc_spark.tables import ParquetTableManager, identity
+from tests.test_table_manager import EVENTS_SCHEMA, make_events
+
+
+@pytest.fixture
+def mgr(spark, tmp_path):
+    register_snaptable(spark)
+    return ParquetTableManager(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+def _load(spark, mgr, table, **opts):
+    r = (
+        spark.read.format("snaptable")
+        .option("warehouse", mgr.warehouse)
+        .option("table", table)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_matches_manager(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 80))
+    got = _load(spark, mgr, "t")
+    assert got.schema == mgr.read("t").schema
+    assert _rows(got) == _rows(mgr.read("t"))
+
+
+def test_time_travel_and_ref_options(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA)
+    v1 = mgr.append("t", make_events(spark, 10))
+    mgr.create_tag("t", "first")
+    mgr.create_branch("t", "b")
+    mgr.append("t", make_events(spark, 5, start=dt.datetime(2024, 6, 1)), ref="b")
+    mgr.append("t", make_events(spark, 20, start=dt.datetime(2024, 7, 1)))
+    assert _load(spark, mgr, "t").count() == 30
+    assert _load(spark, mgr, "t", snapshot=v1).count() == 10
+    assert _load(spark, mgr, "t", ref="first").count() == 10
+    assert _load(spark, mgr, "t", ref="b").count() == 15
+
+
+def test_schema_evolution_alignment(mgr, spark):
+    """Files from before add/rename/widen read correctly through the
+    Python source: NULL fill, former-name resolution, widening cast."""
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    mgr.add_column("t", "note", "string")
+    mgr.rename_column("t", "service_id", "svc")
+    mgr.widen_column("t", "tenant_id", "long")
+    mgr.append(
+        "t",
+        mgr.read("t").limit(3).withColumn("note", F.lit("x")),
+    )
+    want = mgr.read("t")
+    got = _load(spark, mgr, "t")
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+def test_pushdown_prunes_files(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 100, tenants=4))
+    # engine-level check: Spark's pushed filter shrinks the planned files
+    reader = SnapTableReader(
+        {"warehouse": mgr.warehouse, "table": "t"}, EVENTS_SCHEMA
+    )
+    n_all = len(reader.partitions())
+    leftover = reader.pushFilters([EqualTo(("tenant_id",), 2)])
+    assert list(leftover)  # everything handed back for row-level apply
+    assert len(reader.partitions()) < n_all
+    # end-to-end: filtered read equals the manager's scan
+    got = _load(spark, mgr, "t").filter(F.col("tenant_id") == 2)
+    assert _rows(got) == _rows(mgr.read("t").filter(F.col("tenant_id") == 2))
+    # min/max stats prune too (value is monotone in the fixture)
+    r2 = SnapTableReader({"warehouse": mgr.warehouse, "table": "t"}, EVENTS_SCHEMA)
+    r2.pushFilters([GreaterThanOrEqual(("value",), 10**9)])
+    assert len(r2.partitions()) == 0
+
+
+def test_stream_replays_appends_only(mgr, spark, tmp_path):
+    mgr.create_table("t", EVENTS_SCHEMA)
+    v0 = mgr._current_version("t")
+    mgr.append("t", make_events(spark, 12))
+    mgr.append("t", make_events(spark, 8, start=dt.datetime(2024, 6, 1)))
+    q = (
+        spark.readStream.format("snaptable")
+        .option("warehouse", mgr.warehouse)
+        .option("table", "t")
+        .option("from_snapshot", v0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_changes")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.table("t_changes")) == _rows(mgr.read("t"))
+    assert spark.table("t_changes").count() == 20
