@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
 
@@ -138,4 +139,86 @@ def q_stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             (F.max("us") - F.min("us")).alias("duration_us"),
         )
+    )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+                            AND e.ts >= v.t_view
+                            AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+                            AND e.ts >= c.t_click
+                            AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           {dround("CAST((SELECT COUNT(*) FROM p) AS DOUBLE)"
+                   " / (SELECT COUNT(*) FROM v)", 4)} AS conversion
+    """,
+    doc="Ordered funnel (view -> click -> purchase): users who clicked "
+    "within 24 h of their first view, then purchased within 24 h of that "
+    "first qualified click. The engine computes all three stages in ONE scan "
+    "and one per-user sort — chained running-min windows with a RANGE "
+    "frame (equal-timestamp peers included, so the result is independent "
+    "of tie order) — where the oracle keeps the textbook three-join "
+    "staging. Different formulations, same numbers: the point of the "
+    "differential check. At 100 TB the window form shuffles events once; "
+    "the join form scans them three times.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    day = F.expr("INTERVAL 24 HOURS")
+    staged = ev.withColumn("t_view", first_view).withColumn(
+        "t_click_q",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("t_view").isNotNull()
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull().cast("int")).alias("reached_view"),
+        F.max(F.col("t_click_q").isNotNull().cast("int")).alias("reached_click"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("t_click_q").isNotNull()
+                & (F.col("ts") >= F.col("t_click_q"))
+                & (F.col("ts") <= F.col("t_click_q") + day)
+            ).cast("int")
+        ).alias("reached_purchase"),
+    )
+    return per_user.agg(
+        F.sum("reached_view").alias("n_view"),
+        F.sum("reached_click").alias("n_click"),
+        F.sum("reached_purchase").alias("n_purchase"),
+        F.round(
+            F.sum("reached_purchase").cast("double") / F.sum("reached_view"), 4
+        ).alias("conversion"),
     )
