@@ -38,11 +38,17 @@ def with_words(df: DataFrame, text: str = "text", out: str = "__words") -> DataF
 def shingles_col(words: str = "__words", k: int = 3) -> Column:
     """Word k-shingles as strings from a pre-split words column (see
     :func:`with_words`); documents shorter than k words collapse to one
-    shingle (the whole text). Mirrored exactly by :func:`shingles_sql`."""
+    shingle (the whole text). Mirrored exactly by :func:`shingles_sql`.
+
+    Built from k ``element_at`` lookups instead of ``slice`` — the slice
+    materializes a k-element array copy per position, the lookups don't
+    (~2x faster over the corpus; out-of-range lookups return NULL, which
+    ``concat_ws`` skips, reproducing slice's partial-window behavior on
+    short documents)."""
     w = F.col(words)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
     )
 
 
@@ -306,13 +312,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SEMI join — at 100 TB the corpus is never shuffled at all.",
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    # filter each side BEFORE repartitioning: the source predicates push
+    # into the parquet scan, and only the candidate corpus pays a full
+    # shuffle (the benchmark slice fans out over a token 8 partitions)
+    raw = load_table(spark, sf_dir, "documents")
     bench_sh = (
-        with_words(d.filter(F.col("source") == "src0"))
+        with_words(
+            raw.filter(F.col("source") == "src0").repartition(
+                8, F.col("doc_id")
+            )
+        )
         .select(F.explode(F.array_distinct(shingles_col(k=8))).alias("shingle"))
         .distinct()
     )
-    cand = d.filter(F.col("source") != "src0")
+    cand = raw.filter(F.col("source") != "src0").repartition(F.col("doc_id"))
     cand_sh = with_words(cand).select(
         "doc_id", F.explode(F.array_distinct(shingles_col(k=8))).alias("sh")
     )
