@@ -636,3 +636,41 @@ def test_expire_keeps_ref_pinned_snapshots(mgr, spark):
     # pinned history still readable, unpinned overwrites are gone
     assert mgr.read("t", ref="pin").count() == 10
     assert mgr.read("t").count() == 7
+
+
+def test_concurrent_branch_appends_lose_no_files(mgr, spark):
+    """The per-ref head CAS holds under contention on a BRANCH (not just
+    main), and racing commits to different branches never cross-pollinate
+    lineages."""
+    import threading
+
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    mgr.create_branch("t", "a")
+    mgr.create_branch("t", "b")
+    errs = []
+
+    def do_append(ref, df):
+        try:
+            mgr.append("t", df, ref=ref)
+        except Exception as e:
+            errs.append(e)
+
+    jobs = [
+        ("a", make_events(spark, 20, start=dt.datetime(2025, 1, 1))),
+        ("a", make_events(spark, 30, start=dt.datetime(2025, 2, 1))),
+        ("b", make_events(spark, 40, start=dt.datetime(2025, 3, 1))),
+        ("b", make_events(spark, 50, start=dt.datetime(2025, 4, 1))),
+    ]
+    threads = [threading.Thread(target=do_append, args=j) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # each branch has the base 10 plus exactly its own appends
+    assert mgr.read("t", ref="a").count() == 10 + 20 + 30
+    assert mgr.read("t", ref="b").count() == 10 + 40 + 50
+    assert mgr.read("t").count() == 10  # main untouched
+    ops_a = [s.operation for s in mgr.snapshots("t", ref="a").collect()]
+    assert ops_a.count("append") == 3  # base + 2 branch appends
