@@ -314,3 +314,32 @@ def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("qtr"),
         F.weekofyear("o_orderdate").alias("iso_week"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) < 10
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="VariantType (Spark 4): parse_json once into the binary "
+    "semi-structured encoding, then typed path extraction with "
+    "variant_get — the scale answer to get_json_object re-parsing the "
+    "string on every access (q_fn_json shows that form). The oracle is "
+    "DuckDB's json_extract over the same paths.",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .filter(F.col("k") < 10)
+        .groupBy("k", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k", "event_type")
+    )
