@@ -177,6 +177,16 @@ def test_tpch_q14_pushes_shipdate(spark):
     assert "l_shipdate" in pf
 
 
+def test_funnel_one_scan_one_window_shuffle(spark):
+    """The chained running-min windows share one partitioning (user_id):
+    ONE events scan, both Window nodes fed by the same exchange, plus the
+    final single-row aggregation exchange — 2 exchanges total. The
+    three-join oracle formulation would scan events three times."""
+    plan = explain_str(Q["q_funnel_conversion"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
 def test_sampling_no_shuffle_before_report(spark):
     """Split/stratify membership is a map-side expression: exactly one
     shuffle (the report aggregation) in the whole plan."""
