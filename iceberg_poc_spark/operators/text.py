@@ -40,15 +40,20 @@ def shingles_col(words: str = "__words", k: int = 3) -> Column:
     :func:`with_words`); documents shorter than k words collapse to one
     shingle (the whole text). Mirrored exactly by :func:`shingles_sql`.
 
-    Built from k ``element_at`` lookups instead of ``slice`` — the slice
-    materializes a k-element array copy per position, the lookups don't
-    (~2x faster over the corpus; out-of-range lookups return NULL, which
-    ``concat_ws`` skips, reproducing slice's partial-window behavior on
-    short documents)."""
+    Built from k ``try_element_at`` lookups instead of ``slice`` — the
+    slice materializes a k-element array copy per position, the lookups
+    don't (~2x faster over the corpus). ``try_element_at``, not
+    ``element_at``: short documents index past the end, which ANSI mode
+    (Spark 4 default) turns into a runtime error for the plain form;
+    the try_ form yields NULL, which ``concat_ws`` skips, reproducing
+    slice's partial-window behavior (caught by the differential fuzz in
+    tests/test_text_properties.py)."""
     w = F.col(words)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(k)]
+        ),
     )
 
 
