@@ -69,3 +69,30 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+@register(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated table subquery with per-row ORDER BY ... "
+    "LIMIT (top-2 orders for each high-balance customer) — the SQL-2016 "
+    "form of per-group top-k. Catalyst decorrelates it to a ranked join "
+    "rather than re-running the inner query per row; DuckDB runs the "
+    "IDENTICAL statement as the oracle.",
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_LATERAL_SQL)

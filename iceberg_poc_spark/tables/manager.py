@@ -741,6 +741,62 @@ class ParquetTableManager:
 
         return self._commit(name, m, rebase=rebase, ref=ref)
 
+    def overwrite_partitions(self, name: str, df: DataFrame) -> int:
+        """Dynamic partition overwrite (≙ Iceberg's dynamic ``overwrite``
+        / Spark ``partitionOverwriteMode=dynamic``): atomically replace
+        EXACTLY the partitions the new data touches; every other
+        partition keeps its files untouched. The idempotent-backfill
+        primitive — re-running a day's job replaces that day, never
+        truncates the table.
+
+        Concurrency: rebases over commits that only touched OTHER
+        partitions; a concurrent commit that added files into a partition
+        being replaced aborts (its rows would be silently dropped —
+        Iceberg's validation semantics)."""
+        m = self._load_manifest(name)
+        spec = self._spec(m)
+        if not spec:
+            raise ValueError(
+                "dynamic partition overwrite needs a partitioned table "
+                "(use overwrite for full replacement)"
+            )
+        schema_cols = [f.name for f in self.schema(name).fields]
+        aligned = df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in schema_cols
+            ]
+        )
+        new_files = self._write_files(name, aligned, spec)
+        touched = {tuple(sorted(e["partition"].items())) for e in new_files}
+        base_files_in_touched = {
+            e["path"]
+            for e in m["files"]
+            if tuple(sorted(e["partition"].items())) in touched
+        }
+
+        def apply(base: dict) -> dict:
+            for e in base["files"]:
+                if (
+                    tuple(sorted(e["partition"].items())) in touched
+                    and e["path"] not in base_files_in_touched
+                ):
+                    raise RuntimeError(
+                        "concurrent commit added files into a partition "
+                        "being overwritten; aborting"
+                    )
+            out = dict(base)
+            out["files"] = [
+                e
+                for e in base["files"]
+                if tuple(sorted(e["partition"].items())) not in touched
+            ] + new_files
+            out["operation"] = "overwrite-partitions"
+            out["parent"] = base["version"]
+            return out
+
+        return self._commit(name, apply(m), rebase=apply)
+
     def overwrite(self, name: str, df: DataFrame) -> int:
         m = self._load_manifest(name)
         new_files = self._write_files(name, df, self._spec(m))

@@ -674,3 +674,34 @@ def test_concurrent_branch_appends_lose_no_files(mgr, spark):
     assert mgr.read("t").count() == 10  # main untouched
     ops_a = [s.operation for s in mgr.snapshots("t", ref="a").collect()]
     assert ops_a.count("append") == 3  # base + 2 branch appends
+
+
+def test_dynamic_partition_overwrite(mgr, spark):
+    """overwrite_partitions replaces exactly the touched partitions;
+    untouched partitions keep their exact files, history time-travels."""
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 80, tenants=4))  # tenants 0-3
+    v1 = mgr._current_version("t")
+    before = {r.path for r in mgr.files("t").collect()}
+    untouched_before = {p for p in before if "tenant_id=1" not in p}
+
+    # backfill tenant 1 only: 5 rows replacing its 20
+    repl = make_events(spark, 5, tenants=1, start=dt.datetime(2030, 1, 1)).withColumn(
+        "tenant_id", F.col("tenant_id") + 1
+    )
+    mgr.overwrite_partitions("t", repl)
+
+    got = mgr.read("t")
+    assert got.filter(F.col("tenant_id") == 1).count() == 5
+    assert got.filter(F.col("tenant_id") != 1).count() == 60
+    after = {r.path for r in mgr.files("t").collect()}
+    assert untouched_before <= after  # other partitions byte-identical
+    assert not (before - untouched_before) & after  # old tenant-1 files gone
+    # time travel still sees the old tenant-1 rows
+    assert mgr.read("t", snapshot_id=v1).filter(F.col("tenant_id") == 1).count() == 20
+    ops = [s.operation for s in mgr.snapshots("t").collect()]
+    assert ops[-1] == "overwrite-partitions"
+    # unpartitioned table refuses
+    mgr.create_table("u", EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="partitioned"):
+        mgr.overwrite_partitions("u", make_events(spark, 5))
