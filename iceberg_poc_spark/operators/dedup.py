@@ -219,6 +219,119 @@ _registry.REGISTRY["q_dedup_near"] = _registry.Query(
 )
 
 
+def _clusters_oracle() -> str:
+    """Connected components of the near-dup pair graph as a recursive-CTE
+    transitive closure (tractable at oracle scale; the engine runs the
+    scalable label-propagation loop instead)."""
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+    )
+    ctes = _minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {ctes},
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b
+        WHERE ROUND(({match_sum}) / {float(N_HASHES)}, 4)
+              >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
+    SELECT n.doc_id, LEAST(n.doc_id, MIN(r.b)) AS cluster_root
+    FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+    GROUP BY n.doc_id
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=None,  # late-bound below (_clusters_oracle)
+    doc="Near-duplicate CLUSTERS from the MinHash-LSH pair graph — the "
+    "step real dedup needs after pairwise detection: connected "
+    "components, each labeled by its minimum doc_id (the keeper). The "
+    "engine runs distributed min-label propagation — O(component "
+    "diameter) joined-aggregate rounds with lineage truncated per round "
+    "(localCheckpoint here; a checkpoint dir on a cluster), the "
+    "GraphX/Pregel pattern without the GraphX dependency. The oracle "
+    "computes the same components as a recursive-CTE transitive closure "
+    "— fine at oracle scale, quadratic blowup at engine scale, which is "
+    "exactly why the engine path iterates instead.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize map-side (explode both directions) — a union of the
+    # pairs plan with its swap would run the whole LSH pipeline twice.
+    # Then shrink the partitioning: the pair graph is orders of magnitude
+    # smaller than the corpus, so each propagation round should cost
+    # job-launch time, not 32 near-empty tasks. repartition, NOT coalesce
+    # — coalesce would collapse the upstream minhash pipeline to 4 tasks.
+    # On a trillion-edge graph, raise this to cluster scale — the loop
+    # itself is the standard Pregel shape either way.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .repartition(4)
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    # min-propagation decreases the label multiset monotonically, so the
+    # label SUM is a fixpoint witness: one single-row action per round
+    # instead of a join + count.
+    prev_sum = None
+    for _ in range(20):  # bound >> diameter of any near-dup component
+        nb = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.doc_id == nb.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_root"))
+
+
+_qc = _registry.REGISTRY["q_dedup_clusters"]
+_registry.REGISTRY["q_dedup_clusters"] = _registry.Query(
+    name=_qc.name, fn=_qc.fn, oracle=_clusters_oracle(), doc=_qc.doc
+)
+
+
 # ------------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 16
