@@ -120,3 +120,64 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVF_TOP_K)
         .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
     )
+
+
+KNN_K = 3
+KNN_STRIDE = 50  # queries = every 50th vector
+
+
+@register(
+    "q_sim_knn_join",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qemb
+        FROM embeddings WHERE vec_id % {KNN_STRIDE} = 0
+    ),
+    s AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qemb AS DOUBLE[])) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id
+               ) AS rn
+        FROM s
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(sim, 4) AS cos_sim
+    FROM r WHERE rn <= {KNN_K}
+    """,
+    doc="k-NN JOIN: top-3 cosine neighbors for EVERY query vector at once "
+    "(queries = every 50th vector) — the batch shape behind hard-negative "
+    "mining and embedding-dedup candidate generation, vs q_sim_topk's "
+    "single-query probe. The query side broadcasts; the corpus streams "
+    "through one scan and ranks per query with a window. At 100 TB the "
+    "corpus side stays put (never shuffled before ranking) and the probe "
+    "batch rides the broadcast, or flips to the IVF cell-join path when "
+    "the batch outgrows broadcast size.",
+)
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("qemb"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_raw").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(q), emb.vec_id != q.q_id)
+        .select("q_id", "vec_id", sim.alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim_raw", 4).alias("cos_sim"),
+        )
+    )
