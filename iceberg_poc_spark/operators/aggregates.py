@@ -361,3 +361,31 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bool_and(o_totalprice > 1000)   AS INT) AS all_over_1k,
+           CAST(bool_or(o_orderstatus = 'F')    AS INT) AS any_final,
+           count_if(o_totalprice > 200000)             AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Boolean aggregates: every/bool_and, any/bool_or, count_if — "
+    "emitted as ints so both engines stringify identically. All "
+    "map-side-combinable single-pass aggregates.",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+            F.some(F.col("o_orderstatus") == "F").cast("int").alias("any_final"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -85,3 +85,27 @@ def test_rows_only_queries_run(spark, name):
     sdf = q.fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.schema) > 0
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """q_agg_approx is rows-only vs the oracle (HLL sketches are
+    engine-specific) — bound its accuracy instead: HLL++ at default
+    precision must land within 5% relative error of the exact distinct
+    count per group."""
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_agg_approx"].fn(spark, SF_DIR).collect()
+    }
+    from iceberg_poc_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, approx in got.items():
+        assert abs(approx - exact[k]) / exact[k] <= 0.05, (k, approx, exact[k])
