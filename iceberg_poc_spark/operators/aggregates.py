@@ -369,7 +369,7 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(bool_and(o_totalprice > 1000)   AS INT) AS all_over_1k,
            CAST(bool_or(o_orderstatus = 'F')    AS INT) AS any_final,
-           count_if(o_totalprice > 200000)             AS n_big
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

@@ -15,9 +15,9 @@ surface, SURVEY.md §2C).
 
 Scale notes: all decisions are per-row map-side expressions (no shuffle
 to decide membership); the only shuffles are the final reporting
-aggregations. Packing uses a running sum over a deterministic order —
-global here for oracle parity, per-shard (``partitionBy(shard)``) at
-100 TB so no single-partition window appears.
+aggregations. Packing uses a running sum over a deterministic order,
+partitioned per-shard (``partitionBy(shard)``) so no single-partition
+global window ever appears in the plan.
 """
 
 from __future__ import annotations
@@ -54,7 +54,7 @@ def _u32_hex(col, salt: str):
              ELSE 'test'
            END AS split,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
     FROM documents
     GROUP BY 1 ORDER BY 1
     """,
@@ -86,9 +86,9 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           CAST(SUM(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
                     < (CASE WHEN lang = 'en' THEN '{EN_KEEP_HEX}' ELSE 'g' END)
-               THEN 1 ELSE 0 END) AS n_kept
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents
     GROUP BY lang ORDER BY lang
     """,
@@ -114,38 +114,53 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_sequences",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents
     ),
     c AS (
-        SELECT doc_id, tokens,
-               SUM(tokens) OVER (ORDER BY doc_id
+        SELECT shard, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - tokens AS start_offset
         FROM t
     )
-    SELECT CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+    SELECT shard,
+           CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(tokens) AS pack_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
-    FROM c GROUP BY 1 ORDER BY 1
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    doc=f"Context-window sequence packing: documents in deterministic "
-    f"doc_id order fill {PACK_BUDGET}-token windows; a doc belongs to the "
-    f"window its start offset falls in (docs may straddle — the "
-    f"concat-then-chunk packing used for LLM pretraining batches). The "
-    f"running sum is a single window cumsum; at 100 TB partition it by "
-    f"shard = md5-prefix of doc_id so no global single-partition window "
-    f"exists.",
+    doc=f"Context-window sequence packing: within each shard (md5-prefix "
+    f"of doc_id, 16-way), documents in deterministic doc_id order fill "
+    f"{PACK_BUDGET}-token windows; a doc belongs to the window its start "
+    f"offset falls in (docs may straddle — the concat-then-chunk packing "
+    f"used for LLM pretraining batches). The cumsum window partitions by "
+    f"shard, so the plan has NO single-partition global window — each "
+    f"shard's running sum is independent and the shard count scales with "
+    f"the cluster (use more hex chars at 100 TB).",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.size(F.split("text", " ")).alias("tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     c = t.withColumn("start_offset", F.sum("tokens").over(w) - F.col("tokens"))
     return (
         c.groupBy(
-            (F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("pack_id")
+            "shard",
+            (F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("pack_id"),
         )
         .agg(
             F.count("*").alias("n_docs"),
@@ -153,7 +168,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("pack_id")
+        .orderBy("shard", "pack_id")
     )
 
 

@@ -216,7 +216,7 @@ MIN_UNIQUE_RATIO = 0.3
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_words) AS total_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
            {dround('AVG(length(text))', 2)} AS avg_chars
     FROM kept
     GROUP BY lang
@@ -302,8 +302,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
     FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
     WHERE d.source <> 'src0'
     GROUP BY d.source
