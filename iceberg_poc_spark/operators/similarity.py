@@ -153,31 +153,80 @@ KNN_STRIDE = 50  # queries = every 50th vector
     doc="k-NN JOIN: top-3 cosine neighbors for EVERY query vector at once "
     "(queries = every 50th vector) — the batch shape behind hard-negative "
     "mining and embedding-dedup candidate generation, vs q_sim_topk's "
-    "single-query probe. The query side broadcasts; the corpus streams "
-    "through one scan and ranks per query with a window. At 100 TB the "
-    "corpus side stays put (never shuffled before ranking) and the probe "
-    "batch rides the broadcast, or flips to the IVF cell-join path when "
-    "the batch outgrows broadcast size.",
+    "single-query probe. The probe batch (bounded by construction: it is "
+    "the operator's input, like q_sim_topk's single query vector) ships "
+    "to every task as a broadcast variable; ONE corpus scan streams "
+    "through an Arrow mapInPandas kernel that scores each batch against "
+    "all probes with a single float64 GEMM and emits only its LOCAL "
+    "top-k per probe. The global merge then aggregates at most "
+    "k * probes * batches candidate rows — the n*m scored pairs never "
+    "leave their task (the r1 window formulation shuffled and sorted all "
+    "of them). When the probe batch outgrows broadcast size, flip to the "
+    "IVF cell-join path (q_sim_ann_ivf's cells as the join key).",
 )
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # tiny bounded collect: the probe batch IS the query input (n/50 ids);
+    # it rides a broadcast variable into the scoring kernel
+    probe_rows = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).collect()
+    q_ids = np.array([r.vec_id for r in probe_rows], dtype="int64")
+    q_mat = np.array([r.embedding for r in probe_rows], dtype="float64")
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    k = KNN_K
+
+    def score_batches(batches):
+        import pandas as pd
+
+        ids, qm, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            sims = (x @ qm.T) / (xn[:, None] * qn[None, :])
+            sims[vec_ids[:, None] == ids[None, :]] = -np.inf  # self-match
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                # exact (sim DESC, vec_id ASC) local top-k
+                order = np.lexsort((vec_ids, -col))[:k]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), ids[j], dtype="int64"))
+                out_n.append(vec_ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    local_topk = emb.mapInPandas(
+        score_batches, "q_id long, neighbor_id long, sim double"
     )
-    sim = cosine_similarity(F.col("embedding"), F.col("qemb"))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("sim_raw").desc(), F.col("vec_id")
+    # merge: sort ascending on (-sim, neighbor_id) == (sim DESC, vec_id ASC)
+    merged = local_topk.groupBy("q_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("sim")).alias("neg_sim"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
     )
-    return (
-        emb.join(F.broadcast(q), emb.vec_id != q.q_id)
-        .select("q_id", "vec_id", sim.alias("sim_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("sim_raw", 4).alias("cos_sim"),
-        )
+    hit = F.explode("top").alias("hit")
+    return merged.select("q_id", hit).select(
+        "q_id",
+        F.col("hit.neighbor_id").alias("neighbor_id"),
+        F.round(-F.col("hit.neg_sim"), 4).alias("cos_sim"),
     )

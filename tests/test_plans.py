@@ -200,3 +200,24 @@ def test_sampling_no_shuffle_before_report(spark):
 def test_pack_sequences_reads_two_columns(spark):
     cols = set(read_schema_columns(Q["q_pack_sequences"].fn(spark, SF_DIR)))
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The cumsum window partitions by shard: the plan must contain no
+    single-partition (empty partitionBy) window — the scale-killer the
+    r1 formulation carried."""
+    plan = explain_str(Q["q_pack_sequences"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # an unpartitioned window plans as Exchange SinglePartition feeding it
+    assert "SinglePartition" not in plan, plan
+
+
+def test_knn_join_no_pair_shuffle(spark):
+    """k-NN join: the n*m scored pairs must never cross an exchange. The
+    kernel emits only local top-k per probe per batch; the plan is ONE
+    corpus scan, no Window over pairs, and only the tiny merge + result
+    exchanges."""
+    plan = explain_str(Q["q_sim_knn_join"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
