@@ -55,17 +55,45 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver captures only the LAST 2000 chars of stdout; a dict of
+    # all ~109 queries is ~2.4k and gets its head truncated, leaving the
+    # recorded line unparseable (BENCH_r01/r02 both hit this). So: the
+    # full per-query map goes to BENCH_FULL.json (committed, mechanical
+    # round-over-round deltas), and the stdout line carries the slowest
+    # queries — every error (-1.0) first, then descending time — trimmed
+    # to fit the capture window with slack for stray preceding output.
+    with open(os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    by_cost = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n]))
+    head = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    for name in by_cost:
+        head["queries"][name] = timings[name]
+        if len(json.dumps(head, separators=(",", ":"))) > 1700:
+            del head["queries"][name]
+            break
+    print(json.dumps(head, separators=(",", ":")))
     spark.stop()
 
 

@@ -113,3 +113,45 @@ class TenantKMSRouter:
             "fs.s3a.encryption.algorithm": "SSE-KMS",
             "fs.s3a.encryption.key": self.key_for(tenant),
         }
+
+
+def write_per_tenant(
+    df,
+    router: TenantKMSRouter,
+    base_path: str,
+    tenant_col: str = "tenant_id",
+    fmt: str = "parquet",
+) -> dict[str, dict]:
+    """Executable per-tenant write routing — the Spark analogue of the
+    reference's ``HiddenPartitionLoaderWithKMS.java:52-64,194-207`` (one
+    ``S3FileIO`` per tenant; hand-built ``tenants=<t>/...`` key layout).
+
+    Encryption context is a FILE-level property, so tenants cannot share
+    a write: each tenant's slice goes through its own writer carrying its
+    own SSE-KMS options, landing under ``<base>/tenants=<t>/``. The
+    distinct-tenant list is driver-side by design — it is partition-value
+    planning (the Iceberg-manifest analogue), bounded by tenant count,
+    never by data size. On local/test filesystems the S3A encryption
+    options are inert passthroughs, which is exactly what lets the
+    routing logic be asserted offline.
+
+    Returns a manifest {tenant: {"path": ..., "options": ...}} so callers
+    (and tests) can audit which key each write was issued under.
+    """
+    from pyspark.sql import functions as F
+
+    tenants = [r[0] for r in df.select(tenant_col).distinct().collect()]
+    manifest: dict[str, dict] = {}
+    for t in sorted(tenants):
+        opts = router.write_options(str(t))
+        path = f"{base_path}/tenants={t}"
+        (
+            df.filter(F.col(tenant_col) == t)
+            .drop(tenant_col)  # hive-style: the key carries the value
+            .write.options(**opts)
+            .format(fmt)
+            .mode("overwrite")
+            .save(path)
+        )
+        manifest[str(t)] = {"path": path, "options": opts}
+    return manifest

@@ -98,6 +98,37 @@ def test_tenant_kms_routing():
     assert r.write_options("t1")["fs.s3a.encryption.algorithm"] == "SSE-KMS"
 
 
+def test_write_per_tenant_routes_keys_and_layout(spark, tmp_path):
+    """Executable KMS routing (≙ HiddenPartitionLoaderWithKMS): every
+    tenant's slice is written by its own writer under its own key, lands
+    in its own tenants=<t>/ prefix, and the union roundtrips."""
+    from iceberg_poc_spark.sources.aws import write_per_tenant
+
+    df = spark.range(300).select(
+        (F.col("id") % 3 + 1001).cast("int").alias("tenant_id"),
+        F.col("id").alias("v"),
+    )
+    router = TenantKMSRouter(
+        {"1001": "alias/t1001", "1002": "alias/t1002"},
+        default_alias="alias/dflt",
+    )
+    manifest = write_per_tenant(df, router, str(tmp_path / "events"))
+    assert set(manifest) == {"1001", "1002", "1003"}
+    # per-tenant key selection on the write path; unmapped tenant -> default
+    assert manifest["1001"]["options"]["fs.s3a.encryption.key"] == "alias/t1001"
+    assert manifest["1002"]["options"]["fs.s3a.encryption.key"] == "alias/t1002"
+    assert manifest["1003"]["options"]["fs.s3a.encryption.key"] == "alias/dflt"
+    for t, m in manifest.items():
+        back = spark.read.parquet(m["path"])
+        assert back.count() == 100
+        assert "tenant_id" not in back.columns  # hive key carries the value
+    # the hive-layout union reconstructs the original slice counts
+    allb = spark.read.option("basePath", str(tmp_path / "events")).parquet(
+        str(tmp_path / "events/tenants=*")
+    )
+    assert allb.count() == 300
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting is semantics-free: heavily skewed key distribution, salted
     result == plain join result."""

@@ -1,17 +1,19 @@
-"""Multimodal plumbing: payload convention, decode metadata, feature
-extraction, resize, frame sampling — schemas, batch shapes and size
-invariants are real even though the media decode itself is stubbed."""
+"""Multimodal plumbing: payload convention, real toy-codec roundtrip
+(PPM/BMP/WAV), feature extraction, resize, frame sampling."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.operators.multimodal import (
     FEATURE_DIM,
     attach_payload,
-    decode_media_stub,
+    decode_media,
+    encode_media,
     extract_features,
+    media_dims,
     resize_media,
     sample_frames,
 )
@@ -32,9 +34,28 @@ def test_payload_convention(payloads):
     assert meta.byte_len > 0 and meta.content_type == "application/octet-stream"
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_media_stub(b"\x89PNG...")
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 7, 30, 31, 32, 100, 997, 998, 12345])
+def test_codec_roundtrip(doc_id):
+    """encode -> decode recovers the generator's ground truth from the
+    parsed container alone (dims from headers, stats from payload)."""
+    kind, w, h = media_dims(doc_id)
+    m = decode_media(encode_media(doc_id))
+    assert (m["kind"], m["width"], m["height"]) == (kind, w, h)
+    n = w if kind == "wav" else w * h * 3
+    expect = ((doc_id + np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    got = np.asarray(m["samples"]).reshape(-1)
+    assert got.shape == expect.shape
+    # BMP rows come back bottom-up; the byte multiset is order-invariant
+    assert np.array_equal(np.sort(got), np.sort(expect))
+    # mean must be exactly the closed-form mean the oracle computes
+    assert np.asarray(m["samples"], dtype=np.float64).mean() == expect.astype(
+        np.float64
+    ).mean()
+
+
+def test_decode_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_extract_features_fixed_dim_normalized(payloads):
