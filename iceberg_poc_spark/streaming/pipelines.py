@@ -29,27 +29,32 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from iceberg_poc_spark.tables.manager import ParquetTableManager
 
-# Physical schema of events.parquet with ts as raw nanos (see
-# sources/tables.py: TIMESTAMP(NANOS) reads as long).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
 
 
 def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source readStream over events parquet; ns -> timestamp exactly
-    like the batch loader so stream/batch twins agree byte-for-byte.
+    """File-source readStream over events parquet, normalizing ``ts`` to a
+    timestamp exactly like the batch loader so stream/batch twins agree
+    byte-for-byte. The generator's physical ts type has varied across
+    corpus versions (TIMESTAMP(NANOS) -> long under nanosAsLong vs
+    timestamp[us] -> native), so peek at the footer with a batch read and
+    adapt — the same defensive typing sources/tables.py applies.
 
     The file source needs a directory (new files appearing there become
     stream input); a single-file path is wrapped in a symlinked temp dir.
@@ -61,12 +66,20 @@ def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, LongType
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(LongType() if ts_is_long else TimestampType())
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:  # raw epoch-nanos: truncate to micros (integer div —
+        # double math would lose precision at ~1.7e18 magnitudes)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
