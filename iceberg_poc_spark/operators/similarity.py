@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.functions.vectors import (
     cosine_similarity,
     sign_bucket,
@@ -229,4 +230,79 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         F.col("hit.neighbor_id").alias("neighbor_id"),
         F.round(-F.col("hit.neg_sim"), 4).alias("cos_sim"),
+    )
+
+
+QUANT_LEVELS = 127  # symmetric int8
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / {QUANT_LEVELS} AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> floor(x / nullif(scale, 0) + 0.5)) AS qv,
+               e
+        FROM s
+    )
+    SELECT vec_id,
+           {dround("scale", 6)} AS scale,
+           CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT)
+             AS q_checksum,
+           {dround(
+        "list_max(list_transform(range(1, len(e) + 1),"
+        " i -> abs(e[i] - qv[i] * scale)))",
+        6,
+    )} AS max_abs_err
+    FROM q
+    """,
+    doc=f"Symmetric int8 embedding quantization — the storage/serving "
+    f"compression step of a vector pipeline: per-vector scale = "
+    f"max|x|/{QUANT_LEVELS}, code = floor(x/scale + 0.5) (identical "
+    f"half-up in both engines — no engine-specific round()), plus the "
+    f"per-element max dequantization error as the quality readout (max, "
+    f"not a sum: per-element error doubles are bit-identical across "
+    f"engines, but a 64-term float SUM is summation-order-sensitive at "
+    f"the last ulp, which flips rounding at knife-edge values). All JVM "
+    f"higher-order "
+    f"expressions (transform/aggregate folds) in one scan projection — "
+    f"no shuffle, no Python; zero-vectors yield NULL via nullif rather "
+    f"than dividing by zero.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / QUANT_LEVELS
+    )
+    # the raw scale keeps its own name: aliasing the ROUNDED output as
+    # "scale" in the same select would lateral-alias-shadow the column
+    # the error expression reads, silently quantizing against the
+    # 6-digit-rounded scale
+    d = emb.select("vec_id", e.alias("e"), scale.alias("scale_raw"))
+    qv = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.nullif(F.col("scale_raw"), F.lit(0.0)) + 0.5),
+    )
+    d = d.withColumn("qv", qv)
+    abs_err = F.zip_with(
+        F.col("e"),
+        F.col("qv"),
+        lambda x, q: F.abs(x - q * F.col("scale_raw")),
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("q_checksum"),
+        F.round(F.array_max(abs_err), 6).alias("max_abs_err"),
     )

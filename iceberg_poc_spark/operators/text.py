@@ -353,3 +353,99 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM w GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT {VOCAB_TOP_K}
+    """,
+    doc=f"Corpus vocabulary building — the tokenizer-training precursor: "
+    f"multiset word counts over the whole corpus, top {VOCAB_TOP_K} by "
+    f"frequency (ties broken by word). Map-side partial counts shrink "
+    f"the shuffle to one row per distinct word per task, and the "
+    f"orderBy+limit plans as TakeOrderedAndProject (per-partition heaps, "
+    f"driver-side merge of {VOCAB_TOP_K}) — no global sort at any scale.",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    return (
+        d.select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df,
+               (tf.tf * n.n) / df.df AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, word
+        ) AS rn FROM scored
+    )
+    SELECT doc_id, word, tf, df, {dround("score", 4)} AS tfidf
+    FROM r WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc=f"Per-document top-{TFIDF_TOP_K} TF-IDF terms (keyword "
+    f"extraction / topic hinting in corpus analytics). idf is the "
+    f"rational N/df form (no log) so both engines compute the identical "
+    f"double: tf*N and df are exact integers, one IEEE division each. "
+    f"Plan: one exploded scan feeds the (doc_id, word) count; the "
+    f"document-frequency side aggregates to vocab size and joins back "
+    f"on word (vocab-sized — broadcastable at any corpus scale); the "
+    f"per-doc top-k windows partition by doc_id (millions of narrow "
+    f"groups, never a global sort).",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    words = d.select("doc_id", F.explode(words_col()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "df", F.round("score", 4).alias("tfidf"))
+    )

@@ -212,6 +212,28 @@ def test_pack_sequences_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_vocab_topk_heap_not_global_sort(spark):
+    """Top-k vocabulary must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k), never a full sort of the vocab."""
+    plan = explain_str(Q["q_vocab_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_no_cartesian_beyond_scalar(spark):
+    """The only nested-loop join allowed is the size-1 corpus-count
+    broadcast; tf x df joins on word."""
+    df = Q["q_text_tfidf"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embed_quantize_single_scan_no_shuffle(spark):
+    """Quantization is a pure scan projection: one scan, zero exchanges."""
+    plan = explain_str(Q["q_embed_quantize"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
 def test_knn_join_no_pair_shuffle(spark):
     """k-NN join: the n*m scored pairs must never cross an exchange. The
     kernel emits only local top-k per probe per batch; the plan is ONE
