@@ -170,3 +170,17 @@ def test_approx_count_distinct_error_bound(spark):
     assert set(got) == set(exact)
     for k, approx in got.items():
         assert abs(approx - exact[k]) / exact[k] <= 0.05, (k, approx, exact[k])
+
+
+def test_embed_quantize_error_bound(spark):
+    """int8 quantization invariant: with scale = max|x|/127 and round-half
+    -up codes, every dequantization error is <= scale/2 and every code
+    fits in [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["q_embed_quantize"].fn(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("max_abs_err") > F.col("scale") / 2 * 127 / 126)  # slack: 1 rounding step
+        | F.col("scale").isNull()
+    ).count()
+    assert bad == 0
