@@ -449,3 +449,75 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tf", "df", F.round("score", 4).alias("tfidf"))
     )
+
+
+# dialect-portable PII patterns: char classes / + / bounded repeats behave
+# identically in Java regex (Spark) and RE2 (DuckDB) — no lookarounds,
+# no backrefs, nothing dialect-specific.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_text_redact_pii",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+    doc="PII redaction — the privacy-scrub step of corpus prep: detect "
+    "and mask emails and phone numbers with dialect-portable regexes "
+    "(identical under Java regex and RE2 — no lookarounds). The corpus "
+    "is synthetic, so deterministic PII is seeded in-query from doc_id "
+    "and the md5 of the redacted text proves the exact replacement "
+    "byte-for-byte. Pure scan projection: no shuffle, no Python, "
+    "embarrassingly parallel at any corpus size.",
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
