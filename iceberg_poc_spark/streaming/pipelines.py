@@ -171,6 +171,60 @@ def stateful_user_counts(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (typed state handles + optional timers)
+    that supersedes ``applyInPandasWithState``: per-user running event
+    count and 2-dp value total held in a ValueState.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store); the caller sets
+    ``spark.sql.streaming.stateStore.providerClass`` before start. Also
+    requires the ``protobuf`` python package (the state-server protocol
+    of the Python worker) — absent offline here, so the test is
+    import-gated; ``stateful_user_counts`` (applyInPandasWithState) is
+    the dependency-free stateful path this engine ships as primary.
+    State is one value row per user; emission is one updated row per user
+    per micro-batch (Update mode). The 2-dp inputs keep the running
+    float total exact in double, so the final row equals the batch
+    aggregate bit-for-bit regardless of micro-batch boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids arriving within
     the watermark horizon (bounded dedup state, unlike global

@@ -143,6 +143,58 @@ def test_stateful_user_counts_match_batch(spark, events_stream):
     assert got == want
 
 
+def test_transform_with_state_equals_batch(spark, events_stream):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the final
+    per-user ValueState row must equal the batch aggregate exactly (2-dp
+    inputs keep the running double total exact across micro-batches).
+
+    Gated on the ``protobuf`` python package: the transformWithState
+    state-server protocol imports google.protobuf in its driver worker
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) — without it the
+    worker crashes at init. applyInPandasWithState (tested above) is the
+    no-extra-deps stateful path."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: F401
+    from iceberg_poc_spark.streaming.pipelines import user_stats_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(user_stats_tws(events_stream), "t_tws", output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        (r.user_id): (r.n_events, r.total_value)
+        for r in spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            # the last emission carries the final total; n_events is
+            # strictly increasing per user so max_by picks it (value may
+            # be negative — a plain max(total) would be wrong)
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_equals_batch(spark, events_stream):
     from iceberg_poc_spark.streaming.pipelines import attribution_stream
 
