@@ -521,3 +521,43 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+BUCKET_W = 32  # tokens per length bucket
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // {BUCKET_W} AS BIGINT) AS bucket,
+           CAST(n_tokens // {BUCKET_W} * {BUCKET_W} AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc=f"Token-length histogram bucketing ({BUCKET_W}-token buckets) — "
+    f"the length-grouped batching precursor: documents of similar length "
+    f"batch together so padding waste stays bounded. Integer floor-div "
+    f"bucketing (no engine-specific width_bucket), map-side combined "
+    f"counts; the histogram is bucket-count sized, never corpus sized.",
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(words_col())
+    bucket = F.floor(n / BUCKET_W).cast("bigint")
+    return (
+        d.select(n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket", (F.col("bucket") * BUCKET_W).alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
