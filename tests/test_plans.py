@@ -212,6 +212,17 @@ def test_pack_sequences_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_global_plan_hygiene(spark):
+    """Inventory-wide invariants (the PLANS.md audit as a gate): no
+    CartesianProduct anywhere (even the intentional cross join plans as a
+    broadcast nested loop), and no row-at-a-time Python (BatchEvalPython)
+    in any plan — Python hops must be Arrow-vectorized."""
+    for name, q in sorted(Q.items()):
+        plan = explain_str(q.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
+        assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python"
+
+
 def test_vocab_topk_heap_not_global_sort(spark):
     """Top-k vocabulary must plan as TakeOrderedAndProject (per-partition
     heaps + driver merge of k), never a full sort of the vocab."""
