@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
-from iceberg_poc_spark.functions.vectors import cosine_similarity, sign_bucket, sign_bucket_sql
+from iceberg_poc_spark.functions.vectors import sign_bucket, sign_bucket_sql
 from iceberg_poc_spark.operators.text import shingles_col, shingles_sql, with_words
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
@@ -453,7 +453,13 @@ _registry.REGISTRY["q_dedup_ngram_jaccard"] = _registry.Query(
 # ------------------------------------------------- embedding near-dup (LSH)
 
 EMB_BUCKET_BITS = 8
-EMB_DUP_THRESHOLD = 0.9
+# Real corpora dedup at ~0.9; the synthetic embeddings are i.i.d. random
+# (max pairwise candidate cosine ~0.43 at sf0.01, ~0.49 at sf0.1), so 0.9
+# made the result vacuously empty — an always-0-rows check would also
+# pass with a broken bucket join. 0.35 sits near the sf0.01 p99, so the
+# threshold filter is exercised with a small nonzero result at the
+# correctness SF and stays selective (top ~1% of candidates).
+EMB_DUP_THRESHOLD = 0.35
 
 
 @register(
@@ -474,16 +480,27 @@ EMB_DUP_THRESHOLD = 0.9
     """,
     doc="Embedding-cosine near-dup: sign-LSH bucket join (first "
     f"{EMB_BUCKET_BITS} coordinate signs) prunes candidates ~2^-"
-    f"{EMB_BUCKET_BITS} before the exact cosine — never O(n^2).",
+    f"{EMB_BUCKET_BITS} before the exact cosine — never O(n^2). Each "
+    "vector's L2 norm is computed ONCE before the join (per-row, not "
+    "per-pair), so the pairwise hot path is only the dot fold — "
+    "numerically identical to folding the full cosine per pair (the "
+    "same doubles multiply), at half the per-candidate work.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), EMB_BUCKET_BITS).alias("bucket")
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), EMB_BUCKET_BITS).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("norm"),
     )
     a = emb.alias("a")
     c = emb.alias("c")
     sim = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("c.embedding")), 4
+        dot(F.col("a.embedding"), F.col("c.embedding"))
+        / F.nullif(F.col("a.norm") * F.col("c.norm"), F.lit(0.0)),
+        4,
     )
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
