@@ -400,3 +400,53 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(l_quantity) AS sx,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS sxx,
+               SUM(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           {dround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} AS slope,
+           {dround("(sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n", 4)}
+             AS intercept
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Least-squares regression (price vs quantity per returnflag) from "
+    "explicit moment sums, NOT the engines' regr_* aggregates: their "
+    "single-pass internals accumulate differently per engine, while "
+    "sums of 2-dp-scaled values are exact in double — so slope and "
+    "intercept come out of identical IEEE divisions on identical exact "
+    "operands. The moments are all map-side-combinable single-pass "
+    "aggregates: one shuffle, five running sums, any scale.",
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    ).orderBy("l_returnflag")
