@@ -1,9 +1,9 @@
 """Composite analytical queries, batch 2 — the remaining TPC-H shapes
 expressible over the testdata star schema (no partsupp table, no
 l_commitdate/l_receiptdate/l_shipmode columns; adaptations documented
-per-query). Together with :mod:`composites` this covers Q1-Q22 except the
-purely-partsupp Q2 (its min-cost-supplier correlated shape is exercised by
-``q_tpch_q15``/``q_tpch_q17`` instead).
+per-query). Together with :mod:`composites` this covers all of Q1-Q22
+(``q_tpch_q2`` rebuilds the min-cost-supplier shape on lineitem-observed
+prices since partsupp doesn't exist in the corpus).
 
 No reference analogue (SURVEY.md §2C: the reference has no query
 executor); shapes follow the public TPC-H specification.
@@ -696,4 +696,65 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               {dround("AVG(l_extendedprice)", 2)} AS avg_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    min_cost AS (
+        SELECT partkey, MIN(avg_price) AS min_price FROM cost GROUP BY 1
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           c.avg_price
+    FROM part p
+    JOIN cost c ON p.p_partkey = c.partkey
+    JOIN min_cost mc ON c.partkey = mc.partkey AND c.avg_price = mc.min_price
+    JOIN supplier s ON c.suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the testdata has no "
+    "partsupp table, so supply cost is each supplier's average observed "
+    "lineitem price per part — same plan skeleton as spec Q2: a "
+    "decorrelated per-part MIN subquery joined back on (part, price), "
+    "then the region-filtered supplier/nation/region star. The min-cost "
+    "side aggregates to (part, supplier) grain before any join, dims "
+    "broadcast, and the final ORDER+LIMIT is a total order (partkey "
+    "breaks all ties) so the top-100 is deterministic.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    min_cost = cost.groupBy("partkey").agg(F.min("avg_price").alias("min_price"))
+    return (
+        cost.join(
+            min_cost,
+            (cost.partkey == min_cost.partkey)
+            & (cost.avg_price == min_cost.min_price),
+        )
+        .drop(min_cost.partkey)
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "avg_price")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
     )

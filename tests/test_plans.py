@@ -135,8 +135,9 @@ def test_tpch_batch2_broadcast_and_no_cartesian(spark):
     threshold is a sanctioned size-1 BroadcastNestedLoopJoin, same as
     q_tpch_q22.)"""
     for qid in [
-        "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q12",
-        "q_tpch_q13", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+        "q_tpch_q2", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+        "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20",
+        "q_tpch_q21",
     ]:
         df = Q[qid].fn(spark, SF_DIR)
         assert has_broadcast_join(df), f"{qid}: no broadcast join"
