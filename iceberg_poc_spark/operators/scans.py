@@ -99,3 +99,53 @@ def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
         F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_fee"),
     )
+
+
+@register(
+    "q_scan_iceberg",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    """,
+    doc="Snapshot-table scan — the Iceberg-connector stand-in "
+    "(iceberg-spark-runtime is unobtainable offline, SURVEY.md 7.0; "
+    "tables/manager.py:iceberg_conf documents the one-line flip to the "
+    "real catalog): lineitem is committed into the snapshot table layer "
+    "with hidden monthly partitioning on l_shipdate, then read back "
+    "through a manifest-pruned scan (the reference's "
+    "newScan().filter().planTasks(), TimeBasedPartitioningExamples"
+    ".java:180-195). The time predicate prunes partitions at the "
+    "manifest BEFORE any file is opened AND applies as a row residual; "
+    "the oracle checks the write->commit->prune->read roundtrip "
+    "value-for-value against the raw parquet.",
+)
+def q_scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager, months
+
+    # ingest one ship-year (the ingest demo doesn't need the whole fact;
+    # the write cost would otherwise dominate the benchmark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    mgr = ParquetTableManager(spark, tempfile.mkdtemp(prefix="snapwh_"))
+    mgr.create_table("lineitem_snap", li.schema, [months("l_shipdate")])
+    mgr.append("lineitem_snap", li)
+    from datetime import datetime
+
+    df, _planned, _total = mgr.scan(
+        "lineitem_snap", where=[("l_shipdate", ">=", datetime(1997, 6, 1))]
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
