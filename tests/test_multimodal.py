@@ -58,6 +58,26 @@ def test_decode_rejects_unknown_container():
         decode_media(b"\x89PNG\r\n\x1a\n....")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9))
+    def test_codec_roundtrip_fuzz(doc_id):
+        """Any doc_id's container decodes back to its generator ground
+        truth — exercises header edge cases (1- vs 2-digit PPM dims, BMP
+        stride padding 0-3 bytes, odd WAV data sizes) across the id
+        space."""
+        kind, w, h = media_dims(doc_id)
+        m = decode_media(encode_media(doc_id))
+        assert (m["kind"], m["width"], m["height"]) == (kind, w, h)
+        n = w if kind == "wav" else w * h * 3
+        assert np.asarray(m["samples"]).reshape(-1).shape == (n,)
+except ImportError:  # hypothesis is available in this container; belt+braces
+    pass
+
+
 def test_extract_features_fixed_dim_normalized(payloads):
     out = extract_features(payloads)
     rows = out.collect()
