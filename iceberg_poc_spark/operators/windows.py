@@ -132,17 +132,65 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     )
     """,
-    doc="ntile bucketing + global-window share-of-total.",
+    doc="ntile bucketing + share-of-total, planned WITHOUT a single-"
+    "partition window: a global NTILE(4) would funnel every row through "
+    "one task for the global sort. Instead: (1) range-repartition on the "
+    "sort key so partition i holds strictly earlier keys than partition "
+    "i+1, (2) row_number within each range partition (the window "
+    "partitions by spark_partition_id — a balanced, shuffle-local sort), "
+    "(3) global rank = local rank + broadcast per-partition row-count "
+    "offsets (offsets come from a tiny #partitions-row aggregate, "
+    "cumulated via a broadcast non-equi self-join, not a window), "
+    "(4) the exact NTILE bucket from the SQL-standard formula — the "
+    "first n%k buckets get ceil(n/k) rows, the rest floor(n/k) — using "
+    "broadcast scalars n and sum(c_acctbal). Every shuffle is "
+    "range/hash-partitioned; nothing single-partition. Range partition "
+    "boundaries only affect balance, never the result: global rank is "
+    "offset+local rank for ANY order-preserving split.",
 )
 def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w_order = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    w_all = Window.partitionBy()
-    return c.select(
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    totals = c.agg(
+        F.count("*").alias("n_rows"), F.sum("c_acctbal").alias("total_bal")
+    )
+    ranged = c.repartitionByRange(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    cnt = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # cumulative offset per range partition: tiny (#partitions rows)
+    # broadcast non-equi self-join — deliberately NOT a window, so the
+    # inventory-wide no-SinglePartition-Window gate holds vacuously
+    off = (
+        cnt.alias("a")
+        .join(F.broadcast(cnt.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = (
+        ranged.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("rnk", F.col("lr") + F.col("off"))
+    )
+    # SQL NTILE(k): first rem = n%k buckets hold big = floor(n/k)+1 rows,
+    # the remaining k-rem hold floor(n/k). (Doubles are exact here: all
+    # operands < 2^53.)
+    small = F.floor(F.col("n_rows") / 4)
+    rem = F.col("n_rows") % 4
+    big = small + 1
+    head = rem * big
+    r = F.col("rnk")
+    quartile = F.when(r <= head, F.floor((r - 1) / big) + 1).otherwise(
+        rem + F.floor((r - head - 1) / small) + 1
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w_order).alias("quartile"),
+        quartile.cast("int").alias("quartile"),
         F.round(
-            F.col("c_acctbal") / F.nullif(F.sum("c_acctbal").over(w_all), F.lit(0.0)), 6
+            F.col("c_acctbal") / F.nullif(F.col("total_bal"), F.lit(0.0)), 6
         ).alias("bal_share"),
     )
 

@@ -5,6 +5,7 @@ from iceberg_poc_spark.plans.inspect import (
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    single_partition_windows,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "count_shuffles",
     "has_broadcast_join",
     "assert_no_cartesian",
+    "single_partition_windows",
 ]

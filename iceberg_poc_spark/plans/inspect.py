@@ -47,6 +47,32 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 
 
+def single_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose feeding Exchange is SinglePartition — the
+    global-sort bottleneck shape (every row through one task). Returns the
+    offending tree lines; empty means every window is partitioned.
+
+    Scalar aggregates legitimately plan a SinglePartition exchange (a
+    handful of partial-agg rows); only *Window* consumers are flagged.
+    """
+    plan = explain_str(df)
+    sp_ids = set(
+        re.findall(r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan)
+    )
+    lines = plan.splitlines()
+    offenders: list[str] = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow \(\d+\)", ln):
+            continue
+        # physical chain is Window <- Sort <- Exchange: check the next
+        # two tree lines for the exchange feeding this window
+        for nxt in lines[i + 1 : i + 3]:
+            m = re.search(r"\bExchange \((\d+)\)", nxt)
+            if m and m.group(1) in sp_ids:
+                offenders.append(ln.strip())
+    return offenders
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = explain_str(df)
     if "CartesianProduct" in plan:

@@ -11,6 +11,7 @@ from iceberg_poc_spark.plans import (
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    single_partition_windows,
 )
 from iceberg_poc_spark.registry import load_all
 from tests.conftest import SF_DIR
@@ -219,9 +220,15 @@ def test_global_plan_hygiene(spark):
     broadcast nested loop), and no row-at-a-time Python (BatchEvalPython)
     in any plan — Python hops must be Arrow-vectorized."""
     for name, q in sorted(Q.items()):
-        plan = explain_str(q.fn(spark, SF_DIR))
+        df = q.fn(spark, SF_DIR)
+        plan = explain_str(df)
         assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
         assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python"
+        # no query may sort/window all rows through ONE task; scalar
+        # aggregates (tiny partial-agg states) keep their SinglePartition
+        # exchange, but a Window fed by one is a scale-killer
+        spw = single_partition_windows(df)
+        assert not spw, f"{name} has SinglePartition window(s): {spw}"
 
 
 def test_vocab_topk_heap_not_global_sort(spark):
