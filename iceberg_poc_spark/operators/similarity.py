@@ -125,6 +125,22 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 KNN_STRIDE = 50  # queries = every 50th vector
+# GEMM ranks candidates; the top-(k+pad) survivors are re-scored with the
+# oracle-order sequential fold before anything is emitted. BLAS blocked
+# summation differs from the fold only at the last ulp, so a pad of 5
+# ranks is far beyond any reachable rank flip.
+KNN_RESCORE_PAD = 5
+
+
+def _seq_fold_norm(vals) -> float:
+    """sqrt of a sequential left-fold sum of squares — bit-identical to
+    DuckDB's list_cosine_similarity norm accumulation (C double loop)."""
+    import math
+
+    s = 0.0
+    for v in vals:
+        s += v * v
+    return math.sqrt(s)
 
 
 @register(
@@ -160,10 +176,16 @@ KNN_STRIDE = 50  # queries = every 50th vector
     "through an Arrow mapInPandas kernel that scores each batch against "
     "all probes with a single float64 GEMM and emits only its LOCAL "
     "top-k per probe. The global merge then aggregates at most "
-    "k * probes * batches candidate rows — the n*m scored pairs never "
-    "leave their task (the r1 window formulation shuffled and sorted all "
-    "of them). When the probe batch outgrows broadcast size, flip to the "
-    "IVF cell-join path (q_sim_ann_ivf's cells as the join key).",
+    "(k+pad) * probes * batches candidate rows — the n*m scored pairs "
+    "never leave their task (the r1 window formulation shuffled and "
+    "sorted all of them). Determinism: the GEMM only PRUNES (BLAS "
+    "blocked/SIMD accumulation can differ from a sequential fold at the "
+    "last ulp); every emitted sim is re-computed over the top-(k+pad) "
+    "survivors with a sequential left-fold dot/norm — bit-identical to "
+    "the oracle's list_cosine_similarity double loop — so rounding and "
+    "near-tie ordering cannot drift between engines. When the probe "
+    "batch outgrows broadcast size, flip to the IVF cell-join path "
+    "(q_sim_ann_ivf's cells as the join key).",
 )
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -174,36 +196,56 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).collect()
     q_ids = np.array([r.vec_id for r in probe_rows], dtype="int64")
     q_mat = np.array([r.embedding for r in probe_rows], dtype="float64")
-    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    # fold-order norms (NOT einsum): emitted sims must match the oracle's
+    # sequential accumulation bit-for-bit
+    q_norm = np.array([_seq_fold_norm(row) for row in q_mat.tolist()])
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
     k = KNN_K
+    local_k = KNN_K + KNN_RESCORE_PAD
 
     def score_batches(batches):
         import pandas as pd
 
         ids, qm, qn = bq.value
+        q_lists = qm.tolist()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vec_ids = pdf["vec_id"].to_numpy()
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            # GEMM scores are used ONLY to rank candidates for pruning
             sims = (x @ qm.T) / (xn[:, None] * qn[None, :])
             sims[vec_ids[:, None] == ids[None, :]] = -np.inf  # self-match
+            x_lists = x.tolist()
+            norm_cache: dict[int, float] = {}
             out_q, out_n, out_s = [], [], []
             for j in range(len(ids)):
                 col = sims[:, j]
-                # exact (sim DESC, vec_id ASC) local top-k
-                order = np.lexsort((vec_ids, -col))[:k]
+                # (sim DESC, vec_id ASC) local top-(k+pad) candidates
+                order = np.lexsort((vec_ids, -col))[:local_k]
                 keep = order[np.isfinite(col[order])]
-                out_q.append(np.full(len(keep), ids[j], dtype="int64"))
-                out_n.append(vec_ids[keep])
-                out_s.append(col[keep])
+                qrow, qnj = q_lists[j], qn[j]
+                for i in keep:
+                    i = int(i)
+                    xrow = x_lists[i]
+                    dot = 0.0
+                    for a, b in zip(xrow, qrow):
+                        dot += a * b
+                    nx = norm_cache.get(i)
+                    if nx is None:
+                        nx = norm_cache[i] = _seq_fold_norm(xrow)
+                    denom = nx * qnj
+                    if denom == 0.0:
+                        continue
+                    out_q.append(int(ids[j]))
+                    out_n.append(int(vec_ids[i]))
+                    out_s.append(dot / denom)
             yield pd.DataFrame(
                 {
-                    "q_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
+                    "q_id": np.array(out_q, dtype="int64"),
+                    "neighbor_id": np.array(out_n, dtype="int64"),
+                    "sim": np.array(out_s, dtype="float64"),
                 }
             )
 
