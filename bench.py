@@ -58,9 +58,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        try:
-            if do_warm and warm_dir != sf_dir:
+        if do_warm and warm_dir != sf_dir:
+            try:
                 materialize(queries[name].fn(spark, warm_dir))
+            except Exception as e:  # warm-SF-only failures must not mask
+                print(f"BENCH WARMUP ERROR {name}: {e}", file=sys.stderr)
+        try:
             t0 = time.perf_counter()
             materialize(queries[name].fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)

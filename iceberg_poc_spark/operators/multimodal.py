@@ -146,6 +146,8 @@ def decode_media(payload: bytes) -> dict:
             elif cid == b"data":
                 data = payload[off + 8 : off + 8 + sz]
             off += 8 + sz + (sz & 1)
+        if fmt is None or len(fmt) < 16 or data is None:
+            raise ValueError("malformed WAVE container: missing fmt/data chunk")
         channels = struct.unpack_from("<H", fmt, 2)[0]
         bits = struct.unpack_from("<H", fmt, 14)[0]
         n = len(data) // (bits // 8) // channels

@@ -21,6 +21,9 @@ from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
 
+# warehouses created by q_scan_iceberg this process (cleaned at exit)
+_SCAN_ICEBERG_WAREHOUSES: set[str] = set()
+
 
 @register(
     "q_scan_parquet",
@@ -124,6 +127,10 @@ def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-for-value against the raw parquet.",
 )
 def q_scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from iceberg_poc_spark.tables import ParquetTableManager, months
@@ -134,7 +141,18 @@ def q_scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
-    mgr = ParquetTableManager(spark, tempfile.mkdtemp(prefix="snapwh_"))
+    # deterministic per-process warehouse keyed on sf_dir: repeated
+    # invocations (bench warmup+timed run, correctness sweep, plan audits)
+    # overwrite ONE directory instead of leaking a mkdtemp each; removed
+    # at interpreter exit (not here — the returned DataFrame is lazy and
+    # reads these files when the caller collects)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"snapwh_{os.getpid()}_{key}")
+    if wh not in _SCAN_ICEBERG_WAREHOUSES:
+        _SCAN_ICEBERG_WAREHOUSES.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    mgr = ParquetTableManager(spark, wh)
     mgr.create_table("lineitem_snap", li.schema, [months("l_shipdate")])
     mgr.append("lineitem_snap", li)
     from datetime import datetime

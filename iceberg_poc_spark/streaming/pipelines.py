@@ -185,9 +185,12 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     import-gated; ``stateful_user_counts`` (applyInPandasWithState) is
     the dependency-free stateful path this engine ships as primary.
     State is one value row per user; emission is one updated row per user
-    per micro-batch (Update mode). The 2-dp inputs keep the running
-    float total exact in double, so the final row equals the batch
-    aggregate bit-for-bit regardless of micro-batch boundaries.
+    per micro-batch (Update mode). The running total accumulates with a
+    plain sequential fold (never ``Series.sum()``, whose pairwise tree
+    depends on how rows split across batches): a concatenation of
+    sequential folds is itself one sequential fold over arrival order, so
+    the final total is invariant to micro-batch boundaries, and the 2-dp
+    final rounding matches the batch aggregate.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -204,7 +207,8 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
             n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
+                for v in pdf["value"].to_numpy().tolist():
+                    total += v
             self._agg.update((n, total))
             yield pd.DataFrame(
                 {
