@@ -10,6 +10,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     filters,
     joins,
     multimodal,
+    nested,
     sampling,
     scalar_fns,
     scans,
