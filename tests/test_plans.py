@@ -262,3 +262,12 @@ def test_knn_join_no_pair_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_join_bucketed_zero_shuffle_join(spark):
+    """q_join_bucketed: both facts are bucketed+sorted on the key, so the
+    SortMergeJoin gets NO Exchange on either side — the only exchange in
+    the whole plan is the final aggregation's."""
+    plan = explain_str(Q["q_join_bucketed"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
