@@ -123,6 +123,96 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_WAREHOUSES: set[str] = set()
+
+
+def _ann_pruned_scan(spark: SparkSession, sf_dir: str):
+    """Write embeddings through the snapshot table layer partitioned by
+    sign-LSH cell (once per process per sf_dir), then PLAN a probe that
+    reads only the query's cell + its Hamming-1 neighbors — manifest-level
+    partition pruning before any file is opened, the reference's
+    ``newScan().filter().planTasks()`` shape
+    (aig/TimeBasedPartitioningExamples.java:180-195) applied to vector
+    search. Returns (df, files_planned, files_total, probe_cells)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager, identity
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"annwh_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _ANN_WAREHOUSES:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            sign_bucket(F.col("embedding"), IVF_BITS).alias("cell"),
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        mgr.create_table("emb_cells", emb.schema, [identity("cell")])
+        mgr.append("emb_cells", emb)
+        _ANN_WAREHOUSES.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    # the query vector is the probe's input (single bounded row)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    qemb = [float(v) for v in qrow.embedding]
+    qcell = "".join("1" if v >= 0 else "0" for v in qemb[:IVF_BITS])
+    probe_cells = [qcell] + [
+        qcell[:i] + ("0" if qcell[i] == "1" else "1") + qcell[i + 1 :]
+        for i in range(IVF_BITS)
+    ]
+    df, planned, total = mgr.scan("emb_cells", where=[("cell", "in", probe_cells)])
+    return df, planned, total, qemb
+
+
+@register(
+    "q_sim_ann_pruned",
+    oracle=f"""
+    WITH cells AS (
+        SELECT vec_id, embedding,
+               {sign_bucket_sql("embedding", IVF_BITS)} AS cell
+        FROM embeddings
+    ),
+    q AS (SELECT embedding, cell FROM cells WHERE vec_id = {QUERY_VEC_ID})
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM cells c CROSS JOIN q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+      AND ({_hamming_sql("c.cell", "q.cell", IVF_BITS)}) <= 1
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+    doc="Storage-pruned ANN: q_sim_ann_ivf's probe, but the Hamming<=1 "
+    "cell restriction prunes FILES at the manifest (embeddings live in a "
+    "snapshot table hidden-partitioned by sign-LSH cell; the probe plans "
+    "only the 1+bits matching cells) instead of scanning every vector "
+    "and filtering. Same result as q_sim_ann_ivf (same oracle); at "
+    "100 TB the unprobed ~11/16 of the corpus is never read. Table write "
+    "is once-per-process (ingest-time cost, like any IVF index build).",
+)
+def q_sim_ann_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _planned, _total, qemb = _ann_pruned_scan(spark, sf_dir)
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        df.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(IVF_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
 KNN_K = 3
 KNN_STRIDE = 50  # queries = every 50th vector
 # GEMM ranks candidates; the top-(k+pad) survivors are re-scored with the

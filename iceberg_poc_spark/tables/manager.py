@@ -104,6 +104,20 @@ def _stats_may_match(entry: dict, col: str, op: str, lit_v: Any) -> bool:
     if not s:
         return True
     mn, mx = s
+    if op == "in":
+        # file may match if ANY member can fall in [mn, mx]
+        for v in lit_v:
+            b = _norm_stat(v)
+            if isinstance(b, bool) or not isinstance(b, (int, float, str)):
+                return True
+            if isinstance(b, str) != isinstance(mn, str):
+                return True
+            try:
+                if mn <= b <= mx:
+                    return True
+            except TypeError:
+                return True
+        return False
     b = _norm_stat(lit_v)
     if isinstance(b, bool) or not isinstance(b, (int, float, str)):
         return True
@@ -137,12 +151,22 @@ def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
         for t in spec:
             if t.source != col or not t.order_preserving:
                 continue
+            pv = entry["partition"].get(t.field_name)
+            if pv is None:
+                continue
+            if op == "in":
+                # membership maps through ANY deterministic transform:
+                # x IN (v1..vn) => f(x) IN (f(v1)..f(vn))
+                try:
+                    bounds = {str(t.literal_to_partition(v)) for v in lit_v}
+                except (ValueError, AttributeError):
+                    continue
+                if str(pv) not in bounds:
+                    return False
+                continue
             try:
                 bound = t.literal_to_partition(lit_v)
             except (ValueError, AttributeError):
-                continue
-            pv = entry["partition"].get(t.field_name)
-            if pv is None:
                 continue
             if isinstance(bound, (int, float)) and not isinstance(pv, (int, float)):
                 try:
@@ -200,8 +224,12 @@ def _predicate(where: list) -> Column | None:
     """AND of (col, op, literal) triples as a Column; None if empty."""
     pred = None
     for col, op, lit_v in where:
-        c, v = F.col(col), F.lit(lit_v)
-        p = {"==": c == v, ">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[op]
+        c = F.col(col)
+        if op == "in":
+            p = c.isin(list(lit_v))
+        else:
+            v = F.lit(lit_v)
+            p = {"==": c == v, ">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[op]
         pred = p if pred is None else (pred & p)
     return pred
 
@@ -1147,7 +1175,8 @@ class ParquetTableManager:
         ``newScan().filter().planTasks()`` analogue (reference #5).
 
         ``where`` is a list of (column, op, literal) with op in
-        {==, >=, <=, >, <}; predicates on partition-transform source
+        {==, >=, <=, >, <, in} (for ``in`` the literal is a list of
+        members); predicates on partition-transform source
         columns prune files by their manifest partition values, and ALL
         predicates are still applied row-level as residuals.
         Returns (df, files_planned, files_total).

@@ -271,3 +271,17 @@ def test_join_bucketed_zero_shuffle_join(spark):
     plan = explain_str(Q["q_join_bucketed"].fn(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ann_pruned_probe_skips_files(spark):
+    """Storage-pruned ANN: the Hamming<=1 cell probe must plan strictly
+    fewer files than the table holds (manifest pruning, no file opened
+    for unprobed cells), with results identical to the scan-and-filter
+    IVF formulation."""
+    from iceberg_poc_spark.operators.similarity import _ann_pruned_scan
+
+    _df, planned, total, _q = _ann_pruned_scan(spark, SF_DIR)
+    assert planned < total, f"no files pruned: {planned}/{total}"
+    a = [tuple(r) for r in Q["q_sim_ann_pruned"].fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in Q["q_sim_ann_ivf"].fn(spark, SF_DIR).collect()]
+    assert a == b
