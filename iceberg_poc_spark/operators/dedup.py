@@ -253,6 +253,12 @@ def _clusters_oracle() -> str:
     """
 
 
+# propagation-loop task sizing: ~2M symmetrized edges (two longs each,
+# ~32 MB) per task keeps rounds cheap on small graphs and scalable on
+# huge ones
+_EDGES_PER_TASK = 2_000_000
+
+
 @register(
     "q_dedup_clusters",
     oracle=None,  # late-bound below (_clusters_oracle)
@@ -271,13 +277,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     # symmetrize map-side (explode both directions) — a union of the
     # pairs plan with its swap would run the whole LSH pipeline twice.
-    # Then shrink the partitioning: the pair graph is orders of magnitude
-    # smaller than the corpus, so each propagation round should cost
-    # job-launch time, not 32 near-empty tasks. repartition, NOT coalesce
-    # — coalesce would collapse the upstream minhash pipeline to 4 tasks.
-    # On a trillion-edge graph, raise this to cluster scale — the loop
-    # itself is the standard Pregel shape either way.
-    edges = (
+    edges_raw = (
         pairs.select(
             F.explode(
                 F.array(
@@ -291,9 +291,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .repartition(4)
         .cache()
     )
+    # Size the propagation loop by the GRAPH, not a constant: the pair
+    # graph is orders of magnitude smaller than the corpus, so each round
+    # should cost job-launch time, not |shuffle.partitions| near-empty
+    # tasks — but a trillion-edge graph must still fan out. ~_EDGES_PER_
+    # TASK edges (~32 MB) per task, capped at the session's shuffle
+    # parallelism (the cluster-scale knob). The count doubles as cache
+    # materialization, so the LSH pipeline runs exactly once. Hashing on
+    # b makes the cached partitioning satisfy the per-round join's
+    # distribution on the edges side — only the (shrinking) labels side
+    # shuffles each round.
+    n_edges = edges_raw.count()
+    n_parts = max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            (n_edges + _EDGES_PER_TASK - 1) // _EDGES_PER_TASK,
+        ),
+    )
+    edges = edges_raw.repartition(n_parts, "b").cache()
+    edges.count()  # materialize from the raw cache, then drop it
+    edges_raw.unpersist()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
