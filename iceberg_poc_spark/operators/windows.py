@@ -133,65 +133,68 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="ntile bucketing + share-of-total, planned WITHOUT a single-"
-    "partition window: a global NTILE(4) would funnel every row through "
-    "one task for the global sort. Instead: (1) range-repartition on the "
-    "sort key so partition i holds strictly earlier keys than partition "
-    "i+1, (2) row_number within each range partition (the window "
-    "partitions by spark_partition_id — a balanced, shuffle-local sort), "
-    "(3) global rank = local rank + broadcast per-partition row-count "
-    "offsets (offsets come from a tiny #partitions-row aggregate, "
-    "cumulated via a broadcast non-equi self-join, not a window), "
-    "(4) the exact NTILE bucket from the SQL-standard formula — the "
-    "first n%k buckets get ceil(n/k) rows, the rest floor(n/k) — using "
-    "broadcast scalars n and sum(c_acctbal). Every shuffle is "
-    "range/hash-partitioned; nothing single-partition. Range partition "
-    "boundaries only affect balance, never the result: global rank is "
-    "offset+local rank for ANY order-preserving split.",
+    "partition window (a global NTILE(4) would funnel every row through "
+    "one task for the global sort) and in fact without ANY window: "
+    "(1) range-repartition on the sort key with an explicit partition "
+    "count (explicit N keeps AQE from re-coalescing, so the planning "
+    "pass and the result pass see identical partitioning; the range "
+    "sampler is seeded deterministically) and sortWithinPartitions, "
+    "(2) monotonically_increasing_id encodes (partition id << 33 | row "
+    "offset) over the sorted rows — local rank with zero extra "
+    "shuffles, (3) one tiny bounded collect (<= #partitions rows, the "
+    "same sanctioned class as the k-NN probe batch) turns per-partition "
+    "counts/sums into literal rank offsets + the exact SQL NTILE bucket "
+    "boundaries (first n%k buckets hold floor(n/k)+1 rows) + the global "
+    "balance total. Final plan: ONE scan, ONE range exchange, no "
+    "Window, no SinglePartition anywhere. Range partition boundaries "
+    "only affect balance, never the result: global rank = offset + "
+    "local rank for ANY order-preserving split.",
 )
 def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sort_cols = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    totals = c.agg(
-        F.count("*").alias("n_rows"), F.sum("c_acctbal").alias("total_bal")
+    ranged = (
+        c.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("mid", F.monotonically_increasing_id())
     )
-    ranged = c.repartitionByRange(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    cnt = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
-    # cumulative offset per range partition: tiny (#partitions rows)
-    # broadcast non-equi self-join — deliberately NOT a window, so the
-    # inventory-wide no-SinglePartition-Window gate holds vacuously
-    off = (
-        cnt.alias("a")
-        .join(F.broadcast(cnt.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    pid = F.shiftright(F.col("mid"), 33).alias("pid")
+    lr = (F.col("mid") % F.lit(1 << 33) + 1).alias("lr")  # 1-based local rank
+    parts = sorted(
+        (r.pid, r.cnt, r.bal)
+        for r in ranged.groupBy(pid)
+        .agg(F.count("*").alias("cnt"), F.sum("c_acctbal").alias("bal"))
+        .collect()
     )
-    w_local = Window.partitionBy("pid").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    n = sum(p[1] for p in parts)
+    total = sum(p[2] for p in parts)  # 2-dp inputs: partial-sum-order safe
+    offs, acc = {}, 0
+    for p, cnt, _ in parts:
+        offs[p] = acc
+        acc += cnt
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p).cast("bigint") for p in offs]),
+        F.array(*[F.lit(o).cast("bigint") for o in offs.values()]),
     )
-    ranked = (
-        ranged.withColumn("lr", F.row_number().over(w_local))
-        .join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("rnk", F.col("lr") + F.col("off"))
-    )
+    r = F.element_at(off_map, pid) + lr  # global rank
     # SQL NTILE(k): first rem = n%k buckets hold big = floor(n/k)+1 rows,
-    # the remaining k-rem hold floor(n/k). (Doubles are exact here: all
-    # operands < 2^53.)
-    small = F.floor(F.col("n_rows") / 4)
-    rem = F.col("n_rows") % 4
-    big = small + 1
-    head = rem * big
-    r = F.col("rnk")
-    quartile = F.when(r <= head, F.floor((r - 1) / big) + 1).otherwise(
-        rem + F.floor((r - head - 1) / small) + 1
+    # the remaining k-rem hold floor(n/k) — all boundaries are Python
+    # ints here, so the bucket expression is pure integer arithmetic
+    small, rem = divmod(n, 4)
+    big, head = small + 1, (n % 4) * (small + 1)
+    quartile = F.when(r <= head, ((r - 1) / big).cast("int") + 1).otherwise(
+        rem + ((r - head - 1) / max(small, 1)).cast("int") + 1
     )
-    return ranked.select(
+    share = (
+        F.round(F.col("c_acctbal") / total, 6)
+        if total != 0
+        else F.lit(None).cast("double")
+    )
+    return ranged.select(
         "c_custkey",
         quartile.cast("int").alias("quartile"),
-        F.round(
-            F.col("c_acctbal") / F.nullif(F.col("total_bal"), F.lit(0.0)), 6
-        ).alias("bal_share"),
+        share.alias("bal_share"),
     )
 
 
