@@ -82,6 +82,53 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_split_grouped",
+    oracle=f"""
+    SELECT CASE
+             WHEN substr(md5('gsplit:' || source), 1, 8)
+                  < '{TRAIN_HEX}' THEN 'train'
+             WHEN substr(md5('gsplit:' || source), 1, 8)
+                  < '{VAL_HEX}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Leakage-safe GROUPED split: membership hashes the SOURCE, not "
+    "the document, so every doc of a source lands in the same split — "
+    "near-duplicates and templated documents within a source can never "
+    "straddle train/val (the classic eval-leak a doc-level split "
+    "allows). Same md5-threshold determinism as q_sample_split; "
+    "assignment stays a zero-shuffle map-side expression because the "
+    "group key is already on every row — no join against a split "
+    "registry. Only the report aggregates.",
+)
+def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_hex(F.col("source"), "gsplit")
+    return (
+        d.select(
+            F.when(u < TRAIN_HEX, "train")
+            .when(u < VAL_HEX, "val")
+            .otherwise("test")
+            .alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("t"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct(F.col("source")).alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "q_sample_stratified",
     oracle=f"""
     SELECT lang,

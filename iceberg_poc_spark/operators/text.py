@@ -561,3 +561,53 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# sliding-window chunking: 200-char windows advancing 150 chars (50 overlap)
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id, text,
+               UNNEST(range(0, CAST(ceil(len(text) / {CHUNK_STRIDE}.0)
+                                    AS BIGINT))) AS idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS chunk_idx,
+           md5(substr(text, CAST(idx * {CHUNK_STRIDE} + 1 AS BIGINT),
+                      {CHUNK_SIZE})) AS chunk_hash,
+           CAST(len(substr(text, CAST(idx * {CHUNK_STRIDE} + 1 AS BIGINT),
+                           {CHUNK_SIZE})) AS INT) AS chunk_len
+    FROM x
+    """,
+    doc=f"Sliding-window document chunking — the context-window prep step "
+    f"for RAG indexing and long-doc pretraining: {CHUNK_SIZE}-char "
+    f"windows advancing {CHUNK_STRIDE} chars ({CHUNK_SIZE - CHUNK_STRIDE} "
+    f"overlap so no boundary context is lost). Pure map-side explode of a "
+    f"per-doc index sequence — no shuffle at all, parallelism is the scan "
+    f"split; the oracle checks every chunk byte-for-byte via md5. "
+    f"Degenerate empty docs chunk to zero rows on both engines.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    k = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("long")
+    idxs = F.when(k > 0, F.sequence(F.lit(0).cast("long"), k - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    chunked = d.select("doc_id", "text", F.explode(idxs).alias("idx"))
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("idx") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_SIZE,
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("chunk_idx"),
+        F.md5(chunk.cast("binary")).alias("chunk_hash"),
+        F.length(chunk).alias("chunk_len"),
+    )
