@@ -34,6 +34,12 @@ def write_bucketed(
         loc = f" LOCATION '{location}'" if location else ""
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
         name = f"{database}.{table}"
+    # align write tasks with buckets: repartition(buckets, key) uses the
+    # same murmur3 hash as bucketBy, so each task holds exactly one
+    # bucket's rows and writes ONE file — without this, every map task
+    # writes a file per bucket it touches (tasks x buckets small files,
+    # the classic bucketed-write explosion)
+    df = df.repartition(buckets, key)
     w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).format("parquet")
     if location:
         w = w.option("path", f"{location}/{table}")
