@@ -18,6 +18,20 @@ from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
 
 
+def ntile_bucket(rank_col: F.Column, n: int, k: int) -> F.Column:
+    """SQL-standard NTILE(k) bucket from a 1-based global rank: the first
+    n%k buckets hold floor(n/k)+1 rows, the rest floor(n/k). ``n`` and
+    ``k`` are Python ints (known at plan time), so the bucket is pure
+    integer arithmetic on the rank — no window needed. Property-tested
+    against Spark's own ntile in tests/test_ntile_property.py."""
+    small, rem = divmod(n, k)
+    big, head = small + 1, rem * (small + 1)
+    r = rank_col
+    return F.when(r <= head, ((r - 1) / big).cast("int") + 1).otherwise(
+        rem + ((r - head - 1) / max(small, 1)).cast("int") + 1
+    )
+
+
 @register(
     "q_win_rank",
     oracle="""
@@ -178,14 +192,7 @@ def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(o).cast("bigint") for o in offs.values()]),
     )
     r = F.element_at(off_map, pid) + lr  # global rank
-    # SQL NTILE(k): first rem = n%k buckets hold big = floor(n/k)+1 rows,
-    # the remaining k-rem hold floor(n/k) — all boundaries are Python
-    # ints here, so the bucket expression is pure integer arithmetic
-    small, rem = divmod(n, 4)
-    big, head = small + 1, (n % 4) * (small + 1)
-    quartile = F.when(r <= head, ((r - 1) / big).cast("int") + 1).otherwise(
-        rem + ((r - head - 1) / max(small, 1)).cast("int") + 1
-    )
+    quartile = ntile_bucket(r, n, 4)
     share = (
         F.round(F.col("c_acctbal") / total, 6)
         if total != 0
