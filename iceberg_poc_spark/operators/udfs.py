@@ -146,3 +146,47 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return docs.mapInPandas(_split_sentences, schema=UDTF_SCHEMA)
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           {dround(
+        '(c_acctbal - MIN(c_acctbal) OVER w) / '
+        'NULLIF(MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w, 0)', 6
+    )} AS bal_norm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    doc="Grouped-map pandas UDF (applyInPandas / FlatMapGroupsInPandas — "
+    "the fourth UDF shape next to scalar, grouped-agg, and UDTF): "
+    "per-market-segment min-max normalization of account balances, the "
+    "per-group feature-scaling step where the whole group must be in "
+    "one pandas frame. Determinism: min/max are summation-order-free "
+    "and the normalization is per-element, so the only rounding happens "
+    "JVM-side (F.round) to match the oracle's dround; degenerate "
+    "zero-range groups emit NULL on both engines. Scale note: one "
+    "shuffle on the group key; each group must fit one executor's "
+    "memory — exactly the applyInPandas contract.",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = float(pdf["c_acctbal"].min())
+        rng = float(pdf["c_acctbal"].max()) - lo
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        if rng == 0.0:
+            out["bal_norm"] = None
+        else:
+            out["bal_norm"] = (pdf["c_acctbal"] - lo) / rng
+        return out
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    normed = c.groupBy("c_mktsegment").applyInPandas(
+        _minmax_norm, "c_custkey bigint, c_mktsegment string, bal_norm double"
+    )
+    return normed.select(
+        "c_custkey", "c_mktsegment", F.round("bal_norm", 6).alias("bal_norm")
+    )
