@@ -39,9 +39,14 @@ def asof_join(
     right_cols: Sequence[str],
     prefix: str = "asof_",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``keys`` group (inclusive).
+    ``direction="forward"`` flips the search: the SMALLEST
+    ``right_ts >= left_ts`` (pandas merge_asof direction semantics) —
+    same single-shuffle union+window plan, with the carry running
+    backward over an unbounded-following frame.
 
     Carried right columns (``right_ts`` plus ``right_cols``) appear on the
     output as ``{prefix}{col}``. Left rows with no prior right row get
@@ -69,17 +74,33 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(_TS, _SRC)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left at equal ts -> inclusive <=
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(_TS, _SRC)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    elif direction == "forward":
+        # right rows sort AFTER left at equal ts -> inclusive >=
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_TS), F.col(_SRC).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     for c in out_names.values():
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        unioned = unioned.withColumn(c, carry(c))
     out = unioned.filter(F.col(_SRC) == 1).drop(_SRC, _TS)
     if tolerance is not None:
-        fresh = F.col(out_names[right_ts]) >= (
-            F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        bound = F.expr(f"INTERVAL {tolerance}")
+        fresh = (
+            F.col(out_names[right_ts]) >= (F.col(left_ts) - bound)
+            if direction == "backward"
+            else F.col(out_names[right_ts]) <= (F.col(left_ts) + bound)
         )
         ts_out = out_names[right_ts]
         # NULL the payload columns first, the carried timestamp last (the
@@ -121,4 +142,40 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("asof_click_id").alias("prior_click_id"),
         (us("ts") - us("asof_ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT e.event_id,
+           c.event_id AS next_click_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+    doc="Forward as-of join: each error matched to the same user's "
+    "NEAREST FOLLOWING click (did the user recover and continue?) — the "
+    "mirror of q_join_asof's nearest-prior lookup, same single-shuffle "
+    "union+window plan with the carry running over an unbounded-"
+    "following frame. DuckDB verifies with its native forward ASOF "
+    "(e.ts <= c.ts).",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        errors, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_id"], direction="forward",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "event_id",
+        F.col("asof_click_id").alias("next_click_id"),
+        (us("asof_ts") - us("ts")).cast("bigint").alias("gap_us"),
     )
