@@ -148,57 +148,70 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ntile bucketing + share-of-total, planned WITHOUT a single-"
     "partition window (a global NTILE(4) would funnel every row through "
-    "one task for the global sort) and in fact without ANY window: "
-    "(1) range-repartition on the sort key with an explicit partition "
-    "count (explicit N keeps AQE from re-coalescing, so the planning "
-    "pass and the result pass see identical partitioning; the range "
-    "sampler is seeded deterministically) and sortWithinPartitions, "
-    "(2) monotonically_increasing_id encodes (partition id << 33 | row "
-    "offset) over the sorted rows — local rank with zero extra "
-    "shuffles, (3) one tiny bounded collect (<= #partitions rows, the "
-    "same sanctioned class as the k-NN probe batch) turns per-partition "
-    "counts/sums into literal rank offsets + the exact SQL NTILE bucket "
-    "boundaries (first n%k buckets hold floor(n/k)+1 rows) + the global "
-    "balance total. Final plan: ONE scan, ONE range exchange, no "
-    "Window, no SinglePartition anywhere. Range partition boundaries "
-    "only affect balance, never the result: global rank = offset + "
-    "local rank for ANY order-preserving split.",
+    "one task for the global sort). Two-pass manual range partitioning "
+    "whose assignment is a PURE FUNCTION of the data: (1) one scan "
+    "collects approximate quantile bounds of the sort column plus "
+    "count/sum scalars (bounded driver row, the sanctioned class of "
+    "bounded collects), (2) every later job assigns pid = bucket of "
+    "c_acctbal among those LITERAL bounds — unlike repartitionByRange, "
+    "whose boundary sampling is seeded by the runtime rdd.id and so can "
+    "differ between the counting job and the result job (a real "
+    "cross-job rank-collision bug this query once had at sf0.1/32 "
+    "partitions; small SFs masked it because the reservoir sample "
+    "covers whole partitions exactly), (3) a second tiny collect turns "
+    "per-pid counts into literal rank offsets, (4) the result pass is "
+    "one scan + ONE hash exchange + a pid-PARTITIONED window for local "
+    "rank; global rank = offset + local rank, quartile from the "
+    "closed-form NTILE formula (ntile_bucket, property-tested), share "
+    "from the literal total. Approximate bounds only skew partition "
+    "balance, never the result: assignment is order-preserving for any "
+    "bound set (equal balances land in one pid; custkey breaks ties "
+    "within it).",
 )
 def q_win_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sort_cols = [F.col("c_acctbal").desc(), F.col("c_custkey")]
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranged = (
-        c.repartitionByRange(n_parts, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("mid", F.monotonically_increasing_id())
+    qs = [i / n_parts for i in range(1, n_parts)]
+    head_row = c.agg(
+        F.percentile_approx("c_acctbal", qs, 10_000).alias("bs"),
+        F.count("*").alias("n"),
+        F.sum("c_acctbal").alias("total"),
+    ).first()
+    bounds = sorted(set(head_row.bs or []))  # ascending, deduped
+    n = head_row.n
+    total = head_row.total or 0.0  # 2-dp inputs: partial-sum-order safe
+    b_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    asc_idx = F.aggregate(
+        b_arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < F.col("c_acctbal"), 1).otherwise(0),
     )
-    pid = F.shiftright(F.col("mid"), 33).alias("pid")
-    lr = (F.col("mid") % F.lit(1 << 33) + 1).alias("lr")  # 1-based local rank
-    parts = sorted(
-        (r.pid, r.cnt, r.bal)
-        for r in ranged.groupBy(pid)
-        .agg(F.count("*").alias("cnt"), F.sum("c_acctbal").alias("bal"))
-        .collect()
+    # pid 0 = highest balances (DESC global order over ascending buckets)
+    pid = (F.lit(len(bounds)) - asc_idx).cast("bigint")
+    withpid = c.withColumn("pid", pid)
+    cnts = sorted(
+        (r.pid, r.cnt)
+        for r in withpid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
     )
-    n = sum(p[1] for p in parts)
-    total = sum(p[2] for p in parts)  # 2-dp inputs: partial-sum-order safe
     offs, acc = {}, 0
-    for p, cnt, _ in parts:
+    for p, cnt in cnts:
         offs[p] = acc
         acc += cnt
     off_map = F.map_from_arrays(
         F.array(*[F.lit(p).cast("bigint") for p in offs]),
         F.array(*[F.lit(o).cast("bigint") for o in offs.values()]),
     )
-    r = F.element_at(off_map, pid) + lr  # global rank
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    r = F.element_at(off_map, F.col("pid")) + F.row_number().over(w_local)
     quartile = ntile_bucket(r, n, 4)
     share = (
         F.round(F.col("c_acctbal") / total, 6)
         if total != 0
         else F.lit(None).cast("double")
     )
-    return ranged.select(
+    return withpid.select(
         "c_custkey",
         quartile.cast("int").alias("quartile"),
         share.alias("bal_share"),
