@@ -112,22 +112,27 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ), 2) AS sum_1h
     FROM events
     """,
-    doc="RANGE frame: trailing 1-hour sum per user, ordered by epoch "
-    "seconds (numeric RANGE frames are the portable formulation).",
+    doc="RANGE frame: trailing 1-hour sum per user, ordered by exact "
+    "epoch MICROSECONDS (numeric RANGE frames are the portable "
+    "formulation). Microseconds, not seconds: RANGE peers are rows with "
+    "EQUAL ordering values, so second-truncated ordering silently pulls "
+    "same-second followers into the trailing window — Spark (truncated "
+    "long) and DuckDB (fractional epoch) disagreed on exactly that at "
+    "sf0.1, where two same-user events first shared a second.",
 )
 def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_sec")
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",
