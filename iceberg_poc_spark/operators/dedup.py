@@ -20,7 +20,7 @@ the plan shapes below are already the scalable ones:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
@@ -530,4 +530,37 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        FROM documents
+    )
+    WHERE doc_id = keeper
+    """,
+    doc="Apply exact dedup to the corpus: emit the SURVIVING rows (the "
+    "smallest doc_id per distinct text), i.e. the deduplicated dataset a "
+    "training pipeline actually feeds downstream — q_dedup_exact reports "
+    "the groups, this materializes the kept documents with their "
+    "metadata. One shuffle: a window MIN partitioned by md5(text) (16-"
+    "byte shuffle key, never the document body — q_dedup_exact's scale "
+    "note made executable), then a per-row keep filter. The oracle "
+    "partitions by raw text — identical keepers barring md5 collisions "
+    "(2^-64 at corpus scale).",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+    return (
+        d.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source", "n_chars")
     )

@@ -343,3 +343,51 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("k", "event_type")
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/' || lang || '/doc/'
+                   || CAST(doc_id AS VARCHAR) || '?ref=' || source
+                   || '&id=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)        AS url_host,
+           regexp_extract(url, 'https?://[^/]+([^?#]*)', 1)  AS url_path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1)        AS url_ref,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS url_proto
+    FROM u
+    """,
+    doc="URL parsing — the web-corpus staple (domain grouping, "
+    "canonicalization, ref stripping at CommonCrawl scale): build a "
+    "deterministic URL per document, then decompose it with Spark's "
+    "JVM-side parse_url (HOST/PATH/QUERY-key/PROTOCOL) while the oracle "
+    "decomposes the identical string with regexes — two independent "
+    "parser implementations agreeing byte-for-byte. Pure map-side "
+    "projection: no shuffle, whole-stage codegen end to end.",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("url_ref"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
+    )

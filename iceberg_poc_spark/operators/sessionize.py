@@ -222,3 +222,43 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("reached_purchase").cast("double") / F.sum("reached_view"), 4
         ).alias("conversion"),
     )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS d,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM u
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention analysis — the canonical product-analytics "
+    "rollup the reference's event tables exist to serve "
+    "(time-partitioned events narrative, "
+    "aig/TimeBasedPartitioningExamples.java:232-292): users are "
+    "cohorted by their first active day, then counted per (cohort, "
+    "day-offset) cell. The engine derives the cohort with a per-user "
+    "window MIN — ONE shuffle on user_id, no self-join — then one "
+    "map-side-combinable distinct-count aggregate; the oracle uses the "
+    "identical window form in DuckDB. At 100 TB: the user_id shuffle is "
+    "the only wide stage, and with events ingested bucketed by user_id "
+    "(sources/bucketed.py) even that Exchange disappears.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohorted = ev.withColumn(
+        "cohort_day", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    return cohorted.groupBy(
+        "cohort_day",
+        F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))

@@ -12,7 +12,7 @@ adjacent so both engines compute byte-identical shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
@@ -611,3 +611,61 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(chunk.cast("binary")).alias("chunk_hash"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+BIGRAM_MIN_COUNT = 5
+
+
+@register(
+    "q_text_bigram",
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS words FROM documents
+    ),
+    bg AS (
+        SELECT list_extract(words, CAST(i AS INT))     AS w1,
+               list_extract(words, CAST(i + 1 AS INT)) AS w2
+        FROM (SELECT words, UNNEST(range(1, len(words))) AS i FROM w)
+    ),
+    c AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    p AS (
+        -- window sum in its own step: a WHERE in the same SELECT would
+        -- filter BEFORE the window and shrink the denominator
+        SELECT w1, w2, n,
+               {dround("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY w1)", 4)}
+                   AS p
+        FROM c
+    )
+    SELECT w1, w2, n, p FROM p WHERE n >= {BIGRAM_MIN_COUNT}
+    """,
+    doc=f"Bigram language-model statistics over the corpus: adjacent word "
+    f"pairs with count and conditional probability P(w2|w1) — the n-gram "
+    f"LM / tokenizer-training precursor (and the statistic behind "
+    f"perplexity-based quality filters). Pair generation is a pure "
+    f"map-side zip-explode of each document's token array (no join, no "
+    f"per-pair re-tokenize); counts are one map-side-combinable "
+    f"aggregate on (w1,w2); the denominator is a window SUM partitioned "
+    f"by w1 (vocabulary-wide fan-out, never SinglePartition). The "
+    f"count>={BIGRAM_MIN_COUNT} floor is applied AFTER the denominator "
+    f"so probabilities stay calibrated against the full distribution — "
+    f"and bounds output like real LM pruning does. dround pins the "
+    f"count-ratio rounding ties cross-engine.",
+)
+def q_text_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_words(load_table(spark, sf_dir, "documents"), out="words")
+    n1 = F.greatest(F.size("words") - 1, F.lit(0))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("words", 1, n1).alias("w1"),
+                F.slice("words", 2, n1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    denom = F.sum("n").over(Window.partitionBy("w1"))
+    return counts.withColumn(
+        "p", F.round(F.col("n").cast("double") / denom, 4)
+    ).filter(F.col("n") >= BIGRAM_MIN_COUNT)
