@@ -19,6 +19,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     similarity,
     sorts,
     subqueries,
+    tablelayer,
     text,
     udfs,
     windows,

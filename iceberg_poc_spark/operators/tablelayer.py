@@ -1,0 +1,190 @@
+"""Table-layer semantics as oracle-checked queries: time travel,
+incremental (CDC-lite) reads, and copy-on-write MERGE.
+
+Reference parity: snapshot history iteration
+(``aig/PartitionValueDebugger.java:169-195`` walks ``table.snapshots()``
+and per-snapshot ``addedDataFiles``), atomic append commits
+(``BulkParquetToIcebergAtomicMultipart.java:97-101``), and hidden
+partitioning (``HiddenPartitionLoader.java``) — the capabilities the
+snapshot table layer (:mod:`iceberg_poc_spark.tables.manager`) carries with
+pytest coverage. These queries put the SAME capabilities behind the
+driver's differential gate: each one ingests raw parquet through the table
+layer (committed snapshots, tags, CoW merge), reads back through snapshot
+resolution, and is value-checked against a DuckDB oracle that computes the
+expected table state directly from the raw parquet.
+
+Cost model (same convention as q_join_bucketed / q_scan_iceberg): the
+ingest happens ONCE per process per sf_dir — the write is the one-time
+cost the table pays at ingest; every query invocation after that is a pure
+metadata-resolved read. Warehouses live under a deterministic per-process
+temp path and are removed at interpreter exit.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+
+CUTOFF = "1998-01-01 00:00:00"
+MERGE_KEY_OFFSET = 100_000_000
+
+# (warehouse) -> {"snap1": v, "snap2": v} for the orders_tt table;
+# presence of the key means all setup commits for that warehouse are done
+_READY: dict[str, dict[str, int]] = {}
+
+
+def _warehouse(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"ttwh_{os.getpid()}_{key}")
+
+
+def _setup(spark: SparkSession, sf_dir: str) -> tuple:
+    """One-time-per-process ingest: two append snapshots of orders (tagged
+    at the first), and a customer table mutated by one CoW merge."""
+    from iceberg_poc_spark.tables import ParquetTableManager, identity, years
+
+    wh = _warehouse(sf_dir)
+    if wh in _READY:
+        return ParquetTableManager(spark, wh), _READY[wh]
+    shutil.rmtree(wh, ignore_errors=True)
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    mgr = ParquetTableManager(spark, wh)
+
+    # -- orders_tt: batch1 (< cutoff) tagged, then batch2 (>= cutoff) --
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mgr.create_table("orders_tt", orders.schema, [years("o_orderdate")])
+    snap1 = mgr.append("orders_tt", orders.filter(F.col("o_orderdate") < cutoff))
+    mgr.create_tag("orders_tt", "pre_cutoff", at_snapshot=snap1)
+    snap2 = mgr.append("orders_tt", orders.filter(F.col("o_orderdate") >= cutoff))
+
+    # -- customer_m: base snapshot, then ONE CoW merge (updates + inserts) --
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mgr.create_table("customer_m", cust.schema, [identity("c_mktsegment")])
+    mgr.append("customer_m", cust)
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    source = auto.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    ).unionByName(
+        auto.select(
+            (F.col("c_custkey") + F.lit(MERGE_KEY_OFFSET)).alias("c_custkey"),
+            F.lit("MERGED").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    mgr.merge("customer_m", source, on=["c_custkey"])
+
+    _READY[wh] = {"snap1": snap1, "snap2": snap2}
+    return mgr, _READY[wh]
+
+
+@register(
+    "q_time_travel",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{CUTOFF}'
+    GROUP BY 1
+    """,
+    doc="Time travel by tag (≙ Iceberg VERSION AS OF 'ref', reference "
+    "snapshot walk aig/PartitionValueDebugger.java:169-195): orders are "
+    "committed in two append snapshots with a tag pinned at the first; "
+    "the query reads THROUGH the tag and must see only the first batch — "
+    "even though the live table head contains both. The oracle computes "
+    "the tagged-snapshot state straight from the raw parquet. Read path "
+    "is pure manifest resolution (tag file -> snapshot -> file list): no "
+    "data is copied to travel, any snapshot is one pointer away — the "
+    "reproducibility primitive for training-data lineage.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("orders_tt", ref="pre_cutoff")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_scan_incremental",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{CUTOFF}'
+    GROUP BY 1
+    """,
+    doc="Incremental snapshot read (≙ Iceberg incremental scan between "
+    "snapshots — the CDC-lite pattern that lets a downstream job process "
+    "only NEW data each run instead of rescanning the table): reads "
+    "exactly the files the second append committed (manifest diff of the "
+    "snapshot chain, per-file not per-row) and must see only batch 2. "
+    "The oracle computes batch 2 directly from raw parquet. At 100 TB "
+    "this is the nightly-pipeline contract: cost proportional to the "
+    "delta, not the table.",
+)
+def q_scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, snaps = _setup(spark, sf_dir)
+    df = mgr.read_incremental(
+        "orders_tt", from_snapshot=snaps["snap1"], to_snapshot=snaps["snap2"]
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH merged AS (
+        SELECT c_custkey,
+               c_mktsegment,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + {MERGE_KEY_OFFSET}, 'MERGED', 0.0
+        FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(bal), 2) AS total_bal
+    FROM merged
+    GROUP BY 1
+    """,
+    doc="Copy-on-write MERGE upsert (≙ Iceberg MERGE INTO, reference CoW "
+    "layer tables/manager.py merge): the customer table is hidden-"
+    "partitioned by segment, then one merge updates every AUTOMOBILE "
+    "balance (+100) and inserts the same customers under a new MERGED "
+    "segment. Partition-granular CoW: the source's partition values "
+    "select only the AUTOMOBILE files for rewrite — every other segment's "
+    "files survive byte-identical (asserted in tests/test_tablelayer.py). "
+    "The query reads the merged table state; the oracle reconstructs that "
+    "state relationally from the raw parquet.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("customer_m")
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

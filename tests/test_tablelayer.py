@@ -1,0 +1,98 @@
+"""Registered table-layer queries (operators/tablelayer.py): properties the
+oracle comparison can't see — snapshot isolation and partition-granular
+copy-on-write file survival."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.operators import tablelayer
+from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.tables import ParquetTableManager
+from tests.conftest import SF_DIR
+
+
+def _mgr(spark) -> ParquetTableManager:
+    mgr, _snaps = tablelayer._setup(spark, SF_DIR)
+    return mgr
+
+
+def test_time_travel_isolated_from_later_appends(spark):
+    """The tagged read sees batch 1 exactly, even though the live head
+    holds both batches."""
+    mgr = _mgr(spark)
+    tagged = mgr.read("orders_tt", ref="pre_cutoff")
+    head = mgr.read("orders_tt")
+    cutoff = F.lit(tablelayer.CUTOFF).cast("timestamp_ntz")
+    n_batch1 = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .count()
+    )
+    assert tagged.count() == n_batch1
+    assert head.count() > n_batch1
+    assert tagged.filter(F.col("o_orderdate") >= cutoff).count() == 0
+
+
+def test_incremental_reads_only_the_delta(spark):
+    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    inc = mgr.read_incremental(
+        "orders_tt", from_snapshot=snaps["snap1"], to_snapshot=snaps["snap2"]
+    )
+    cutoff = F.lit(tablelayer.CUTOFF).cast("timestamp_ntz")
+    n_batch2 = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .count()
+    )
+    assert inc.count() == n_batch2
+    assert inc.filter(F.col("o_orderdate") < cutoff).count() == 0
+
+
+def test_merge_is_partition_granular_cow(spark):
+    """Only the matched partition's files are rewritten by the merge:
+    every non-AUTOMOBILE data file of the base snapshot survives (same
+    path) into the merged snapshot, AUTOMOBILE files do not, and a new
+    MERGED partition appears."""
+    mgr = _mgr(spark)
+    head_v = mgr._current_version("customer_m")
+    m_head = mgr._load_manifest("customer_m", head_v)
+    assert m_head["operation"] == "merge"
+    m_base = mgr._load_manifest("customer_m", m_head["parent"])
+
+    def by_partition(manifest):
+        out: dict[str, set[str]] = {}
+        for e in manifest["files"]:
+            seg = e["partition"]["c_mktsegment"]
+            out.setdefault(seg, set()).add(e["path"])
+        return out
+
+    base, head = by_partition(m_base), by_partition(m_head)
+    assert "MERGED" not in base and "MERGED" in head
+    assert base["AUTOMOBILE"].isdisjoint(head["AUTOMOBILE"])
+    for seg in base:
+        if seg != "AUTOMOBILE":
+            assert base[seg] == head[seg], f"{seg} files must survive CoW"
+
+
+def test_merge_updates_and_inserts(spark):
+    mgr = _mgr(spark)
+    merged = mgr.read("customer_m")
+    cust = load_table(spark, SF_DIR, "customer")
+    n_auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").count()
+    # inserts: one MERGED row per AUTOMOBILE customer, zero balance
+    ins = merged.filter(F.col("c_mktsegment") == "MERGED")
+    assert ins.count() == n_auto
+    assert ins.filter(F.col("c_acctbal") != 0.0).count() == 0
+    # updates: every AUTOMOBILE balance moved +100 (exact double add)
+    got = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in merged.filter(F.col("c_mktsegment") == "AUTOMOBILE").collect()
+    }
+    want = {
+        r["c_custkey"]: r["c_acctbal"] + 100.0
+        for r in cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").collect()
+    }
+    assert got == want
+    # total row count = base + inserts
+    assert merged.count() == cust.count() + n_auto
