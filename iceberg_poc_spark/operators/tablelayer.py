@@ -36,6 +36,8 @@ from iceberg_poc_spark.sources import load_table
 
 CUTOFF = "1998-01-01 00:00:00"
 MERGE_KEY_OFFSET = 100_000_000
+OVERWRITE_YEAR = 1999
+EVOLVE_NATION_SPLIT = 12
 
 # (warehouse) -> {"snap1": v, "snap2": v} for the orders_tt table;
 # presence of the key means all setup commits for that warehouse are done
@@ -88,6 +90,36 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
         )
     )
     mgr.merge("customer_m", source, on=["c_custkey"])
+
+    # -- orders_tt: dynamic partition overwrite of ONE year (backfill) --
+    # lands AFTER snap2, so the tag and the snap1->snap2 incremental range
+    # still resolve their pinned states — snapshot isolation in action
+    repriced = orders.filter(F.year("o_orderdate") == OVERWRITE_YEAR).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    mgr.overwrite_partitions("orders_tt", repriced)
+
+    # -- cust_ev: schema evolution (add column, then rename) across files --
+    cust_full = load_table(spark, sf_dir, "customer")
+    base = cust_full.filter(F.col("c_nationkey") < EVOLVE_NATION_SPLIT).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    mgr.create_table("cust_ev", base.schema, [])
+    mgr.append("cust_ev", base)
+    mgr.add_column("cust_ev", "c_tier", "string")
+    mgr.append(
+        "cust_ev",
+        cust_full.filter(F.col("c_nationkey") >= EVOLVE_NATION_SPLIT).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("c_mktsegment").alias("c_tier"),
+        ),
+    )
+    mgr.rename_column("cust_ev", "c_name", "c_fullname")
 
     _READY[wh] = {"snap1": snap1, "snap2": snap2}
     return mgr, _READY[wh]
@@ -186,5 +218,69 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = mgr.read("customer_m")
     return df.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "q_overwrite_partition",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = {OVERWRITE_YEAR}
+                          THEN o_totalprice + 10.0
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=f"Dynamic partition overwrite (≙ Iceberg dynamic overwrite / "
+    f"Spark partitionOverwriteMode=dynamic — the idempotent-backfill "
+    f"primitive): one commit atomically replaces EXACTLY the "
+    f"{OVERWRITE_YEAR} partition of the years-partitioned orders table "
+    f"with repriced rows; every other year's files survive untouched, "
+    f"and the earlier tag/incremental queries still resolve their pinned "
+    f"snapshots (isolation across the same chain). The oracle "
+    f"reconstructs the post-backfill table state relationally from raw "
+    f"parquet. At 100 TB: re-running a day's job replaces that day, "
+    f"never truncates the table.",
+)
+def q_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("orders_tt")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN c_nationkey >= {EVOLVE_NATION_SPLIT}
+                THEN c_mktsegment ELSE 'LEGACY' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           MIN(c_name) AS first_name,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Schema evolution read across heterogeneous data files (≙ Iceberg "
+    "ALTER TABLE ADD/RENAME COLUMN, field-ID resolution): the table gains "
+    "a c_tier column AFTER its first append (old files project NULL — "
+    "surfaced as the LEGACY tier), takes a second append WITH the column, "
+    "then renames c_name->c_fullname (metadata-only; the read coalesces "
+    "former names so files written under the old name still resolve). "
+    "The query reads head state through BOTH evolutions; the oracle "
+    "reconstructs it from raw parquet. No data file is ever rewritten to "
+    "evolve — the property that makes evolution free at 100 TB.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("cust_ev")
+    return df.groupBy(
+        F.coalesce("c_tier", F.lit("LEGACY")).alias("tier")
+    ).agg(
+        F.count("*").alias("n_cust"),
+        F.min("c_fullname").alias("first_name"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )

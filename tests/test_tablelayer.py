@@ -96,3 +96,47 @@ def test_merge_updates_and_inserts(spark):
     assert got == want
     # total row count = base + inserts
     assert merged.count() == cust.count() + n_auto
+
+
+def test_overwrite_partition_is_partition_granular(spark):
+    """The dynamic overwrite replaces exactly the one year's files; every
+    other year's files survive by path, and row counts are unchanged."""
+    mgr = _mgr(spark)
+    head_v = mgr._current_version("orders_tt")
+    m_head = mgr._load_manifest("orders_tt", head_v)
+    assert m_head["operation"] == "overwrite-partitions"
+    m_base = mgr._load_manifest("orders_tt", m_head["parent"])
+
+    def by_year(manifest):
+        out: dict = {}
+        for e in manifest["files"]:
+            out.setdefault(e["partition"]["o_orderdate_years"], set()).add(
+                e["path"]
+            )
+        return out
+
+    base, head = by_year(m_base), by_year(m_head)
+    y = str(tablelayer.OVERWRITE_YEAR)
+    assert base[y].isdisjoint(head[y]), "target year must be rewritten"
+    for year in base:
+        if year != y:
+            assert base[year] == head[year], f"{year} files must survive"
+    assert mgr.read("orders_tt").count() == (
+        load_table(spark, SF_DIR, "orders").count()
+    )
+
+
+def test_schema_evolution_null_projection_and_rename(spark):
+    """Pre-evolution files project NULL for the added column; the renamed
+    column resolves values from files written under the old name."""
+    mgr = _mgr(spark)
+    df = mgr.read("cust_ev")
+    assert set(df.columns) == {"c_custkey", "c_fullname", "c_acctbal", "c_tier"}
+    cust = load_table(spark, SF_DIR, "customer")
+    n_old = cust.filter(
+        F.col("c_nationkey") < tablelayer.EVOLVE_NATION_SPLIT
+    ).count()
+    assert df.filter(F.col("c_tier").isNull()).count() == n_old
+    # every row (both file generations) resolves a non-null c_fullname
+    assert df.filter(F.col("c_fullname").isNull()).count() == 0
+    assert df.count() == cust.count()
