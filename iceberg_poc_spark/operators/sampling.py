@@ -262,3 +262,43 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = pos.orderBy("p", "doc_id").limit(MIX_TOPK)
     return head.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+
+
+RESERVOIR_K = 8
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+    SELECT source, doc_id, CAST(pos AS INT) AS pos
+    FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS pos
+        FROM documents
+    )
+    WHERE pos <= {RESERVOIR_K}
+    """,
+    doc=f"Deterministic fixed-size per-group sample ({RESERVOIR_K} docs "
+    f"per source) — the eval-set / spot-check builder: rank every doc "
+    f"by a content-addressed hash WITHIN its source and keep the "
+    f"{RESERVOIR_K} smallest. Equivalent in distribution to reservoir "
+    f"sampling but reproducible under re-runs, engine swaps, and "
+    f"repartitioning (the hash IS the randomness — same determinism "
+    f"contract as q_sample_split). One shuffle on source; at scale the "
+    f"rank-filter is Spark's windowed top-k (partial top-k per task "
+    f"via WindowGroupLimit before the shuffle, never a global sort).",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_hex(F.col("doc_id"), "res")
+    w = Window.partitionBy("source").orderBy(u, "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= RESERVOIR_K)
+    )

@@ -262,3 +262,60 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
     ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+ANOMALY_Z = 3.0
+
+
+@register(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(value) AS s,
+               SUM(value * value) AS ss
+        FROM events
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - m.s / m.n)
+                   / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)) AS z
+        FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_id, event_type, value,
+           {dround("z", 4)} AS z
+    FROM scored
+    WHERE abs(z) > {ANOMALY_Z}
+    """,
+    doc=f"Statistical anomaly detection — the data-quality outlier sweep "
+    f"of an ingest pipeline: per-event-type z-scores from EXPLICIT "
+    f"moment sums (count/sum/sum-of-squares — the q_agg_regression "
+    f"determinism pattern: identical IEEE divisions on identically-"
+    f"accumulated operands, not each engine's own single-pass stddev "
+    f"internals), flagging |z| > {ANOMALY_Z}. Plan: one map-side-"
+    f"combinable moment aggregate (5 rows), broadcast back onto the "
+    f"stream of events, per-row score+filter — the stats never shuffle "
+    f"the fact table, so the sweep is one scan at any scale.",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / sd
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z_raw"))
+        .filter(F.abs(F.col("z_raw")) > ANOMALY_Z)
+        .select(
+            "event_id", "event_type", "value", F.round("z_raw", 4).alias("z")
+        )
+    )
