@@ -121,7 +121,45 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
     )
     mgr.rename_column("cust_ev", "c_name", "c_fullname")
 
-    _READY[wh] = {"snap1": snap1, "snap2": snap2}
+    # -- events_wap: write-audit-publish branch flow --
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mgr.create_table("events_wap", ev.schema, [identity("event_type")])
+    wap_base = mgr.append(
+        "events_wap", ev.filter(F.col("event_type") != "error")
+    )
+    mgr.create_branch("events_wap", "audit")
+    mgr.append(
+        "events_wap", ev.filter(F.col("event_type") == "error"), ref="audit"
+    )
+    # the audit step: validate the staged branch before anyone sees it
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    staged = mgr.read("events_wap", ref="audit")
+    assert staged.filter(F.col("event_type") == "error").count() == n_err
+    mgr.fast_forward("events_wap", "audit")
+
+    # -- li_cmp: fragmented appends, then sorted compaction --
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    mgr.create_table("li_cmp", li.schema, [])
+    for k in range(3):  # micro-batch fragmentation
+        mgr.append("li_cmp", li.filter(F.col("l_orderkey") % 3 == k))
+    pre_files = len(mgr._load_manifest("li_cmp")["files"])
+    mgr.compact("li_cmp", sort_by=["l_orderkey"])
+
+    _READY[wh] = {
+        "snap1": snap1,
+        "snap2": snap2,
+        "wap_base": wap_base,
+        "cmp_pre_files": pre_files,
+    }
     return mgr, _READY[wh]
 
 
@@ -283,4 +321,64 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.min("c_fullname").alias("first_name"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "q_wap_publish",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Write-audit-publish (≙ Iceberg branching + fast_forward, the "
+    "staged-ingest pattern): the error events are appended to an 'audit' "
+    "branch — invisible to main — validated there, then published by "
+    "fast-forwarding main to the branch head. Publication is one pointer "
+    "CAS: no data moves, and a reader of main flips atomically from "
+    "the pre-publish state to the full table. The query reads main AFTER "
+    "publish (the oracle is the full events table); the pre-publish "
+    "isolation is asserted in tests/test_tablelayer.py against the "
+    "recorded base snapshot.",
+)
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("events_wap")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="Sorted compaction (≙ Iceberg rewrite_data_files(strategy => "
+    "'sort') — the maintenance op that keeps scan cost flat under "
+    "micro-batch ingest): three fragmented appends are rewritten into "
+    "order-clustered files in one REPLACE snapshot, and the query reads "
+    "the post-compaction table — which must hold byte-for-byte the same "
+    "rows (the oracle recomputes them from raw parquet; the file-count "
+    "drop is asserted in tests/test_tablelayer.py). Sorting gives each "
+    "output file a narrow key range, so min/max footer stats prune "
+    "point/range scans after compaction.",
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup(spark, sf_dir)
+    df = mgr.read("li_cmp")
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )

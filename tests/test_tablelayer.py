@@ -140,3 +140,35 @@ def test_schema_evolution_null_projection_and_rename(spark):
     # every row (both file generations) resolves a non-null c_fullname
     assert df.filter(F.col("c_fullname").isNull()).count() == 0
     assert df.count() == cust.count()
+
+
+def test_wap_pre_publish_isolation(spark):
+    """Before the fast-forward, main (recorded base snapshot) held no
+    error events; after publish, the head holds the full table and the
+    publish added no data files beyond the branch's."""
+    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    base = mgr.read("events_wap", snapshot_id=snaps["wap_base"])
+    assert base.filter(F.col("event_type") == "error").count() == 0
+    head = mgr.read("events_wap")
+    n_err = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert head.filter(F.col("event_type") == "error").count() == n_err
+    assert head.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark):
+    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    m = mgr._load_manifest("li_cmp")
+    assert m["operation"] == "replace"
+    assert len(m["files"]) < snaps["cmp_pre_files"]
+    # sorted clustering: file key ranges must not overlap
+    spans = sorted(
+        (e["stats"]["l_orderkey"][0], e["stats"]["l_orderkey"][1])
+        for e in m["files"]
+        if e.get("stats", {}).get("l_orderkey")
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "sorted compaction must produce disjoint ranges"
