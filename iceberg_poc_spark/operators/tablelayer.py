@@ -39,9 +39,12 @@ MERGE_KEY_OFFSET = 100_000_000
 OVERWRITE_YEAR = 1999
 EVOLVE_NATION_SPLIT = 12
 
-# (warehouse) -> {"snap1": v, "snap2": v} for the orders_tt table;
-# presence of the key means all setup commits for that warehouse are done
-_READY: dict[str, dict[str, int]] = {}
+# (warehouse, table) -> snapshot bookmarks; presence of the key means that
+# table's setup commits are done. PER-TABLE laziness, not one big setup:
+# each registered query pays only its OWN table's one-time ingest, so
+# benchmark attribution stays honest and a single query never fronts the
+# whole warehouse.
+_READY: dict[tuple[str, str], dict[str, int]] = {}
 
 
 def _warehouse(sf_dir: str) -> str:
@@ -49,19 +52,27 @@ def _warehouse(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ttwh_{os.getpid()}_{key}")
 
 
-def _setup(spark: SparkSession, sf_dir: str) -> tuple:
-    """One-time-per-process ingest: two append snapshots of orders (tagged
-    at the first), and a customer table mutated by one CoW merge."""
-    from iceberg_poc_spark.tables import ParquetTableManager, identity, years
+def _mgr_for(spark: SparkSession, sf_dir: str):
+    from iceberg_poc_spark.tables import ParquetTableManager
 
     wh = _warehouse(sf_dir)
-    if wh in _READY:
-        return ParquetTableManager(spark, wh), _READY[wh]
-    shutil.rmtree(wh, ignore_errors=True)
-    atexit.register(shutil.rmtree, wh, ignore_errors=True)
-    mgr = ParquetTableManager(spark, wh)
+    if not any(k[0] == wh for k in _READY):
+        shutil.rmtree(wh, ignore_errors=True)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+    return ParquetTableManager(spark, wh), wh
 
-    # -- orders_tt: batch1 (< cutoff) tagged, then batch2 (>= cutoff) --
+
+def _setup_orders_tt(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_tt: batch1 (< cutoff) tagged, batch2 (>= cutoff), then a
+    dynamic partition overwrite of one year — three commits whose pinned
+    states the tag/incremental queries must still resolve."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_tt")
+    if key in _READY:
+        return mgr, _READY[key]
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
     )
@@ -70,8 +81,25 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
     snap1 = mgr.append("orders_tt", orders.filter(F.col("o_orderdate") < cutoff))
     mgr.create_tag("orders_tt", "pre_cutoff", at_snapshot=snap1)
     snap2 = mgr.append("orders_tt", orders.filter(F.col("o_orderdate") >= cutoff))
+    repriced = orders.filter(F.year("o_orderdate") == OVERWRITE_YEAR).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    mgr.overwrite_partitions("orders_tt", repriced)
+    _READY[key] = {"snap1": snap1, "snap2": snap2}
+    return mgr, _READY[key]
 
-    # -- customer_m: base snapshot, then ONE CoW merge (updates + inserts) --
+
+def _setup_customer_m(spark: SparkSession, sf_dir: str) -> tuple:
+    """customer_m: base snapshot, then ONE CoW merge (updates + inserts)."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "customer_m")
+    if key in _READY:
+        return mgr, _READY[key]
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -90,19 +118,17 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
         )
     )
     mgr.merge("customer_m", source, on=["c_custkey"])
+    _READY[key] = {}
+    return mgr, _READY[key]
 
-    # -- orders_tt: dynamic partition overwrite of ONE year (backfill) --
-    # lands AFTER snap2, so the tag and the snap1->snap2 incremental range
-    # still resolve their pinned states — snapshot isolation in action
-    repriced = orders.filter(F.year("o_orderdate") == OVERWRITE_YEAR).select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
-        "o_orderdate",
-    )
-    mgr.overwrite_partitions("orders_tt", repriced)
 
-    # -- cust_ev: schema evolution (add column, then rename) across files --
+def _setup_cust_ev(spark: SparkSession, sf_dir: str) -> tuple:
+    """cust_ev: schema evolution (add column, then rename) across two file
+    generations."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "cust_ev")
+    if key in _READY:
+        return mgr, _READY[key]
     cust_full = load_table(spark, sf_dir, "customer")
     base = cust_full.filter(F.col("c_nationkey") < EVOLVE_NATION_SPLIT).select(
         "c_custkey", "c_name", "c_acctbal"
@@ -120,8 +146,18 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
         ),
     )
     mgr.rename_column("cust_ev", "c_name", "c_fullname")
+    _READY[key] = {}
+    return mgr, _READY[key]
 
-    # -- events_wap: write-audit-publish branch flow --
+
+def _setup_events_wap(spark: SparkSession, sf_dir: str) -> tuple:
+    """events_wap: write-audit-publish branch flow."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_wap")
+    if key in _READY:
+        return mgr, _READY[key]
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -138,8 +174,16 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
     staged = mgr.read("events_wap", ref="audit")
     assert staged.filter(F.col("event_type") == "error").count() == n_err
     mgr.fast_forward("events_wap", "audit")
+    _READY[key] = {"wap_base": wap_base}
+    return mgr, _READY[key]
 
-    # -- li_cmp: fragmented appends, then sorted compaction --
+
+def _setup_li_cmp(spark: SparkSession, sf_dir: str) -> tuple:
+    """li_cmp: three fragmented appends, then sorted compaction."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "li_cmp")
+    if key in _READY:
+        return mgr, _READY[key]
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -153,14 +197,8 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
         mgr.append("li_cmp", li.filter(F.col("l_orderkey") % 3 == k))
     pre_files = len(mgr._load_manifest("li_cmp")["files"])
     mgr.compact("li_cmp", sort_by=["l_orderkey"])
-
-    _READY[wh] = {
-        "snap1": snap1,
-        "snap2": snap2,
-        "wap_base": wap_base,
-        "cmp_pre_files": pre_files,
-    }
-    return mgr, _READY[wh]
+    _READY[key] = {"cmp_pre_files": pre_files}
+    return mgr, _READY[key]
 
 
 @register(
@@ -184,7 +222,7 @@ def _setup(spark: SparkSession, sf_dir: str) -> tuple:
     "reproducibility primitive for training-data lineage.",
 )
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_orders_tt(spark, sf_dir)
     df = mgr.read("orders_tt", ref="pre_cutoff")
     return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.count("*").alias("n_orders"),
@@ -212,7 +250,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta, not the table.",
 )
 def q_scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, snaps = _setup(spark, sf_dir)
+    mgr, snaps = _setup_orders_tt(spark, sf_dir)
     df = mgr.read_incremental(
         "orders_tt", from_snapshot=snaps["snap1"], to_snapshot=snaps["snap2"]
     )
@@ -252,7 +290,7 @@ def q_scan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state relationally from the raw parquet.",
 )
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_customer_m(spark, sf_dir)
     df = mgr.read("customer_m")
     return df.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_cust"),
@@ -283,7 +321,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"never truncates the table.",
 )
 def q_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_orders_tt(spark, sf_dir)
     df = mgr.read("orders_tt")
     return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.count("*").alias("n_orders"),
@@ -313,7 +351,7 @@ def q_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evolve — the property that makes evolution free at 100 TB.",
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_cust_ev(spark, sf_dir)
     df = mgr.read("cust_ev")
     return df.groupBy(
         F.coalesce("c_tier", F.lit("LEGACY")).alias("tier")
@@ -344,7 +382,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recorded base snapshot.",
 )
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_events_wap(spark, sf_dir)
     df = mgr.read("events_wap")
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -375,7 +413,7 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "point/range scans after compaction.",
 )
 def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr, _snaps = _setup(spark, sf_dir)
+    mgr, _snaps = _setup_li_cmp(spark, sf_dir)
     df = mgr.read("li_cmp")
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),

@@ -8,19 +8,13 @@ from pyspark.sql import functions as F
 
 from iceberg_poc_spark.operators import tablelayer
 from iceberg_poc_spark.sources import load_table
-from iceberg_poc_spark.tables import ParquetTableManager
 from tests.conftest import SF_DIR
-
-
-def _mgr(spark) -> ParquetTableManager:
-    mgr, _snaps = tablelayer._setup(spark, SF_DIR)
-    return mgr
 
 
 def test_time_travel_isolated_from_later_appends(spark):
     """The tagged read sees batch 1 exactly, even though the live head
     holds both batches."""
-    mgr = _mgr(spark)
+    mgr, _snaps = tablelayer._setup_orders_tt(spark, SF_DIR)
     tagged = mgr.read("orders_tt", ref="pre_cutoff")
     head = mgr.read("orders_tt")
     cutoff = F.lit(tablelayer.CUTOFF).cast("timestamp_ntz")
@@ -35,7 +29,7 @@ def test_time_travel_isolated_from_later_appends(spark):
 
 
 def test_incremental_reads_only_the_delta(spark):
-    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    mgr, snaps = tablelayer._setup_orders_tt(spark, SF_DIR)
     inc = mgr.read_incremental(
         "orders_tt", from_snapshot=snaps["snap1"], to_snapshot=snaps["snap2"]
     )
@@ -54,7 +48,7 @@ def test_merge_is_partition_granular_cow(spark):
     every non-AUTOMOBILE data file of the base snapshot survives (same
     path) into the merged snapshot, AUTOMOBILE files do not, and a new
     MERGED partition appears."""
-    mgr = _mgr(spark)
+    mgr, _snaps = tablelayer._setup_customer_m(spark, SF_DIR)
     head_v = mgr._current_version("customer_m")
     m_head = mgr._load_manifest("customer_m", head_v)
     assert m_head["operation"] == "merge"
@@ -76,7 +70,7 @@ def test_merge_is_partition_granular_cow(spark):
 
 
 def test_merge_updates_and_inserts(spark):
-    mgr = _mgr(spark)
+    mgr, _snaps = tablelayer._setup_customer_m(spark, SF_DIR)
     merged = mgr.read("customer_m")
     cust = load_table(spark, SF_DIR, "customer")
     n_auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").count()
@@ -101,7 +95,7 @@ def test_merge_updates_and_inserts(spark):
 def test_overwrite_partition_is_partition_granular(spark):
     """The dynamic overwrite replaces exactly the one year's files; every
     other year's files survive by path, and row counts are unchanged."""
-    mgr = _mgr(spark)
+    mgr, _snaps = tablelayer._setup_orders_tt(spark, SF_DIR)
     head_v = mgr._current_version("orders_tt")
     m_head = mgr._load_manifest("orders_tt", head_v)
     assert m_head["operation"] == "overwrite-partitions"
@@ -129,7 +123,7 @@ def test_overwrite_partition_is_partition_granular(spark):
 def test_schema_evolution_null_projection_and_rename(spark):
     """Pre-evolution files project NULL for the added column; the renamed
     column resolves values from files written under the old name."""
-    mgr = _mgr(spark)
+    mgr, _snaps = tablelayer._setup_cust_ev(spark, SF_DIR)
     df = mgr.read("cust_ev")
     assert set(df.columns) == {"c_custkey", "c_fullname", "c_acctbal", "c_tier"}
     cust = load_table(spark, SF_DIR, "customer")
@@ -146,7 +140,7 @@ def test_wap_pre_publish_isolation(spark):
     """Before the fast-forward, main (recorded base snapshot) held no
     error events; after publish, the head holds the full table and the
     publish added no data files beyond the branch's."""
-    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    mgr, snaps = tablelayer._setup_events_wap(spark, SF_DIR)
     base = mgr.read("events_wap", snapshot_id=snaps["wap_base"])
     assert base.filter(F.col("event_type") == "error").count() == 0
     head = mgr.read("events_wap")
@@ -160,7 +154,7 @@ def test_wap_pre_publish_isolation(spark):
 
 
 def test_compaction_reduces_files_preserves_rows(spark):
-    mgr, snaps = tablelayer._setup(spark, SF_DIR)
+    mgr, snaps = tablelayer._setup_li_cmp(spark, SF_DIR)
     m = mgr._load_manifest("li_cmp")
     assert m["operation"] == "replace"
     assert len(m["files"]) < snaps["cmp_pre_files"]
