@@ -349,3 +349,52 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT c.user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value), 2) AS attributed_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    doc="Interval (attribution) join — the batch twin of the stream-stream "
+    "interval join in streaming/pipelines.py: every purchase within one "
+    "hour AFTER a click by the same user is attributed to that click. "
+    "The join key is the EQUI part (user_id) with the time band as a "
+    "residual predicate — never a nested loop over the cross product, "
+    "which is what a pure theta-join plans. Locally the small purchase "
+    "side broadcasts (BHJ); at scale it graduates to a co-partitioned "
+    "SMJ on the same equi-key. At 100 TB: both sides bucketed by user_id "
+    "(sources/bucketed.py) drop even that shuffle; the residual band "
+    "bounds per-user work. Inner join keeps it count-positive: only "
+    "clicks with at least one attributed purchase emit (count >= 1), so "
+    "SUM is never NULL and the grain stays (user, click).",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("value")
+    )
+    joined = c.join(
+        p,
+        (c.user_id == p.user_id)
+        & (p.p_ts > c.c_ts)
+        & (p.p_ts <= c.c_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(c.user_id, "click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
