@@ -285,3 +285,38 @@ def test_ann_pruned_probe_skips_files(spark):
     a = [tuple(r) for r in Q["q_sim_ann_pruned"].fn(spark, SF_DIR).collect()]
     b = [tuple(r) for r in Q["q_sim_ann_ivf"].fn(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_join_interval_equi_key_never_nested_loop(spark):
+    """The attribution join must plan on the user_id equi-key (BHJ or
+    SMJ) with the time band as a residual — a BroadcastNestedLoopJoin
+    would mean Catalyst saw no equi-conjunct and planned the cross
+    product."""
+    plan = explain_str(Q["q_join_interval"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_retention_cohort_single_user_shuffle(spark):
+    """Cohort derivation is one window over user_id partitions plus the
+    final aggregate — no self-join of events."""
+    plan = explain_str(Q["q_retention_cohort"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_events_anomaly_stats_broadcast_not_fact_shuffle(spark):
+    """The moment stats (5 rows) broadcast back onto the event stream;
+    the fact side must not cross a hash-partition exchange."""
+    plan = explain_str(Q["q_events_anomaly"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Exchange allowed feeds the tiny stats aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_sample_reservoir_partial_topk(spark):
+    """The per-group rank filter must push a WindowGroupLimit below the
+    shuffle (per-task partial top-k), so no group ever sorts all its rows
+    in one task's memory."""
+    plan = explain_str(Q["q_sample_reservoir"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
