@@ -274,3 +274,46 @@ def test_stream_static_enrich_equals_batch(spark, events_stream):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: a restarted query with the same
+    checkpoint reprocesses nothing, and after new files land only the
+    delta is appended — the recovery contract a 100 TB ingest pipeline
+    leans on."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = batch_events(spark).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.write.parquet(str(src / "batch_a"))
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    mgr.create_table("ev_ckpt", ev.schema, [days("ts")])
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        run_to_table(stream, mgr, "ev_ckpt", ckpt)
+
+    run()
+    n_a = a.count()
+    assert mgr.read("ev_ckpt").count() == n_a
+    snaps_after_first = mgr.snapshots("ev_ckpt").count()
+
+    # restart with nothing new: no reprocessing, no new snapshots
+    run()
+    assert mgr.read("ev_ckpt").count() == n_a
+    assert mgr.snapshots("ev_ckpt").count() == snaps_after_first
+
+    # new files land; restart processes ONLY the delta
+    b.write.parquet(str(src / "batch_b"))
+    run()
+    got = mgr.read("ev_ckpt")
+    assert got.count() == ev.count()
+    # exactly-once: no event id appears twice across the restarts
+    assert got.select("event_id").distinct().count() == ev.count()
