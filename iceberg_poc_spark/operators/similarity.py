@@ -438,3 +438,47 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_checksum"),
         F.round(F.array_max(abs_err), 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "q_sim_centroids",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {sign_bucket_sql("embedding", IVF_BITS)} AS cell,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT cell,
+               UNNEST(emb) AS x,
+               CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim
+        FROM cells
+    )
+    SELECT cell, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {dround("SUM(x) / COUNT(*)", 4)} AS centroid
+    FROM dims
+    GROUP BY 1, 2
+    """,
+    doc=f"IVF coarse-quantizer training step (one Lloyd/k-means update): "
+    f"the per-cell mean vector of every sign-LSH cell — exactly the "
+    f"centroid refresh an IVF index (q_sim_ann_ivf / q_sim_ann_pruned "
+    f"use these cells) runs periodically as the corpus grows. Long-form "
+    f"output (cell, dim, centroid): posexplode is map-side, the "
+    f"aggregate combines partially on (cell, dim) — the shuffle carries "
+    f"|cells| x {64} rows per task, never vectors. Mean = SUM/COUNT "
+    f"explicitly on both engines (the explicit-moments determinism "
+    f"pattern), dround pinning the 4-dp tie.",
+)
+def q_sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.functions.vectors import sign_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        sign_bucket(F.col("embedding"), IVF_BITS).alias("cell"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    return cells.groupBy("cell", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("x") / F.count("*"), 4).alias("centroid"),
+    )
