@@ -450,3 +450,36 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="EXACT distinct count via bitmaps (Spark 4 bitmap_* aggregates) — "
+    "the scale answer when approx_count_distinct isn't allowed and a "
+    "two-phase COUNT(DISTINCT) shuffles every distinct key: keys hash "
+    "into 32k-bit buckets (bitmap_bucket_number / bitmap_bit_position), "
+    "each task builds partial bitmaps map-side, bitmap_or_agg merges "
+    "per (group, bucket) — the shuffle carries |groups| x |buckets| "
+    "fixed-size bitmaps instead of every distinct key — and "
+    "bitmap_count sums pop counts. The oracle is the plain "
+    "COUNT(DISTINCT): same exact number, wildly different plan.",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    partial = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("o_custkey"))
+        ).alias("bm")
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers")
+    )

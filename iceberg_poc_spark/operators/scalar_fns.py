@@ -391,3 +391,82 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("url_ref"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+    WITH x AS (
+        SELECT '<o id="' || CAST(o_orderkey AS VARCHAR) || '"><prio>'
+               || o_orderpriority || '</prio><cust>'
+               || CAST(o_custkey AS VARCHAR) || '</cust></o>' AS xml
+        FROM orders
+    )
+    SELECT CAST(regexp_extract(xml, 'id="(\\d+)"', 1) AS BIGINT)          AS okey,
+           regexp_extract(xml, '<prio>([^<]*)</prio>', 1)                AS prio,
+           CAST(regexp_extract(xml, '<cust>(\\d+)</cust>', 1) AS BIGINT) AS cust
+    FROM x
+    """,
+    doc="XML decode (Spark 4 built-in from_xml + xpath_string — no "
+    "spark-xml package needed): each order is serialized to an XML "
+    "fragment (integers and strings only, so serialization is byte-"
+    "identical cross-engine), then parsed back two ways — from_xml with "
+    "an explicit schema for the attribute + typed child, xpath_string "
+    "for the string child. The oracle decomposes the identical fragment "
+    "with regexes: two independent XML readers agreeing value-for-value. "
+    "Pure map-side projection, one scan, no shuffle.",
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<o id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><prio>'),
+        F.col("o_orderpriority"),
+        F.lit("</prio><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust></o>"),
+    )
+    parsed = F.from_xml(xml, "`_id` BIGINT, `cust` BIGINT")
+    return o.select(
+        parsed.getField("_id").alias("okey"),
+        F.xpath_string(xml, F.lit("/o/prio")).alias("prio"),
+        parsed.getField("cust").alias("cust"),
+    )
+
+
+@register(
+    "q_fn_try",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {dround("l_extendedprice / NULLIF(l_linenumber - 3, 0)", 4)}
+               AS per_unit,
+           TRY_CAST(l_returnflag AS INTEGER)  AS flag_num,
+           CASE WHEN l_linenumber <= 2
+                THEN string_split('a b', ' ')[l_linenumber] END AS tok
+    FROM lineitem
+    """,
+    doc="Error-safe scalar family (Spark 4 runs ANSI mode by default, "
+    "where 1/0 and bad casts are runtime ERRORS that kill the job at "
+    "row 3 billion): try_divide turns division-by-zero into NULL, "
+    "try_cast turns unparseable strings into NULL, try_element_at "
+    "indexes past array bounds as NULL. The oracle reproduces each with "
+    "DuckDB's NULLIF / TRY_CAST / guarded-index equivalents. The "
+    "dirty-data survival kit for 100 TB ingestion — one malformed row "
+    "must never abort a corpus-scale job.",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 4
+        ).alias("per_unit"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+            "flag_num"
+        ),
+        F.try_element_at(
+            F.split(F.lit("a b"), " "), F.col("l_linenumber").cast("int")
+        ).alias("tok"),
+    )
