@@ -564,3 +564,72 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_HOPS_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM {pairs}
+        UNION
+        SELECT doc_b, doc_a FROM {pairs}
+    ),
+    hops(src, dst, hop) AS (
+        SELECT a, b, 1 FROM edges
+        UNION ALL
+        SELECT h.src, e.b, h.hop + 1
+        FROM hops h JOIN edges e ON h.dst = e.a
+        WHERE h.hop < 2 AND e.b <> h.src
+    )
+    SELECT src AS doc_id, dst AS neighbor, CAST(MIN(hop) AS INT) AS hops
+    FROM hops
+    WHERE src <> dst
+    GROUP BY src, dst
+"""
+
+
+@register(
+    "q_dedup_hops",
+    oracle=None,  # late-bound below (shares the md5 minhash CTEs)
+    doc="Bounded 2-hop neighborhoods over the near-dup pair graph, "
+    "executed as a RECURSIVE CTE (Spark 4 WITH RECURSIVE — the new "
+    "iterative-union executor, exercised here on real LSH output): for "
+    "each document, every near-duplicate reachable in <=2 hops with its "
+    "minimum hop count — the 'expand the dup cluster around this doc' "
+    "primitive reviewers use before deleting. The recursion is depth-"
+    "bounded so each iteration is one self-join of the (tiny) pair "
+    "graph, never the corpus; DuckDB runs the IDENTICAL recursive shape "
+    "over the shared-hash-family pairs. Contrast: q_dedup_clusters "
+    "needs unbounded reach and therefore uses the label-propagation "
+    "loop; bounded-radius questions fit the recursive form directly.",
+)
+def q_dedup_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("__dup_pairs")
+    return spark.sql(_HOPS_RECURSIVE_SQL.format(pairs="__dup_pairs"))
+
+
+def _hops_oracle() -> str:
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+    )
+    ctes = _minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    body = _HOPS_RECURSIVE_SQL.format(pairs="pairs")
+    # strip the standalone WITH RECURSIVE header; splice into the CTE chain
+    body = body.replace("WITH RECURSIVE edges AS", "edges AS", 1)
+    return f"""
+    {ctes},
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b
+        WHERE ROUND(({match_sum}) / {float(N_HASHES)}, 4)
+              >= {MINHASH_THRESHOLD}
+    ),
+    {body}
+    """
+
+
+_qh = _registry.REGISTRY["q_dedup_hops"]
+_registry.REGISTRY["q_dedup_hops"] = _registry.Query(
+    name=_qh.name, fn=_qh.fn, oracle=_hops_oracle(), doc=_qh.doc
+)
