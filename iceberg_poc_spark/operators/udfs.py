@@ -190,3 +190,52 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normed.select(
         "c_custkey", "c_mktsegment", F.round("bal_norm", 6).alias("bal_norm")
     )
+
+
+from pyspark.sql.functions import udtf  # noqa: E402
+
+
+@udtf(returnType="word string, pos int", useArrow=True)
+class _TokenizeUDTF:
+    """Real Python UDTF (Spark 4 @udtf API): one input row -> one output
+    row per token, with position. Arrow-evaluated (useArrow=True), so the
+    plan node is ArrowEvalPythonUDTF, not row-at-a-time BatchEvalPython —
+    the same batched data path the plan-hygiene gate enforces everywhere.
+    """
+
+    def eval(self, text: str):
+        for i, w in enumerate(text.split(" ")):
+            yield w, i
+
+
+@register(
+    "q_udtf_lateral",
+    oracle="""
+    SELECT doc_id,
+           list_extract(words, CAST(i AS INT)) AS word,
+           CAST(i - 1 AS INT) AS pos
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               UNNEST(range(1, len(words) + 1)) AS i
+        FROM documents
+    )
+    """,
+    doc="Registered Python UDTF invoked through SQL LATERAL — the real "
+    "UDTF API (spark.udtf.register + LATERAL correlation), complementing "
+    "q_udtf_sentences' mapInPandas formulation of the same shape: each "
+    "document row laterally explodes into (word, position) rows produced "
+    "by Python. Arrow-batched (ArrowEvalPythonUDTF); the oracle is "
+    "DuckDB's UNNEST-with-subscript desugaring. Row expansion is "
+    "pipeline-local: no shuffle, parallelism = scan splits.",
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("tokenize_udtf", _TokenizeUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos
+        FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
