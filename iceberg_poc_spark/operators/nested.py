@@ -76,8 +76,15 @@ def q_fn_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line.qty").alias("qty"),
         F.explode("line.tags").alias("tag"),
     )
-    return tags.groupBy("tag").agg(
-        F.count("*").alias("n_lines"),
-        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
-        F.sum("qty").alias("sum_qty"),
+    # explicit two-phase distinct: pre-aggregate to (tag, order) grain,
+    # then count pairs — same numbers as count_distinct, but the partial
+    # agg combines map-side BEFORE the shuffle, so the exchange carries
+    # one row per (tag, order) instead of one per exploded tag row
+    pairs = tags.groupBy("tag", "l_orderkey").agg(
+        F.count("*").alias("c"), F.sum("qty").alias("s")
+    )
+    return pairs.groupBy("tag").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_orders"),
+        F.sum("s").alias("sum_qty"),
     )
