@@ -18,6 +18,7 @@ from iceberg_poc_spark.operators import (  # noqa: F401
     setops,
     similarity,
     sorts,
+    sources_q,
     subqueries,
     tablelayer,
     text,

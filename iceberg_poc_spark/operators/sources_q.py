@@ -1,0 +1,178 @@
+"""Format round-trips as oracle-checked queries: CSV, JSON, ORC, and raw
+text (the complete non-parquet source surface of `sources/formats.py`,
+previously only pytest-verified).
+
+Each query writes a table slice out through the format's sink ONCE per
+process per sf_dir (same paid-at-write-time convention as
+operators/tablelayer.py), reads it back through the schema-explicit
+reader, and aggregates; the DuckDB oracle computes the same aggregate
+from the ORIGINAL parquet — so any fidelity loss in the round-trip
+(type coercion, timestamp formatting, quoting, compression) breaks the
+value hash. This is the failure class text formats actually have at
+ingest scale: everything-is-string CSV, silently local-timezone JSON
+timestamps, truncated doubles.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.registry import register
+from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.sources.formats import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_text,
+    write_csv,
+    write_json,
+    write_orc,
+    write_text,
+)
+
+_FMT_READY: set[str] = set()
+
+
+def _fmt_dir(sf_dir: str, name: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"fmtq_{os.getpid()}_{key}")
+    return os.path.join(root, name)
+
+
+def _once(path: str) -> bool:
+    """True if the caller should perform the one-time write for ``path``."""
+    if path in _FMT_READY:
+        return False
+    root = os.path.dirname(path)
+    if root not in _FMT_READY:
+        _FMT_READY.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _FMT_READY.add(path)
+    return True
+
+
+@register(
+    "q_source_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="CSV round-trip fidelity: customer is written through the gzip "
+    "CSV sink and read back with an EXPLICIT schema (never inference — "
+    "at 100 TB inference is a full extra pass and everything-is-string "
+    "types), then aggregated. The oracle aggregates the original "
+    "parquet, so a double truncated in formatting or an int read as "
+    "string breaks the hash. Scale note: gzip CSV is not splittable — "
+    "the sink writes one file per task so read parallelism survives.",
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fmt_dir(sf_dir, "customer_csv")
+    cust = load_table(spark, sf_dir, "customer")
+    if _once(path):
+        write_csv(cust, path)
+    back = read_csv(spark, path, schema=cust.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "q_source_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON-lines round-trip fidelity: events — including a "
+    "timestamp column and a nested-quoted JSON string column (props) — "
+    "written through the gzip JSON sink and read back schema-explicit. "
+    "Timestamps are the classic JSON trap (silently local-tz or "
+    "truncated); the MAX(ts) in the result proves microsecond-faithful "
+    "wall-clock round-trip against the original parquet.",
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fmt_dir(sf_dir, "events_json")
+    ev = load_table(spark, sf_dir, "events")
+    if _once(path):
+        write_json(ev, path)
+    back = read_json(spark, path, schema=ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="ORC round-trip fidelity: a half-year lineitem slice written "
+    "through the zstd ORC sink and read back self-describing (ORC "
+    "embeds schema + column stats, so like parquet it needs no schema "
+    "argument and keeps predicate pushdown). Single-row aggregate "
+    "checked against the original parquet.",
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fmt_dir(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    if _once(path):
+        write_orc(li, path)
+    back = read_orc(spark, path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_source_text",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(len(text)) AS INT) AS min_len,
+           CAST(MAX(len(text)) AS INT) AS max_len
+    FROM documents
+    """,
+    doc="Raw-text round-trip: the corpus written one document per line "
+    "through the gzip text sink (the ingest format LLM pipelines "
+    "actually receive) and read back line-per-row — counts and exact "
+    "character totals must survive, proving no line splitting, "
+    "truncation, or encoding drift against the original parquet.",
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fmt_dir(sf_dir, "documents_txt")
+    docs = load_table(spark, sf_dir, "documents")
+    if _once(path):
+        write_text(docs.select("text"), path)
+    back = read_text(spark, path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).cast("int").alias("min_len"),
+        F.max(F.length("value")).cast("int").alias("max_len"),
+    )
