@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -365,4 +365,79 @@ def sample_frames(
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         kernel, schema=FRAMES_SCHEMA
+    )
+
+
+def feature_hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload -> LONG-FORM exact histogram counts
+    (doc_id, bin, cnt) over the decoded samples' high nibble. Integer
+    counts (not the float32 normalized vector of extract_features) so the
+    downstream share division happens JVM-side in float64 — exactly
+    reproducible by the oracle; a float32 share would flake at the 4-dp
+    rounding boundary."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, bins, cnts = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_media(bytes(p))
+            arr = np.asarray(m["samples"], dtype=np.uint8).reshape(-1)
+            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)
+            for b in range(FEATURE_DIM):
+                doc_ids.append(int(doc_id))
+                bins.append(b)
+                cnts.append(int(hist[b]))
+        yield pd.DataFrame({"doc_id": doc_ids, "bin": bins, "cnt": cnts})
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, doc_id % 3 AS kid,
+               CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 8
+                               WHEN 1 THEN doc_id % 24 + 4
+                               ELSE doc_id % 1000 + 100 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN (doc_id * 3) % 24 + 8
+                               WHEN 1 THEN (doc_id * 5) % 16 + 4
+                               ELSE 1 END AS h
+        FROM documents
+    ),
+    n AS (SELECT doc_id, CASE WHEN kid = 2 THEN w ELSE w * h * 3 END AS npix
+          FROM m),
+    s AS (
+        SELECT doc_id, npix,
+               CAST(((doc_id + UNNEST(range(npix))) % 256) // 16 AS INT) AS bin
+        FROM n
+    )
+    SELECT doc_id, bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {dround("CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(npix)", 4)} AS share
+    FROM s GROUP BY doc_id, bin
+    """,
+    doc="Multimodal feature extraction as an oracle-checked query: decode "
+    "the real container bytes, histogram the samples' high nibble "
+    "(16 bins — the deterministic stand-in for an embedding extractor), "
+    "and report per-bin EXACT counts plus the float64 share. The kernel "
+    "emits integer counts so the share division runs JVM-side in "
+    "float64, bit-identical to the oracle's closed-form recomputation "
+    "from doc_id; empty bins are absent on both sides (long-form "
+    "sparsity). Chained Arrow kernels, map-side; the aggregate shuffles "
+    "(doc, bin) count rows, never payload bytes.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    media = docs.select("doc_id").mapInPandas(
+        encode_media_batches, schema="doc_id long, payload binary"
+    )
+    hist = media.mapInPandas(
+        feature_hist_batches, schema="doc_id long, bin int, cnt long"
+    )
+    total = Window.partitionBy("doc_id")
+    return (
+        hist.filter(F.col("cnt") > 0)
+        .withColumn(
+            "share",
+            F.round(F.col("cnt").cast("double") / F.sum("cnt").over(total), 4),
+        )
     )
