@@ -602,7 +602,11 @@ _HOPS_RECURSIVE_SQL = """
     "loop; bounded-radius questions fit the recursive form directly.",
 )
 def q_dedup_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint materializes the (tiny) pair list ONCE before the
+    # recursion: the recursive executor re-reads its source per iteration,
+    # and a lazy view would re-run the whole LSH pipeline each time
+    # (measured 2.9s -> 2.1s at sf0.1)
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     pairs.createOrReplaceTempView("__dup_pairs")
     return spark.sql(_HOPS_RECURSIVE_SQL.format(pairs="__dup_pairs"))
 
