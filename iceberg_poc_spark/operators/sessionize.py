@@ -319,3 +319,39 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round("z_raw", 4).alias("z")
         )
     )
+
+
+@register(
+    "q_stream_live_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="LIVE Structured Streaming behind the differential gate: the "
+    "actual readStream pipeline (file source -> watermark -> tumbling "
+    "window agg) drains under Trigger.AvailableNow into a memory sink "
+    "in COMPLETE mode — every window is emitted, no open-window "
+    "truncation — and the drained table must match the oracle's batch "
+    "aggregate over the same events exactly. This is the streaming/batch "
+    "unification promise (same F.window semantics both modes) checked "
+    "value-for-value by the driver, not just in pytest. availableNow is "
+    "also the production backfill trigger: one call processes the "
+    "backlog as micro-batches and stops.",
+)
+def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_memory,
+        tumbling_stream,
+    )
+
+    stream = tumbling_stream(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    run_to_memory(stream, "live_tumbling", output_mode="complete")
+    return spark.table("live_tumbling")
