@@ -46,16 +46,22 @@ def _fmt_dir(sf_dir: str, name: str) -> str:
     return os.path.join(root, name)
 
 
-def _once(path: str) -> bool:
-    """True if the caller should perform the one-time write for ``path``."""
+def _ensure(path: str, write) -> None:
+    """Perform the one-time write for ``path`` if it hasn't succeeded yet.
+
+    ``path`` is marked ready only AFTER ``write()`` returns: if the write
+    throws (disk pressure, interrupted job), the next invocation retries
+    instead of reading a missing or partial directory. The cleanup root is
+    registered up front so even a failed partial write is reaped at exit.
+    """
     if path in _FMT_READY:
-        return False
+        return
     root = os.path.dirname(path)
     if root not in _FMT_READY:
         _FMT_READY.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+    write()
     _FMT_READY.add(path)
-    return True
 
 
 @register(
@@ -78,8 +84,7 @@ def _once(path: str) -> bool:
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_dir(sf_dir, "customer_csv")
     cust = load_table(spark, sf_dir, "customer")
-    if _once(path):
-        write_csv(cust, path)
+    _ensure(path, lambda: write_csv(cust, path))
     back = read_csv(spark, path, schema=cust.schema)
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_cust"),
@@ -93,27 +98,28 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2) AS sum_value,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
     FROM events
     GROUP BY 1
     """,
     doc="JSON-lines round-trip fidelity: events — including a "
     "timestamp column and a nested-quoted JSON string column (props) — "
     "written through the gzip JSON sink and read back schema-explicit. "
-    "Timestamps are the classic JSON trap (silently local-tz or "
-    "truncated); the MAX(ts) in the result proves microsecond-faithful "
-    "wall-clock round-trip against the original parquet.",
+    "Timestamps are the classic JSON trap: Spark's DEFAULT JSON fraction "
+    "is millis (.SSS), a silent microsecond truncation — the sink/source "
+    "pin 6-digit fractions (sources/formats.py JSON_OPTIONS) and the "
+    "MAX(ts) here is formatted at MICROSECOND granularity on both "
+    "engines, so any sub-second loss in the round-trip breaks the hash.",
 )
 def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_dir(sf_dir, "events_json")
     ev = load_table(spark, sf_dir, "events")
-    if _once(path):
-        write_json(ev, path)
+    _ensure(path, lambda: write_json(ev, path))
     back = read_json(spark, path, schema=ev.schema)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     )
 
 
@@ -139,8 +145,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
     )
-    if _once(path):
-        write_orc(li, path)
+    _ensure(path, lambda: write_orc(li, path))
     back = read_orc(spark, path)
     return back.agg(
         F.count("*").alias("n_lines"),
@@ -167,8 +172,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fmt_dir(sf_dir, "documents_txt")
     docs = load_table(spark, sf_dir, "documents")
-    if _once(path):
-        write_text(docs.select("text"), path)
+    _ensure(path, lambda: write_text(docs.select("text"), path))
     back = read_text(spark, path)
     return back.agg(
         F.count("*").alias("n_lines"),

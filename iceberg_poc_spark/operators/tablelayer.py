@@ -169,10 +169,18 @@ def _setup_events_wap(spark: SparkSession, sf_dir: str) -> tuple:
     mgr.append(
         "events_wap", ev.filter(F.col("event_type") == "error"), ref="audit"
     )
-    # the audit step: validate the staged branch before anyone sees it
+    # the audit step: validate the staged branch before anyone sees it.
+    # An explicit raise, not assert — `python -O` compiles asserts out,
+    # which would silently turn the audit gate into an unconditional
+    # publish.
     n_err = ev.filter(F.col("event_type") == "error").count()
     staged = mgr.read("events_wap", ref="audit")
-    assert staged.filter(F.col("event_type") == "error").count() == n_err
+    staged_err = staged.filter(F.col("event_type") == "error").count()
+    if staged_err != n_err:
+        raise RuntimeError(
+            f"WAP audit failed: staged branch has {staged_err} error "
+            f"events, expected {n_err} — not publishing"
+        )
     mgr.fast_forward("events_wap", "audit")
     _READY[key] = {"wap_base": wap_base}
     return mgr, _READY[key]

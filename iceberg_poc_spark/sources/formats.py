@@ -14,6 +14,14 @@ from pyspark.sql.types import StructType
 
 CSV_OPTIONS = {"header": "true", "escape": '"', "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss"}
 
+# Spark's JSON sink default fraction is millis (.SSS) — silently lossy for
+# microsecond timestamps. Pin 6-digit fractions on BOTH timestamp kinds so
+# the round-trip is exact (q_source_json's last_ts_us check enforces it).
+JSON_OPTIONS = {
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS[XXX]",
+}
+
 
 def read_csv(
     spark: SparkSession,
@@ -43,7 +51,7 @@ def read_json(
     schema: StructType | None = None,
     infer: bool = False,
 ) -> DataFrame:
-    r = spark.read
+    r = spark.read.options(**JSON_OPTIONS)
     if schema is not None:
         r = r.schema(schema)
     elif not infer:
@@ -52,7 +60,9 @@ def read_json(
 
 
 def write_json(df: DataFrame, path: str, compression: str = "gzip") -> None:
-    df.write.option("compression", compression).mode("overwrite").json(path)
+    df.write.options(**JSON_OPTIONS).option("compression", compression).mode(
+        "overwrite"
+    ).json(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
