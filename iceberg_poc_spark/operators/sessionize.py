@@ -355,3 +355,71 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "live_tumbling", output_mode="complete")
     return spark.table("live_tumbling")
+
+
+def _setup_events_live(spark: SparkSession, sf_dir: str):
+    """events_live: the production streaming ingest loop, once per process
+    per sf_dir (same paid-at-ingest convention as operators/tablelayer.py):
+    readStream over the events parquet -> foreachBatch, each micro-batch
+    ONE atomic snapshot append into the event_type-partitioned table
+    (exactly-once per epoch via the streaming checkpoint) -> sorted
+    compaction folds the micro-batch fragments."""
+    import os
+
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_table,
+    )
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_live")
+    if key in _READY:
+        return mgr
+    stream = load_events_stream(spark, table_path(sf_dir, "events"))
+    mgr.create_table("events_live", stream.schema, [identity("event_type")])
+    run_to_table(
+        stream, mgr, "events_live", os.path.join(wh, "_ckpt_events_live")
+    )
+    mgr.compact("events_live", sort_by=["ts"])
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_stream_live_to_table",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           strftime(MAX(ts), '{_FMT_DUCK}.%f') AS last_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="LIVE streaming into the TABLE LAYER behind the differential "
+    "gate — the production sink, not the memory sink: the actual "
+    "readStream pipeline drains under Trigger.AvailableNow through "
+    "foreachBatch, each micro-batch committed as ONE atomic snapshot "
+    "append to the event_type-partitioned snapshot table (exactly-once "
+    "per epoch with checkpointing — the streaming form of the "
+    "reference's atomic bulk commit, "
+    "BulkParquetToIcebergAtomicMultipart.java:97-101), then sorted "
+    "compaction folds the micro-batch files. The query reads the TABLE "
+    "back through snapshot resolution (manager.read) and must match the "
+    "oracle's aggregate over the raw events — counts, 2-dp value sums, "
+    "and the max timestamp at MICROSECOND granularity, so any row lost, "
+    "duplicated, or time-truncated anywhere in the stream->commit->"
+    "compact->read loop breaks the hash. Checkpoint recovery (kill "
+    "mid-stream, resume, no double-append) is separately proven in "
+    "tests/test_streaming.py.",
+)
+def q_stream_live_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_events_live(spark, sf_dir)
+    df = mgr.read("events_live")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.max("ts"), _FMT_SPARK + ".SSSSSS").alias("last_ts"),
+    )

@@ -38,6 +38,8 @@ CUTOFF = "1998-01-01 00:00:00"
 MERGE_KEY_OFFSET = 100_000_000
 OVERWRITE_YEAR = 1999
 EVOLVE_NATION_SPLIT = 12
+PE_DATE_LO = "1997-01-01 00:00:00"
+PE_PRIORITY = "1-URGENT"
 
 # (warehouse, table) -> snapshot bookmarks; presence of the key means that
 # table's setup commits are done. PER-TABLE laziness, not one big setup:
@@ -146,6 +148,31 @@ def _setup_cust_ev(spark: SparkSession, sf_dir: str) -> tuple:
         ),
     )
     mgr.rename_column("cust_ev", "c_name", "c_fullname")
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+def _setup_orders_pe(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_pe: partition-SPEC evolution across file generations.
+    Generation 1 (orders < CUTOFF) is written under spec A =
+    [years(o_orderdate)]; the spec then evolves (ADD PARTITION FIELD
+    identity(o_orderpriority) — metadata-only, no file rewritten) and
+    generation 2 (orders >= CUTOFF) lands under spec B = [years, priority].
+    """
+    from iceberg_poc_spark.tables import identity, years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_pe")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    mgr.create_table("orders_pe", orders.schema, [years("o_orderdate")])
+    mgr.append("orders_pe", orders.filter(F.col("o_orderdate") < cutoff))
+    mgr.add_partition_field("orders_pe", identity("o_orderpriority"))
+    mgr.append("orders_pe", orders.filter(F.col("o_orderdate") >= cutoff))
     _READY[key] = {}
     return mgr, _READY[key]
 
@@ -427,4 +454,45 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("l_quantity").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_partition_evolution",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{PE_DATE_LO}'
+      AND o_orderpriority = '{PE_PRIORITY}'
+    GROUP BY 1
+    """,
+    doc="Partition-spec evolution read (≙ ALTER TABLE ADD PARTITION "
+    "FIELD, aig/TimeBasedPartitioningExamples.java:211-223): generation-1 "
+    "files were written under years(o_orderdate) only; the spec then "
+    "gained identity(o_orderpriority) — a metadata-only commit, zero "
+    "files rewritten — and generation 2 landed under the two-level "
+    "layout. The probe filters on BOTH dimensions and scans through the "
+    "manifest planner: the date bound prunes files of EITHER generation "
+    "by their years partition value, the priority bound prunes "
+    "generation-2 files by their identity partition value (generation-1 "
+    "files lack that value and are conservatively kept, finished by the "
+    "row-level residual). Per-generation planned-file assertions live in "
+    "tests/test_tablelayer.py. The oracle reconstructs the same filtered "
+    "state from raw parquet. At 100 TB this is how a table re-partitions "
+    "as query patterns change — without rewriting history.",
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_pe(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "orders_pe",
+        where=[
+            ("o_orderdate", ">=", PE_DATE_LO),
+            ("o_orderpriority", "==", PE_PRIORITY),
+        ],
+    )
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )

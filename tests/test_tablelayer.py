@@ -166,3 +166,68 @@ def test_compaction_reduces_files_preserves_rows(spark):
     )
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "sorted compaction must produce disjoint ranges"
+
+
+def test_partition_evolution_prunes_each_generation(spark):
+    """Per-spec-generation planning: the date bound prunes files of BOTH
+    generations via their years value; the priority bound prunes only
+    generation-2 files (generation-1 lacks the partition value and is
+    conservatively kept by the manifest planner)."""
+    mgr, _snaps = tablelayer._setup_orders_pe(spark, SF_DIR)
+    m = mgr._load_manifest("orders_pe")
+
+    def split(files):
+        gen1 = [e for e in files if "o_orderpriority" not in e["partition"]]
+        gen2 = [e for e in files if "o_orderpriority" in e["partition"]]
+        return gen1, gen2
+
+    gen1_all, gen2_all = split(m["files"])
+    assert gen1_all and gen2_all, "both spec generations must have files"
+
+    # date-only probe: prunes within BOTH generations (years partition
+    # value exists in each); gen-1 spans 1995-1997, so years < 1997 drop
+    _df, planned_date, total = mgr.scan(
+        "orders_pe", where=[("o_orderdate", ">=", tablelayer.PE_DATE_LO)]
+    )
+    assert planned_date < total
+
+    # priority-only probe: every gen-1 file kept (conservative), gen-2
+    # pruned to the one priority's files
+    from iceberg_poc_spark.tables.manager import _may_match, _stats_may_match
+
+    spec = mgr._spec(m)
+    pri_where = [("o_orderpriority", "==", tablelayer.PE_PRIORITY)]
+    plan_pri = [e for e in m["files"] if _may_match(spec, e, pri_where)]
+    g1, g2 = split(plan_pri)
+    # gen-1 has no priority partition value: the planner may drop a gen-1
+    # file only via column STATS, never via partition values
+    g1_stats_kept = [
+        e
+        for e in gen1_all
+        if _stats_may_match(e, "o_orderpriority", "==", tablelayer.PE_PRIORITY)
+    ]
+    assert len(g1) == len(g1_stats_kept), "gen-1 conservatively kept"
+    assert len(g2) < len(gen2_all), "gen-2 pruned by identity value"
+    assert all(
+        e["partition"]["o_orderpriority"] == tablelayer.PE_PRIORITY for e in g2
+    )
+
+    # combined probe (the registered query's scan): no wrong rows and
+    # exact agreement with the raw-parquet filter
+    df, planned_both, _ = mgr.scan(
+        "orders_pe",
+        where=[
+            ("o_orderdate", ">=", tablelayer.PE_DATE_LO),
+            ("o_orderpriority", "==", tablelayer.PE_PRIORITY),
+        ],
+    )
+    assert planned_both <= planned_date
+    expect = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(tablelayer.PE_DATE_LO).cast("timestamp_ntz"))
+            & (F.col("o_orderpriority") == tablelayer.PE_PRIORITY)
+        )
+        .count()
+    )
+    assert df.count() == expect
