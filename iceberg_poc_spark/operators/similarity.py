@@ -94,7 +94,13 @@ def _hamming_sql(a: str, b: str, n: int) -> str:
     LIMIT {IVF_TOP_K}
     """,
     doc="IVF/LSH approximate nearest neighbors: probe the query's sign-LSH "
-    "cell plus Hamming-1 neighbor cells, exact cosine within probed cells.",
+    "cell plus Hamming-1 neighbor cells, exact cosine within probed cells. "
+    "Measured quality (tests/test_ann_recall.py, >=25 strided probes vs "
+    "brute-force ground truth): mean recall@5 ~0.46-0.48 scanning ~31% "
+    "of the corpus on the synthetic isotropic embeddings — the LSH floor "
+    "case (no cluster structure); widening the probe to Hamming<=2 "
+    "raises recall to ~0.84-0.89 at ~69% scanned. The probe radius is "
+    "the recall/cost knob.",
 )
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -198,7 +204,11 @@ def _ann_pruned_scan(spark: SparkSession, sf_dir: str):
     "only the 1+bits matching cells) instead of scanning every vector "
     "and filtering. Same result as q_sim_ann_ivf (same oracle); at "
     "100 TB the unprobed ~11/16 of the corpus is never read. Table write "
-    "is once-per-process (ingest-time cost, like any IVF index build).",
+    "is once-per-process (ingest-time cost, like any IVF index build). "
+    "Approximation quality is quantified, not just oracle-consistent: "
+    "mean recall@5 ~0.46-0.48 at ~31% scan fraction on the isotropic "
+    "synthetic corpus, ~0.84-0.89 at Hamming<=2 (tests/test_ann_recall."
+    "py asserts the floors and the radius knob).",
 )
 def q_sim_ann_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, _planned, _total, qemb = _ann_pruned_scan(spark, sf_dir)
