@@ -556,11 +556,52 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return keep_first(d)
+
+
+def keep_first(
+    d: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
+    """Surviving rows of exact dedup: the smallest doc_id per distinct
+    text, selected by content hash.
+
+    Default plan (registered query): ONE shuffle — window MIN partitioned
+    by md5(text). Each distinct text's rows land in one task; fine while
+    duplicate multiplicity stays bounded.
+
+    ``salt_buckets=N`` switches to the salted two-phase min for
+    pathologically hot keys (one text duplicated millions of times — a
+    boilerplate page at crawl scale): phase 1 windows over
+    (md5, doc_id%N), bounding any task's share of a hot key to ~1/N of
+    its rows, and keeps only LOCAL minima (the global keeper is by
+    definition also a local minimum, so it survives; at most N candidate
+    rows per distinct text remain). Phase 2 re-windows the candidates
+    over md5 alone — now at most N rows per key, skew-free by
+    construction — and keeps the global minimum. Worst-case smoke with
+    task-size assertions: tests/test_scale_smoke.py. The tradeoff is a
+    second (tiny, candidates-only on dup-heavy data) shuffle, which is
+    why the uniform-corpus default stays single-window.
+    """
+    h = F.md5(F.col("text").cast("binary"))
+    if not salt_buckets:
+        keeper = F.min("doc_id").over(Window.partitionBy(h))
+        return (
+            d.withColumn("keeper", keeper)
+            .filter(F.col("doc_id") == F.col("keeper"))
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+    salt = F.pmod(F.col("doc_id"), F.lit(salt_buckets))
+    local_min = F.min("doc_id").over(Window.partitionBy(h, salt))
+    candidates = (
+        d.withColumn("lmin", local_min)
+        .filter(F.col("doc_id") == F.col("lmin"))
+        .drop("lmin")
+    )
     keeper = F.min("doc_id").over(
         Window.partitionBy(F.md5(F.col("text").cast("binary")))
     )
     return (
-        d.withColumn("keeper", keeper)
+        candidates.withColumn("keeper", keeper)
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "lang", "source", "n_chars")
     )

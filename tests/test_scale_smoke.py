@@ -99,3 +99,66 @@ def test_join_multiplicity_at_10x(spark):
     assert set(big) == set(base)
     for k, n in base.items():
         assert big[k] == X * n
+
+
+def test_keep_first_pathological_hot_key(spark):
+    """Worst-case dedup skew: ONE distinct text duplicated 600k times —
+    every row shares a single md5 shuffle key. The salted two-phase min
+    (operators/dedup.keep_first(salt_buckets=N)) must (a) produce the
+    same single keeper, (b) bound any phase-1 task's share of the hot key
+    to ~1/N of its rows (asserted on actual post-shuffle partition
+    sizes), and (c) agree row-for-row with the single-window plan on a
+    NORMAL mixed corpus."""
+    from iceberg_poc_spark.operators.dedup import keep_first
+
+    n_rows, n_salts = 600_000, 32
+    hot = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page " * 20).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("crawl").alias("source"),
+        F.lit(520).alias("n_chars"),
+    )
+
+    kept = keep_first(hot, salt_buckets=n_salts).collect()
+    assert [(r.doc_id, r.lang) for r in kept] == [(0, "en")]
+
+    # boundedness of the phase-1 window input: the hot key must split
+    # into n_salts equal groups in KEY space...
+    h = F.md5(F.col("text").cast("binary"))
+    salt = F.pmod(F.col("doc_id"), F.lit(n_salts))
+    group_sizes = [
+        r["count"] for r in hot.groupBy(h, salt).count().collect()
+    ]
+    assert len(group_sizes) == n_salts
+    assert max(group_sizes) == n_rows // n_salts
+    # ...and in TASK space: real rows-per-partition after the (md5, salt)
+    # shuffle, with enough partitions that hash-bin collisions between
+    # salt groups stay small (the unsalted window puts all n_rows in ONE
+    # task regardless of partition count)
+    sizes = (
+        hot.repartition(8 * n_salts, h, salt)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    max_part = max(r["count"] for r in sizes)
+    assert max_part <= 4 * n_rows / n_salts, f"hot key not split: {max_part}"
+
+    # phase-2 input is candidates only: exactly n_salts rows for the hot
+    # key, independent of duplication depth
+    cands = (
+        hot.withColumn("lmin", F.min("doc_id").over(Window.partitionBy(h, salt)))
+        .filter(F.col("doc_id") == F.col("lmin"))
+        .count()
+    )
+    assert cands == n_salts
+
+    # same survivors as the single-window registered plan on a normal mix
+    docs = load_table(spark, SF_BIG, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    plain = {r.doc_id for r in keep_first(docs).collect()}
+    salted = {r.doc_id for r in keep_first(docs, salt_buckets=8).collect()}
+    assert salted == plain
