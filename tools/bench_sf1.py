@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Synthetic-sf1 headline sweep: materialize a RE-KEYED 10x copy of the
+sf0.1 corpus (not a plain union — fact-table primary keys are offset per
+replica so join fan-out, group cardinalities, and duplicate multiplicity
+all scale the way real growth scales them), then time the most expensive
+headline queries on it and record BENCH_sf1.json.
+
+Re-keying scheme (replica r in 0..9, replica 0 = identity so anchored
+constants like QUERY_VEC_ID=0 stay valid):
+- orders.o_orderkey / lineitem.l_orderkey: +r*1e9 (consistent, so the
+  order-lineitem join multiplicity is preserved per replica)
+- events.event_id: +r*1e9 (user_id kept: 10x events per user)
+- documents.doc_id: +r*1e8, text KEPT (10x duplicate multiplicity — the
+  crawl-duplication stress dedup exists for)
+- embeddings.vec_id: +r*1e8
+- dimensions (region nation customer supplier part) stay 1x: facts grow
+  faster than dims, so per-customer/per-part fan-in grows 10x.
+
+Run from the repo root:  python tools/bench_sf1.py [out_json]
+Corpus dir override: SPARK_GRAFT_SF1_DIR (default: a fresh temp dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iceberg_poc_spark.registry import load_all  # noqa: E402
+from iceberg_poc_spark.session import get_spark  # noqa: E402
+from iceberg_poc_spark.sources import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+X = 10
+FACT_KEYS = {
+    "orders": [("o_orderkey", 1_000_000_000)],
+    "lineitem": [("l_orderkey", 1_000_000_000)],
+    "events": [("event_id", 1_000_000_000)],
+    "documents": [("doc_id", 100_000_000)],
+    "embeddings": [("vec_id", 100_000_000)],
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# the 10 most expensive queries of the r4/r5 sf0.1 full bench — the
+# headline set whose scaling trend this sweep records
+HEADLINE = [
+    "q_dedup_clusters",
+    "q_dedup_hops",
+    "q_fn_nested",
+    "q_join_salted",
+    "q_stream_live_tumbling",
+    "q_tpch_q2",
+    "q_join_bucketed",
+    "q_tpch_q21",
+    "q_compaction",
+    "q_decontaminate",
+]
+
+
+def build_corpus(spark, dst: str) -> None:
+    for t in DIMS:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    for t, keys in FACT_KEYS.items():
+        base = load_table(spark, SRC, t)
+        reps = []
+        for r in range(X):
+            df = base
+            for col, off in keys:
+                df = df.withColumn(col, F.col(col) + F.lit(r * off))
+            reps.append(df)
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
+    spark = get_spark(app_name="iceberg-poc-spark-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    cleanup = False
+    if not dst:
+        dst = tempfile.mkdtemp(prefix="sf1_corpus_")
+        cleanup = True
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        build_corpus(spark, dst)
+        print(f"corpus built in {time.perf_counter() - t0:.1f}s at {dst}",
+              file=sys.stderr)
+
+    queries = load_all()
+    ref = {}
+    if os.path.exists("BENCH_FULL.json"):
+        ref = json.load(open("BENCH_FULL.json"))["queries"]
+
+    timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            # warm the plan shape at sf0.1 (same methodology as bench.py)
+            queries[name].fn(spark, SRC).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.perf_counter()
+            queries[name].fn(spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            if ref.get(name, 0) > 0:
+                ratios[name] = round(timings[name] / ref[name], 2)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"BENCH_SF1 ERROR {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    doc = {
+        "metric": "headline_query_seconds_sf1_synthetic",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "x_vs_sf01": ratios,
+        "sf": "1.0-synthetic-rekeyed-10x",
+        "note": "10x re-keyed sf0.1; ratio vs the committed sf0.1 full "
+        "bench — linear-ish (<=10x) per query means no scaling cliff",
+    }
+    with open(out_json, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps(doc, separators=(",", ":")))
+    if cleanup:
+        shutil.rmtree(dst, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
