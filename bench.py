@@ -81,7 +81,14 @@ def main() -> None:
     # round-over-round deltas), and the stdout line carries the slowest
     # queries — every error (-1.0) first, then descending time — trimmed
     # to fit the capture window with slack for stray preceding output.
-    with open(os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"), "w") as f:
+    # Only the canonical sf0.1 run owns BENCH_FULL.json — other SFs write
+    # a suffixed file so an ad-hoc small-SF run can't clobber the
+    # committed round-over-round baseline (it did once: sf1-sweep ratios
+    # silently compared against sf0.01 times).
+    default_full = (
+        "BENCH_FULL.json" if sf == "0.1" else f"BENCH_FULL_sf{sf}.json"
+    )
+    with open(os.environ.get("SPARK_GRAFT_BENCH_FULL", default_full), "w") as f:
         json.dump(
             {
                 "metric": "total_query_seconds",

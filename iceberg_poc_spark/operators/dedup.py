@@ -559,6 +559,37 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_first(d)
 
 
+KEEP_FIRST_SALTS = 8
+
+
+@register(
+    "q_dedup_keep_first_salted",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        FROM documents
+    )
+    WHERE doc_id = keeper
+    """,
+    doc="The skew-proof form of q_dedup_keep_first, under the SAME oracle "
+    "(the two plans must be row-for-row interchangeable): salted "
+    "two-phase min — phase 1 windows over (md5(text), doc_id%8) so a "
+    "pathologically hot content hash (one boilerplate page duplicated "
+    "millions of times) splits across 8 tasks instead of stalling one, "
+    "and keeps only local minima; phase 2 re-windows the <=8 surviving "
+    "candidates per key for the global keeper. Cost on a uniform corpus: "
+    "one extra (tiny, candidates-only) shuffle — which is why the "
+    "single-window plan stays the default and this is the documented "
+    "escape hatch for dup-heavy corpora. Worst-case smoke with task-size "
+    "bounds: tests/test_scale_smoke.py.",
+)
+def q_dedup_keep_first_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return keep_first(d, salt_buckets=KEEP_FIRST_SALTS)
+
+
 def keep_first(
     d: DataFrame, salt_buckets: int | None = None
 ) -> DataFrame:
@@ -616,7 +647,7 @@ _HOPS_RECURSIVE_SQL = """
     hops(src, dst, hop) AS (
         SELECT a, b, 1 FROM edges
         UNION ALL
-        SELECT h.src, e.b, h.hop + 1
+        SELECT DISTINCT h.src, e.b, h.hop + 1
         FROM hops h JOIN edges e ON h.dst = e.a
         WHERE h.hop < 2 AND e.b <> h.src
     )
@@ -640,7 +671,17 @@ _HOPS_RECURSIVE_SQL = """
     "graph, never the corpus; DuckDB runs the IDENTICAL recursive shape "
     "over the shared-hash-family pairs. Contrast: q_dedup_clusters "
     "needs unbounded reach and therefore uses the label-propagation "
-    "loop; bounded-radius questions fit the recursive form directly.",
+    "loop; bounded-radius questions fit the recursive form directly. "
+    "Scale shape (exposed by the 10x re-keyed sf1 sweep, then fixed): "
+    "inside a dup CLUSTER of k copies the naive recursive step emits "
+    "every path — (k-1)^2 rows per node at hop 2 — which tripped Spark's "
+    "1M-row recursion guard at 10x duplication; the recursive term now "
+    "dedups per iteration (SELECT DISTINCT, identical on both engines: "
+    "UNION-distinct recursion is not yet in Spark 4.1), bounding each "
+    "iteration to distinct (src,dst,hop) — the output's own cardinality. "
+    "The guard itself is raised for this query: a depth-2-bounded "
+    "recursion cannot run away, and the legitimate result IS "
+    "sum-over-clusters k*(k-1) rows.",
 )
 def q_dedup_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint materializes the (tiny) pair list ONCE before the
@@ -649,6 +690,11 @@ def q_dedup_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.9s -> 2.1s at sf0.1)
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     pairs.createOrReplaceTempView("__dup_pairs")
+    # the 1M default guards against unbounded recursion; this recursion is
+    # depth-bounded (hop < 2), so the only effect of the default is to cap
+    # legitimate output size. Sticky session set (the returned DataFrame
+    # executes after this function returns, so set/restore would undo it).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark.sql(_HOPS_RECURSIVE_SQL.format(pairs="__dup_pairs"))
 
 

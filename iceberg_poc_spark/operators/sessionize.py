@@ -423,3 +423,45 @@ def q_stream_live_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.date_format(F.max("ts"), _FMT_SPARK + ".SSSSSS").alias("last_ts"),
     )
+
+
+@register(
+    "q_stream_live_join",
+    oracle=f"""
+    SELECT b.user_id,
+           strftime(v.ts, '{_FMT_DUCK}') AS view_time,
+           strftime(b.ts, '{_FMT_DUCK}') AS buy_time,
+           b.value
+    FROM events b
+    JOIN events v
+      ON b.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND b.ts >= v.ts
+     AND b.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE b.event_type = 'purchase'
+    """,
+    doc="LIVE stream-stream inner join behind the differential gate: the "
+    "actual attribution pipeline (purchases joined to prior views by the "
+    "same user within 1 hour) runs as a real watermarked stream-stream "
+    "join — both sides carry watermarks AND the join condition bounds "
+    "event time on both sides, which is what lets Spark expire join "
+    "state instead of buffering every view forever (unbounded state at "
+    "100 TB/day) — drained under Trigger.AvailableNow and matched "
+    "value-for-value against the oracle's relational self-join over the "
+    "same events. Complements q_stream_live_tumbling (stateful agg) and "
+    "q_stream_live_to_table (sink path): the three cover state, "
+    "correlation, and commit of the streaming story.",
+)
+def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        attribution_stream,
+        load_events_stream,
+        run_to_memory,
+    )
+
+    stream = attribution_stream(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    run_to_memory(stream, "live_attrib", output_mode="append")
+    return spark.table("live_attrib")

@@ -177,6 +177,39 @@ def _setup_orders_pe(spark: SparkSession, sf_dir: str) -> tuple:
     return mgr, _READY[key]
 
 
+def _setup_li_w(spark: SparkSession, sf_dir: str) -> tuple:
+    """li_w: type widening across file generations — batch 1 written with
+    NARROW types (l_orderkey int, l_quantity float), the columns then
+    widened (int->long, float->double: the value-preserving promotions
+    Iceberg permits, metadata-only), batch 2 written wide. Quantities are
+    integral 1..50 so the float generation is value-exact by construction
+    — the oracle needs no narrowing simulation."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "li_w")
+    if key in _READY:
+        return mgr, _READY[key]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+    )
+    narrow = li.select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").cast("float").alias("l_quantity"),
+        "l_returnflag",
+    )
+    mgr.create_table("li_w", narrow.schema, [])
+    mgr.append("li_w", narrow.filter(F.col("l_orderkey") % 2 == 0))
+    mgr.widen_column("li_w", "l_orderkey", "long")
+    mgr.widen_column("li_w", "l_quantity", "double")
+    mgr.append("li_w", li.filter(F.col("l_orderkey") % 2 == 1))
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
 def _setup_events_wap(spark: SparkSession, sf_dir: str) -> tuple:
     """events_wap: write-audit-publish branch flow."""
     from iceberg_poc_spark.tables import identity
@@ -454,6 +487,40 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("l_quantity").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_type_widening",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="Type widening read across heterogeneous file generations (≙ "
+    "Iceberg ALTER COLUMN TYPE int->long / float->double, the only "
+    "promotions that are value-preserving): generation-1 files hold "
+    "narrow int/float values, the widen commits are metadata-only (zero "
+    "files rewritten), generation 2 lands wide; the read up-casts old "
+    "files through the table schema so both generations aggregate as one "
+    "long/double column. The oracle aggregates the raw parquet — any "
+    "value corrupted by the promotion (or a disallowed narrowing slipped "
+    "through: manager.widen_column rejects those) breaks count, quantity "
+    "sum, and key sum. Quantities are integral so the float generation "
+    "is exact by construction.",
+)
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_li_w(spark, sf_dir)
+    df = mgr.read("li_w")
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_okey"),
     )
 
 

@@ -42,6 +42,12 @@ DEFAULT_CONF: dict[str, str] = {
     # broadcast threshold: default 10MB is fine; make it explicit so the
     # intent (dims broadcast, facts shuffle) is visible.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # local mode runs driver and all 32 executor threads in ONE JVM; the
+    # 1g driver default that suits a real cluster's driver-only process
+    # OOMs here once inputs outgrow toy SFs (first seen on the 10x sf1
+    # sweep). Only honored at session creation — a cluster deploy sets
+    # its own executor/driver sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
