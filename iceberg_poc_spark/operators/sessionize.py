@@ -463,5 +463,18 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = attribution_stream(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    run_to_memory(stream, "live_attrib", output_mode="append")
+    # A stateful streaming op materializes ONE state store per shuffle
+    # partition per join side per micro-batch — at this stream's volume,
+    # 32 partitions means 64 store commits that each cost more than the
+    # data they hold. Size the stateful parallelism to the stream (the
+    # batch-side restore below is safe: the drain is synchronous, and the
+    # memory sink's rows are already materialized). At 100 TB/day the
+    # same knob goes UP, not down — state parallelism should track
+    # stream volume, which is the point being made executable here.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_attrib", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_attrib")
