@@ -426,6 +426,49 @@ def q_stream_live_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_live_stateful",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="LIVE custom stateful operator behind the differential gate: "
+    "applyInPandasWithState holds a per-user counter that survives "
+    "across micro-batches (arbitrary state built-in aggs can't express "
+    "— the same handle could hold a sketch or model), emitting the "
+    "running count per user per batch in update mode. The drained "
+    "stream's FINAL value per user (MAX of a monotone counter) must "
+    "equal the oracle's batch COUNT(*) — micro-batch boundaries must "
+    "not lose or double-count state. State is one row per user (bounded "
+    "by key cardinality, not stream length); batches reach Python as "
+    "Arrow-backed pandas frames, vectorized per group. Completes the "
+    "live trio's fourth leg: agg window / join / table sink / custom "
+    "state.",
+)
+def q_stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_memory,
+        stateful_user_counts,
+    )
+
+    stream = stateful_user_counts(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    # same state-parallelism sizing rationale as q_stream_live_join
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_stateful", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("live_stateful")
+    return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
     "q_stream_live_join",
     oracle=f"""
     SELECT b.user_id,

@@ -177,6 +177,108 @@ def _setup_orders_pe(spark: SparkSession, sf_dir: str) -> tuple:
     return mgr, _READY[key]
 
 
+def _setup_cust_cdc(spark: SparkSession, sf_dir: str) -> tuple:
+    """cust_cdc: one MERGE applying a CDC batch — updates (BUILDING
+    balances +50), inserts (new CDC_NEW segment), and DELETES (negative-
+    balance MACHINERY customers) — in a single atomic commit, routed by
+    an ``op`` flag column that is not part of the table schema."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "cust_cdc")
+    if key in _READY:
+        return mgr, _READY[key]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mgr.create_table("cust_cdc", cust.schema, [identity("c_mktsegment")])
+    mgr.append("cust_cdc", cust)
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    cdc = (
+        bld.select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            bld.select(
+                (F.col("c_custkey") + F.lit(MERGE_KEY_OFFSET)).alias("c_custkey"),
+                F.lit("CDC_NEW").alias("c_mktsegment"),
+                F.lit(1.0).alias("c_acctbal"),
+                F.lit("I").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.filter(
+                (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 0)
+            ).select(
+                "c_custkey", "c_mktsegment", "c_acctbal", F.lit("D").alias("op")
+            )
+        )
+    )
+    mgr.merge("cust_cdc", cdc, on=["c_custkey"], delete_when=F.col("op") == "D")
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+def _setup_orders_dml(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_dml: row-level copy-on-write DELETE then UPDATE on a
+    years-partitioned table — each op rewrites only the files whose
+    partition values can hold matching rows."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_dml")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_dml", orders.schema, [years("o_orderdate")])
+    mgr.append("orders_dml", orders)
+    mgr.delete(
+        "orders_dml",
+        where=[
+            ("o_orderdate", ">=", "1998-01-01 00:00:00"),
+            ("o_orderdate", "<", "1999-01-01 00:00:00"),
+            ("o_totalprice", "<", 100000.0),
+        ],
+    )
+    mgr.update(
+        "orders_dml",
+        set_exprs={"o_totalprice": F.col("o_totalprice") + F.lit(5.0)},
+        where=[
+            ("o_orderdate", ">=", "2000-01-01 00:00:00"),
+            ("o_orderdate", "<", "2001-01-01 00:00:00"),
+        ],
+    )
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+def _setup_ev_exp(spark: SparkSession, sf_dir: str) -> tuple:
+    """ev_exp: fragment appends + compaction leave dead files behind;
+    expire_snapshots(keep_last=1) reaps expired manifests AND the data
+    files no surviving snapshot references."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "ev_exp")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    mgr.create_table("ev_exp", ev.schema, [identity("event_type")])
+    for k in range(3):
+        mgr.append("ev_exp", ev.filter(F.col("event_id") % 3 == k))
+    mgr.compact("ev_exp")
+    gc = mgr.expire_snapshots("ev_exp", keep_last=1)
+    _READY[key] = {"gc": gc}
+    return mgr, _READY[key]
+
+
 def _setup_li_w(spark: SparkSession, sf_dir: str) -> tuple:
     """li_w: type widening across file generations — batch 1 written with
     NARROW types (l_orderkey int, l_quantity float), the columns then
@@ -487,6 +589,111 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("l_quantity").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_merge_cdc",
+    oracle=f"""
+    WITH merged AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal + 50.0 ELSE c_acctbal END AS bal
+        FROM customer
+        WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
+        UNION ALL
+        SELECT c_custkey + {MERGE_KEY_OFFSET}, 'CDC_NEW', 1.0
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(bal), 2) AS total_bal
+    FROM merged
+    GROUP BY 1
+    """,
+    doc="CDC-apply MERGE (≙ Iceberg MERGE INTO ... WHEN MATCHED AND "
+    "src.op = 'D' THEN DELETE): ONE atomic commit applies a change batch "
+    "carrying updates (BUILDING balances +50), inserts (a new CDC_NEW "
+    "segment), and deletes (negative-balance MACHINERY customers), "
+    "routed by an op flag that is NOT a table column — the shape every "
+    "Debezium/binlog-style downstream apply has. Copy-on-write stays "
+    "partition-granular: delete rows contribute their partition values "
+    "to file selection, so MACHINERY files are rewritten but e.g. "
+    "HOUSEHOLD files survive byte-identical (tests/test_tablelayer.py). "
+    "The oracle reconstructs the post-apply state relationally.",
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_cust_cdc(spark, sf_dir)
+    df = mgr.read("cust_cdc")
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "q_row_dml",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN year(o_orderdate) = 2000
+                          THEN o_totalprice + 5.0
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    WHERE NOT (year(o_orderdate) = 1998 AND o_totalprice < 100000.0)
+    GROUP BY 1
+    """,
+    doc="Row-level DELETE + UPDATE, copy-on-write (≙ Iceberg CoW DELETE "
+    "FROM / UPDATE SET; the reference has no row-level ops at all): a "
+    "predicate delete removes cheap 1998 orders and a predicate update "
+    "reprices year-2000 orders, each as its own snapshot commit on the "
+    "years-partitioned table. The manifest planner rewrites ONLY the "
+    "files whose partition values can hold matching rows — 1998 files "
+    "for the delete, 2000 files for the update; every other year's files "
+    "survive byte-identical (asserted in tests/test_tablelayer.py). The "
+    "oracle reconstructs the final state relationally from raw parquet. "
+    "At 100 TB this is GDPR-erasure / backfill-correction cost: "
+    "proportional to the touched partitions, never the table.",
+)
+def q_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_dml(spark, sf_dir)
+    df = mgr.read("orders_dml")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_snapshot_expiry",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Snapshot expiry + orphan-file GC (≙ Iceberg expire_snapshots + "
+    "remove_orphan_files — the maintenance loop that stops metadata and "
+    "storage growing without bound under streaming ingest): three "
+    "fragment appends and a compaction leave dead pre-compaction files "
+    "behind; expire_snapshots(keep_last=1) deletes the expired manifests "
+    "AND every data file no surviving snapshot references. The query "
+    "then reads the table THROUGH the post-GC head — if expiry had "
+    "reaped a live file the read loses rows and the hash breaks; the "
+    "oracle is the full events aggregate. That snapshots/files were "
+    "actually removed (and that tagged history survives expiry) is "
+    "asserted in tests/test_table_manager.py and tests/test_tablelayer."
+    "py.",
+)
+def q_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_ev_exp(spark, sf_dir)
+    df = mgr.read("ev_exp")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
 

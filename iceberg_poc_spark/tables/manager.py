@@ -884,10 +884,23 @@ class ParquetTableManager:
         m["parent"] = m["version"]
         return self._commit(name, m)
 
-    def merge(self, name: str, source: DataFrame, on: list[str]) -> int:
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list[str],
+        delete_when: Column | None = None,
+    ) -> int:
         """MERGE upsert (≙ Iceberg ``MERGE INTO``): target rows whose key
         appears in ``source`` are replaced by the source row; unmatched
         source rows are inserted.
+
+        ``delete_when`` adds the ``WHEN MATCHED AND <cond> THEN DELETE``
+        clause — the CDC-apply shape: a source row satisfying the
+        condition (evaluated against the RAW source, so an ``op`` flag
+        column that is not part of the table schema works) removes its
+        matched target row instead of replacing it. Deletes, updates, and
+        inserts land in ONE atomic commit.
 
         Copy-on-write at partition granularity: the source's partition
         values (derived through the table's transforms — a small driver-
@@ -900,16 +913,27 @@ class ParquetTableManager:
         m = self._load_manifest(name)
         spec = self._spec(m)
         schema_cols = [f.name for f in StructType.fromJson(m["schema"]).fields]
-        src = source.select(
-            *[
-                F.col(c) if c in source.columns else F.lit(None).alias(c)
-                for c in schema_cols
-            ]
-        )
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).alias(c)
+                    for c in schema_cols
+                ]
+            )
+
+        # partition-value selection sees EVERY source row (upserts AND
+        # deletes): a delete row's partition must be rewritten too
+        pval_src = project(source)
+        match_keys = source.select(on).distinct()
+        if delete_when is not None:
+            hit = F.coalesce(delete_when, F.lit(False))
+            source = source.filter(~hit)
+        src = project(source)
         affected, untouched = m["files"], []
         if spec:
             pvals = (
-                src.select(
+                pval_src.select(
                     *[t.expr().cast("string").alias(t.field_name) for t in spec]
                 )
                 .distinct()
@@ -924,9 +948,7 @@ class ParquetTableManager:
                     )
                     (affected if fk in keys else untouched).append(e)
         target = self._read_files(name, m, affected)
-        merged = target.join(src.select(on).distinct(), on, "left_anti").unionByName(
-            src
-        )
+        merged = target.join(match_keys, on, "left_anti").unionByName(src)
         new_files = self._write_files(name, merged, spec)
         m["files"] = untouched + new_files
         m["operation"] = "merge"

@@ -705,3 +705,37 @@ def test_dynamic_partition_overwrite(mgr, spark):
     mgr.create_table("u", EVENTS_SCHEMA)
     with pytest.raises(ValueError, match="partitioned"):
         mgr.overwrite_partitions("u", make_events(spark, 5))
+
+
+def test_merge_delete_when_clause(mgr, spark):
+    """WHEN MATCHED AND cond THEN DELETE: matched delete rows remove the
+    target row; an UNMATCHED delete key is a no-op (no ghost insert); the
+    op flag column never leaks into the table schema."""
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 40))  # tenants 0..3, 10 rows each
+    base = {(r.tenant_id, r.ts) for r in mgr.read("t").collect()}
+    src = make_events(spark, 8).withColumn(  # tenants 0..3, 2 rows each
+        "op", F.when(F.col("tenant_id") == 1, "D").otherwise("U")
+    ).withColumn("value", F.lit(999).cast("long"))
+    # an unmatched delete key: future timestamp, tenant 1
+    ghost = spark.createDataFrame(
+        [(1, dt.datetime(2030, 1, 1), "svc-9", 0)], EVENTS_SCHEMA
+    ).withColumn("op", F.lit("D"))
+    mgr.merge(
+        "t", src.unionByName(ghost), on=["tenant_id", "ts"],
+        delete_when=F.col("op") == "D",
+    )
+    got = mgr.read("t")
+    assert "op" not in got.columns
+    rows = got.collect()
+    keys = {(r.tenant_id, r.ts) for r in rows}
+    src_keys = {(r.tenant_id, r.ts) for r in src.collect()}
+    deleted = {k for k in src_keys if k[0] == 1}
+    upserted = src_keys - deleted
+    assert keys == base - deleted  # deletes applied, ghost a no-op
+    for r in rows:
+        if (r.tenant_id, r.ts) in upserted:
+            assert r.value == 999  # updates applied
+    # atomicity: ONE merge snapshot covers deletes+updates
+    ops = [s.operation for s in mgr.snapshots("t").collect()]
+    assert ops.count("merge") == 1

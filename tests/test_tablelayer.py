@@ -231,3 +231,78 @@ def test_partition_evolution_prunes_each_generation(spark):
         .count()
     )
     assert df.count() == expect
+
+
+def test_merge_cdc_delete_is_partition_granular(spark):
+    """The CDC merge rewrites only the partitions its source rows (updates,
+    inserts, AND deletes) touch; every other segment's files survive
+    byte-identical."""
+    mgr, _snaps = tablelayer._setup_cust_cdc(spark, SF_DIR)
+    head_v = mgr._current_version("cust_cdc")
+    m_head = mgr._load_manifest("cust_cdc", head_v)
+    assert m_head["operation"] == "merge"
+    m_base = mgr._load_manifest("cust_cdc", m_head["parent"])
+
+    def by_partition(manifest):
+        out = {}
+        for e in manifest["files"]:
+            out.setdefault(e["partition"]["c_mktsegment"], set()).add(e["path"])
+        return out
+
+    base, head = by_partition(m_base), by_partition(m_head)
+    assert "CDC_NEW" not in base and "CDC_NEW" in head
+    touched = {"BUILDING", "MACHINERY", "CDC_NEW"}
+    for seg in base:
+        if seg not in touched:
+            assert base[seg] == head[seg], f"{seg} files must survive CoW"
+    # the deletes really happened
+    cust = load_table(spark, SF_DIR, "customer")
+    n_neg = cust.filter(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 0)
+    ).count()
+    got = mgr.read("cust_cdc").filter(F.col("c_mktsegment") == "MACHINERY")
+    assert got.count() == cust.filter(F.col("c_mktsegment") == "MACHINERY").count() - n_neg
+    assert got.filter(F.col("c_acctbal") < 0).count() == 0
+
+
+def test_row_dml_rewrites_only_touched_years(spark):
+    """DELETE touches only 1998 files, UPDATE only 2000 files; every other
+    year's files flow through both commits untouched."""
+    mgr, _snaps = tablelayer._setup_orders_dml(spark, SF_DIR)
+    head_v = mgr._current_version("orders_dml")
+    m_upd = mgr._load_manifest("orders_dml", head_v)
+    m_del = mgr._load_manifest("orders_dml", m_upd["parent"])
+    m_base = mgr._load_manifest("orders_dml", m_del["parent"])
+    assert (m_upd["operation"], m_del["operation"]) == ("update", "delete")
+
+    def by_year(manifest):
+        out = {}
+        for e in manifest["files"]:
+            out.setdefault(e["partition"]["o_orderdate_years"], set()).add(e["path"])
+        return out
+
+    base, after_del, after_upd = by_year(m_base), by_year(m_del), by_year(m_upd)
+    for y in base:
+        if y != "1998":
+            assert base[y] == after_del[y], f"{y} must survive the delete"
+    for y in after_del:
+        if y != "2000":
+            assert after_del[y] == after_upd[y], f"{y} must survive the update"
+    assert base["1998"] != after_del.get("1998", set())
+    assert after_del["2000"] != after_upd["2000"]
+
+
+def test_snapshot_expiry_reaps_and_head_survives(spark):
+    """expire_snapshots removed manifests and orphaned pre-compaction data
+    files; the surviving head still reads the full corpus."""
+    mgr, snaps = tablelayer._setup_ev_exp(spark, SF_DIR)
+    gc = snaps["gc"]
+    assert gc["snapshots"] >= 3  # 3 appends expired (compaction head kept)
+    assert gc["files"] >= 1  # pre-compaction files orphaned and reaped
+    n = load_table(spark, SF_DIR, "events").count()
+    assert mgr.read("ev_exp").count() == n
+    # only the head manifest remains on disk
+    import os
+    meta = mgr._meta_dir("ev_exp")
+    manifests = [f for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")]
+    assert len(manifests) == 1
