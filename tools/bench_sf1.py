@@ -48,8 +48,10 @@ FACT_KEYS = {
 }
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
-# the 10 most expensive queries of the r4/r5 sf0.1 full bench — the
-# headline set whose scaling trend this sweep records
+# fallback headline set (r4/r5 sf0.1 top queries); when a committed
+# BENCH_FULL.json exists the sweep instead takes the CURRENT 12 most
+# expensive queries from it, so newly-added heavy operators (live
+# streaming, table maintenance) get scale-trended automatically
 HEADLINE = [
     "q_dedup_clusters",
     "q_dedup_hops",
@@ -62,6 +64,16 @@ HEADLINE = [
     "q_compaction",
     "q_decontaminate",
 ]
+N_HEADLINE = 12
+
+
+def headline_set() -> list[str]:
+    if os.path.exists("BENCH_FULL.json"):
+        q = json.load(open("BENCH_FULL.json"))["queries"]
+        return sorted((n for n in q if q[n] >= 0), key=lambda n: -q[n])[
+            :N_HEADLINE
+        ]
+    return HEADLINE
 
 
 def build_corpus(spark, dst: str) -> None:
@@ -105,7 +117,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline_set():
         try:
             # warm the plan shape at sf0.1 (same methodology as bench.py)
             queries[name].fn(spark, SRC).write.format("noop").mode(
