@@ -257,6 +257,40 @@ def _setup_orders_dml(spark: SparkSession, sf_dir: str) -> tuple:
     return mgr, _READY[key]
 
 
+def _setup_orders_mor(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_mor: merge-on-read deletes — two stacked predicate deletes
+    committed as pure metadata (ZERO data files rewritten; asserted in
+    tests/test_tablelayer.py), applied by every read until
+    rewrite_deletes() folds them."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_mor")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_mor", orders.schema, [years("o_orderdate")])
+    base = mgr.append("orders_mor", orders)
+    mgr.delete(
+        "orders_mor",
+        where=[
+            ("o_orderdate", ">=", "1997-01-01 00:00:00"),
+            ("o_orderdate", "<", "1998-01-01 00:00:00"),
+            ("o_totalprice", "<", 50000.0),
+        ],
+        mode="mor",
+    )
+    mor_head = mgr.delete(
+        "orders_mor",
+        where=[("o_orderpriority", "==", "5-LOW"), ("o_totalprice", ">=", 400000.0)],
+        mode="mor",
+    )
+    _READY[key] = {"base": base, "mor_head": mor_head}
+    return mgr, _READY[key]
+
+
 def _setup_ev_exp(spark: SparkSession, sf_dir: str) -> tuple:
     """ev_exp: fragment appends + compaction leave dead files behind;
     expire_snapshots(keep_last=1) reaps expired manifests AND the data
@@ -658,6 +692,38 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     mgr, _snaps = _setup_orders_dml(spark, sf_dir)
     df = mgr.read("orders_dml")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_delete_mor",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE NOT (year(o_orderdate) = 1997 AND o_totalprice < 50000.0)
+      AND NOT (o_orderpriority = '5-LOW' AND o_totalprice >= 400000.0)
+    GROUP BY 1
+    """,
+    doc="Merge-on-read DELETE (≙ Iceberg v2 delete files, the other half "
+    "of the CoW/MoR trade q_row_dml demonstrates): two stacked predicate "
+    "deletes commit as PURE METADATA — zero data files rewritten "
+    "(identical path sets asserted in tests/test_tablelayer.py) — and "
+    "the read path applies NOT(predicate) to exactly the affected "
+    "files, which is what this query exercises end-to-end against the "
+    "oracle's filtered aggregate. Write cost O(1) per delete regardless "
+    "of table size (the GDPR-erasure-stream trade); readers pay the "
+    "filter until rewrite_deletes() folds it (only dirty files "
+    "rewritten — tests/test_table_manager.py). Time travel to the "
+    "pre-delete snapshot still sees every row.",
+)
+def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_mor(spark, sf_dir)
+    df = mgr.read("orders_mor")
     return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),

@@ -573,6 +573,16 @@ class ParquetTableManager:
             raise ValueError(f"column {new!r} already exists")
         if any(t.source == old for t in self._spec(m)):
             raise ValueError(f"{old!r} is a partition source; cannot rename")
+        # merge-on-read delete predicates bind by column NAME (Iceberg
+        # binds by field id); renaming under outstanding deletes would
+        # silently unbind them — materialize first
+        for e in m["files"]:
+            for dw in e.get("deletes", []):
+                if any(c == old for c, _op, _v in dw):
+                    raise ValueError(
+                        f"column {old!r} has outstanding merge-on-read "
+                        f"deletes; run rewrite_deletes() before renaming"
+                    )
         fields = []
         for f in schema.fields:
             if f.name == old:
@@ -844,20 +854,78 @@ class ParquetTableManager:
             (affected if _may_match(spec, e, where) else untouched).append(e)
         return affected, untouched
 
-    def delete(self, name: str, where: list[tuple[str, str, Any]]) -> int:
-        """Row-level DELETE, copy-on-write: only files whose partition
-        values can contain matching rows are rewritten (≙ Iceberg
-        copy-on-write DELETE; the reference has no row-level ops at all).
-        NULL-predicate rows are kept, per SQL DELETE semantics."""
+    def delete(
+        self,
+        name: str,
+        where: list[tuple[str, str, Any]],
+        mode: str = "cow",
+    ) -> int:
+        """Row-level DELETE (≙ Iceberg row-level deletes; the reference
+        has no row-level ops at all). NULL-predicate rows are kept, per
+        SQL DELETE semantics.
+
+        ``mode="cow"`` (default): copy-on-write — only files whose
+        partition values / stats can contain matching rows are rewritten.
+        Write cost proportional to affected data, reads stay pure scans.
+
+        ``mode="mor"``: merge-on-read (≙ Iceberg v2 delete files) — NO
+        data file is rewritten; the delete predicate is attached to the
+        affected manifest entries and every subsequent read applies
+        NOT(predicate) to those files. Write cost is one metadata commit
+        regardless of table size — the right trade for frequent small
+        deletes (GDPR erasure streams) — while reads pay a filter until
+        :meth:`rewrite_deletes` (or any rewriting op touching the file)
+        folds the deletes in. Both modes commit atomically and
+        time-travel correctly: prior snapshots keep the pre-delete
+        entries."""
         m = self._load_manifest(name)
         affected, untouched = self._split_files(m, where)
         if not affected:
             return m["version"]  # provably nothing to delete: no-op
+        if mode == "mor":
+            # manifest-storable literal form: temporals -> ISO strings
+            # (string-vs-temporal comparison casts implicitly at read)
+            def jlit(v):
+                if isinstance(v, (list, tuple, set)):
+                    return [jlit(x) for x in v]
+                n = _norm_stat(v)
+                return n if isinstance(n, (int, float, str, bool)) else str(n)
+
+            where_json = [[c, op, jlit(v)] for c, op, v in where]
+            for e in affected:
+                e = dict(e)
+                e["deletes"] = [*e.get("deletes", []), where_json]
+                untouched.append(e)
+            m["files"] = untouched
+            m["operation"] = "delete-mor"
+            m["parent"] = m["version"]
+            return self._commit(name, m)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         df = self._read_files(name, m, affected)
         keep = df.filter(~F.coalesce(_predicate(where), F.lit(False)))
         new_files = self._write_files(name, keep, self._spec(m))
         m["files"] = untouched + new_files
         m["operation"] = "delete"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def rewrite_deletes(self, name: str) -> int:
+        """Materialize merge-on-read deletes (≙ Iceberg
+        ``rewrite_position_delete_files`` + data-file rewrite): ONLY the
+        files carrying delete predicates are read (deletes applied) and
+        rewritten clean; every delete-free file survives untouched. After
+        this, reads of the new snapshot pay no delete filters. No-op if
+        nothing carries deletes."""
+        m = self._load_manifest(name)
+        dirty = [e for e in m["files"] if e.get("deletes")]
+        if not dirty:
+            return m["version"]
+        clean = [e for e in m["files"] if not e.get("deletes")]
+        df = self._read_files(name, m, dirty)
+        new_files = self._write_files(name, df, self._spec(m))
+        m["files"] = clean + new_files
+        m["operation"] = "rewrite-deletes"
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -973,7 +1041,13 @@ class ParquetTableManager:
         the read schema carries every historical name and the projection
         coalesces them (a file has exactly one of the names). Path-only
         partition columns are typed string and dropped; their parse type
-        never matters."""
+        never matters.
+
+        Merge-on-read deletes: a file entry may carry ``deletes`` — the
+        predicate list(s) of :meth:`delete` commits made in ``mor`` mode.
+        Files are additionally grouped by their delete set and each
+        group's read applies NOT(predicate) per delete, so readers see
+        the post-delete state without any file having been rewritten."""
         schema = StructType.fromJson(manifest["schema"])
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -988,10 +1062,13 @@ class ParquetTableManager:
         }
         groups: dict[tuple, list[dict]] = {}
         for e in files:
-            groups.setdefault(tuple(sorted(e["partition"])), []).append(e)
+            dkey = json.dumps(e.get("deletes", []), sort_keys=True)
+            groups.setdefault(
+                (tuple(sorted(e["partition"])), dkey), []
+            ).append(e)
 
         parts: list[DataFrame] = []
-        for layout, entries in groups.items():
+        for (layout, dkey), entries in groups.items():
             hidden = [k for k in layout if k not in names]
             read_schema = StructType(
                 [
@@ -1012,18 +1089,21 @@ class ParquetTableManager:
                 .schema(read_schema)
                 .parquet(*[os.path.join(self._dir(name), e["path"]) for e in entries])
             )
-            parts.append(
-                df.select(
-                    *[
-                        F.coalesce(F.col(f.name), *[F.col(n) for n in former[f.name]])
-                        .cast(_nested_nullable(f.dataType))
-                        .alias(f.name)
-                        if former[f.name]
-                        else F.col(f.name).cast(_nested_nullable(f.dataType))
-                        for f in schema.fields
-                    ]
-                )
+            proj = df.select(
+                *[
+                    F.coalesce(F.col(f.name), *[F.col(n) for n in former[f.name]])
+                    .cast(_nested_nullable(f.dataType))
+                    .alias(f.name)
+                    if former[f.name]
+                    else F.col(f.name).cast(_nested_nullable(f.dataType))
+                    for f in schema.fields
+                ]
             )
+            for dw in json.loads(dkey):
+                pred = _predicate([tuple(w) for w in dw])
+                if pred is not None:
+                    proj = proj.filter(~F.coalesce(pred, F.lit(False)))
+            parts.append(proj)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

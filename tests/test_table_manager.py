@@ -739,3 +739,71 @@ def test_merge_delete_when_clause(mgr, spark):
     # atomicity: ONE merge snapshot covers deletes+updates
     ops = [s.operation for s in mgr.snapshots("t").collect()]
     assert ops.count("merge") == 1
+
+
+def test_mor_delete_zero_rewrite_and_read_applies(mgr, spark):
+    """Merge-on-read delete: the commit rewrites NO data file (identical
+    path sets), reads apply the predicate, deletes stack, time travel
+    still sees the pre-delete state, and rewrite_deletes materializes —
+    rewriting only the dirty files."""
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    base_snap = mgr.append("t", make_events(spark, 48))  # tenants 0..3
+    m0 = mgr._load_manifest("t")
+    paths0 = {e["path"] for e in m0["files"]}
+
+    s1 = mgr.delete("t", [("tenant_id", "==", 1)], mode="mor")
+    m1 = mgr._load_manifest("t", s1)
+    assert {e["path"] for e in m1["files"]} == paths0, "MoR must not rewrite"
+    assert m1["operation"] == "delete-mor"
+    got = mgr.read("t")
+    assert got.filter(F.col("tenant_id") == 1).count() == 0
+    assert got.count() == 36
+
+    # stacked second delete on a different predicate
+    s2 = mgr.delete("t", [("value", ">=", 900)], mode="mor")
+    m2 = mgr._load_manifest("t", s2)
+    assert {e["path"] for e in m2["files"]} == paths0
+    n_expect = (
+        make_events(spark, 48)
+        .filter((F.col("tenant_id") != 1) & (F.col("value") < 900))
+        .count()
+    )
+    assert mgr.read("t").count() == n_expect
+
+    # time travel: the pre-delete snapshot still reads all 48 rows
+    assert mgr.read("t", snapshot_id=base_snap).count() == 48
+
+    # materialize: only delete-carrying files rewritten
+    dirty_before = {e["path"] for e in m2["files"] if e.get("deletes")}
+    clean_before = {e["path"] for e in m2["files"] if not e.get("deletes")}
+    s3 = mgr.rewrite_deletes("t")
+    m3 = mgr._load_manifest("t", s3)
+    assert not any(e.get("deletes") for e in m3["files"])
+    paths3 = {e["path"] for e in m3["files"]}
+    assert clean_before <= paths3, "clean files must survive"
+    assert dirty_before.isdisjoint(paths3), "dirty files must be rewritten"
+    assert mgr.read("t").count() == n_expect
+    # idempotent no-op afterwards
+    assert mgr.rewrite_deletes("t") == s3
+
+
+def test_mor_delete_blocks_rename_until_rewritten(mgr, spark):
+    mgr.create_table("t", EVENTS_SCHEMA, [identity("tenant_id")])
+    mgr.append("t", make_events(spark, 12))
+    mgr.delete("t", [("value", "<", 100)], mode="mor")
+    with pytest.raises(ValueError, match="outstanding merge-on-read"):
+        mgr.rename_column("t", "value", "val")
+    mgr.rewrite_deletes("t")
+    mgr.rename_column("t", "value", "val")  # now fine
+    assert "val" in mgr.read("t").columns
+
+
+def test_mor_delete_with_temporal_literal(mgr, spark):
+    """Datetime literals in a MoR predicate serialize to ISO strings in
+    the manifest and still bind at read."""
+    mgr.create_table("t", EVENTS_SCHEMA, [days("ts")])
+    mgr.append("t", make_events(spark, 48))  # hourly from 2024-01-01
+    mgr.delete("t", [("ts", ">=", dt.datetime(2024, 1, 2))], mode="mor")
+    got = mgr.read("t")
+    assert got.count() == 24
+    assert got.filter(F.col("ts") >= F.lit("2024-01-02").cast("timestamp_ntz")).count() == 0

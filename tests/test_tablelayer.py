@@ -306,3 +306,19 @@ def test_snapshot_expiry_reaps_and_head_survives(spark):
     meta = mgr._meta_dir("ev_exp")
     manifests = [f for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")]
     assert len(manifests) == 1
+
+
+def test_mor_deletes_are_metadata_only_and_time_travel(spark):
+    """Both MoR delete commits left every data-file path untouched; the
+    pre-delete snapshot still reads the full table."""
+    mgr, snaps = tablelayer._setup_orders_mor(spark, SF_DIR)
+    m_head = mgr._load_manifest("orders_mor", snaps["mor_head"])
+    m_base = mgr._load_manifest("orders_mor", snaps["base"])
+    assert {e["path"] for e in m_head["files"]} == {
+        e["path"] for e in m_base["files"]
+    }, "merge-on-read must rewrite nothing"
+    assert m_head["operation"] == "delete-mor"
+    assert any(e.get("deletes") for e in m_head["files"])
+    n_all = load_table(spark, SF_DIR, "orders").count()
+    assert mgr.read("orders_mor", snapshot_id=snaps["base"]).count() == n_all
+    assert mgr.read("orders_mor").count() < n_all
