@@ -426,6 +426,63 @@ def q_stream_live_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_live_session",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SEC} * 1000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+    doc="LIVE native session windows behind the differential gate: the "
+    "actual readStream pipeline (F.session_window, 30-min inactivity "
+    "gap, watermarked) drains under Trigger.AvailableNow in complete "
+    "mode and must reproduce, session-for-session, the oracle's "
+    "lag-gap/cumulative-flag sessionization — two INDEPENDENT "
+    "formulations of the same semantics (merging windows vs running "
+    "flag-sum), so a session split or merged wrongly anywhere in the "
+    "streaming state machine breaks the hash. Completes the live gate "
+    "set: tumbling agg, session windows, stream-stream join, custom "
+    "state, table sink.",
+)
+def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_memory,
+        session_stream,
+    )
+
+    stream = session_stream(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_session", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("live_session")
+
+
+@register(
     "q_stream_live_stateful",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -699,6 +699,37 @@ def q_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_meta_count",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Metadata-only aggregation (≙ Iceberg's count(*) push-down to "
+    "manifests / the partitions metadata table; reference snapshot walk "
+    "aig/PartitionValueDebugger.java:169-195 reads the same per-file "
+    "record counts): per-year order counts answered ENTIRELY from the "
+    "manifest's per-file record counts grouped by hidden partition value "
+    "— zero data files opened, cost O(files) at any table size — while "
+    "the oracle counts the raw rows, proving the manifest bookkeeping "
+    "stayed exact through the table's whole commit history (two appends "
+    "+ a dynamic partition overwrite). Only valid while no merge-on-read "
+    "deletes are outstanding — a table with delete predicates must scan "
+    "the dirty files (q_delete_mor's trade).",
+)
+def q_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_tt(spark, sf_dir)
+    p = mgr.partitions("orders_tt")
+    return p.select(
+        F.get_json_object("partition", "$.o_orderdate_years")
+        .cast("int")
+        .alias("o_year"),
+        F.col("n_records").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
     "q_delete_mor",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,

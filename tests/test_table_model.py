@@ -47,10 +47,13 @@ op = st.one_of(
     st.tuples(st.just("append"), batch),
     st.tuples(st.just("delete_part"), st.integers(0, 3)),
     st.tuples(st.just("delete_v"), st.integers(0, 100)),
+    st.tuples(st.just("delete_part_mor"), st.integers(0, 3)),
+    st.tuples(st.just("delete_v_mor"), st.integers(0, 100)),
     st.tuples(st.just("update"), st.integers(0, 3), st.integers(1, 9)),
     st.tuples(st.just("overwrite"), batch),
     st.tuples(st.just("merge"), batch, st.lists(st.integers(0, 24), max_size=3)),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("rewrite_deletes")),
 )
 
 
@@ -92,6 +95,16 @@ def test_table_layer_matches_model_under_random_ops(spark, ops):
                 x = o[1]
                 snap = mgr.delete("t", [("v", "<", x)])
                 model = [r for r in model if not r[2] < x]
+            elif kind == "delete_part_mor":
+                p = o[1]
+                snap = mgr.delete("t", [("part", "==", p)], mode="mor")
+                model = [r for r in model if r[1] != p]
+            elif kind == "delete_v_mor":
+                x = o[1]
+                snap = mgr.delete("t", [("v", "<", x)], mode="mor")
+                model = [r for r in model if not r[2] < x]
+            elif kind == "rewrite_deletes":
+                snap = mgr.rewrite_deletes("t")
             elif kind == "update":
                 p, d = o[1], o[2]
                 snap = mgr.update(
