@@ -426,6 +426,61 @@ def q_stream_live_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_live_dedup",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           strftime(MAX(ts), '{_FMT_DUCK}.%f') AS last_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="LIVE exactly-once ingestion dedup behind the differential gate: "
+    "the events file is presented to the stream source TWICE (two "
+    "symlinks, one file per micro-batch), so every event arrives as a "
+    "cross-batch duplicate; dropDuplicatesWithinWatermark(event_id) must "
+    "emit each event exactly once — the oracle aggregates the "
+    "SINGLE-copy corpus, so a leaked duplicate doubles a count and "
+    "breaks the hash. State is bounded by the watermark horizon (unlike "
+    "global dropDuplicates, whose state grows with the stream forever — "
+    "the at-scale failure mode this operator exists to avoid). This is "
+    "the at-least-once-delivery repair step every event pipeline runs "
+    "in front of its sink.",
+)
+def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        dedup_stream,
+        load_events_stream,
+        run_to_memory,
+    )
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    d = tempfile.mkdtemp(prefix="events_dup_stream_")
+    for copy in ("a", "b"):  # same file twice => every event duplicated
+        os.symlink(src, os.path.join(d, f"{copy}_events.parquet"))
+    stream = dedup_stream(load_events_stream(spark, d))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_dedup", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table("live_dedup")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.date_format(F.max("ts"), _FMT_SPARK + ".SSSSSS").alias("last_ts"),
+        )
+    )
+
+
+@register(
     "q_stream_live_session",
     oracle=f"""
     WITH seq AS (
