@@ -459,9 +459,21 @@ def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.abspath(table_path(sf_dir, "events"))
+    # the source may be a single file or a directory of part files —
+    # symlink each data file twice, so every event arrives duplicated
+    files = (
+        [src]
+        if os.path.isfile(src)
+        else [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        ]
+    )
     d = tempfile.mkdtemp(prefix="events_dup_stream_")
-    for copy in ("a", "b"):  # same file twice => every event duplicated
-        os.symlink(src, os.path.join(d, f"{copy}_events.parquet"))
+    for i, f in enumerate(files):
+        for copy in ("a", "b"):
+            os.symlink(f, os.path.join(d, f"{copy}_{i:04d}.parquet"))
     stream = dedup_stream(load_events_stream(spark, d))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -119,7 +119,12 @@ def build_corpus(spark, dst: str) -> None:
         df = load_table(spark, SRC, t).crossJoin(reps)
         for col, off in keys:
             df = df.withColumn(col, F.col(col) + F.col("__replica") * off)
-        df.drop("__replica").write.mode("overwrite").parquet(
+        # realistic file layout: the broadcast-replicate join inherits the
+        # source's (often single) partition, and a one-file fact table
+        # would serialize every downstream scan — a corpus artifact, not
+        # an engine property (exposed: q_fn_nested read 10x data on ONE
+        # task). Real tables at this size are many files.
+        df.drop("__replica").repartition(32).write.mode("overwrite").parquet(
             os.path.join(dst, f"{t}.parquet")
         )
 
