@@ -728,3 +728,89 @@ _qh = _registry.REGISTRY["q_dedup_hops"]
 _registry.REGISTRY["q_dedup_hops"] = _registry.Query(
     name=_qh.name, fn=_qh.fn, oracle=_hops_oracle(), doc=_qh.doc
 )
+
+
+# ------------------------------------------------- line-level boilerplate
+
+SEG_WORDS = 8  # corpus text is one line of words; fixed 8-word segments
+BOILER_MIN_DOCS = 2  # a segment seen in >= 2 distinct docs is boilerplate
+
+
+def _segments_sql(text: str = "text") -> str:
+    """DuckDB twin of the Spark segment expression in
+    :func:`q_dedup_lines` (1-based inclusive list slice)."""
+    k = SEG_WORDS
+    return (
+        f"list_transform(range(0, CAST(ceil(len(string_split({text},' '))"
+        f" / {k}.0) AS INT)),"
+        f" i -> array_to_string(string_split({text},' ')"
+        f"[i*{k}+1:i*{k}+{k}], ' '))"
+    )
+
+
+_LINES_REMOVED = f"SUM(CASE WHEN d.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)"
+
+
+@register(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, source, seg
+        FROM documents, unnest({_segments_sql()}) AS t(seg)
+    ), df AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+    )
+    SELECT s.source,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT)    AS n_docs,
+           CAST(COUNT(*) AS BIGINT)                    AS n_segments,
+           CAST({_LINES_REMOVED} AS BIGINT)            AS n_removed,
+           {dround(f"CAST({_LINES_REMOVED} AS DOUBLE) / COUNT(*)", 4)}
+               AS removed_ratio
+    FROM segs s JOIN df d USING (seg)
+    GROUP BY 1
+    """,
+    doc="Cross-document line-level boilerplate removal (the CCNet/"
+    "RefinedWeb 'line-wise dedup' pass): segments repeated across >= "
+    f"{BOILER_MIN_DOCS} distinct documents are boilerplate (nav bars, "
+    "cookie banners, license footers) and are dropped from every doc, "
+    "reported here as per-source removal accounting. The corpus text is "
+    f"a single line, so 'lines' are fixed non-overlapping {SEG_WORDS}-"
+    "word segments — the operator is the same for newline-split text. "
+    "Scale shape: segment doc-frequency is a groupBy on md5(segment) (a "
+    "16-byte shuffle key, never the segment text), and marking joins the "
+    "exploded stream against the AGGREGATED frequency side on that same "
+    "hash — both sides hash-partitioned, no all-pairs step, no driver "
+    "state; the whole pass is two shuffles regardless of corpus size. "
+    "The oracle joins on the raw segment (identical barring md5 "
+    "collisions, the q_dedup_keep_first convention).",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SEG_WORDS
+    d = with_words(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    w = F.col("__words")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / F.lit(float(k))).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("seg"),
+    ).withColumn("h", F.md5("seg"))
+    seg_df = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    marked = segs.join(seg_df, "h")
+    removed = F.sum(
+        F.when(F.col("df") >= BOILER_MIN_DOCS, F.lit(1)).otherwise(F.lit(0))
+    )
+    return marked.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_segments"),
+        removed.cast("long").alias("n_removed"),
+        F.round(removed.cast("double") / F.count("*"), 4).alias("removed_ratio"),
+    )

@@ -398,3 +398,67 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("attributed_value"),
     )
+
+
+_DPP_READY: set[str] = set()
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+    GROUP BY n.n_name
+    """,
+    doc="Dynamic partition pruning: the fact table is laid out "
+    "hive-partitioned ON THE DIM JOIN KEY (customer partitioned by "
+    "c_nationkey — one directory per nation, the layout the table "
+    "layer's identity transform produces), and the dim carries the "
+    "selective predicate (region = 2 keeps 5 of 25 nations). Catalyst "
+    "inserts a runtime partition filter on the fact scan fed by the "
+    "dim's broadcast result, so only the 5 matching partitions are ever "
+    "read — the other 20 are skipped at the FILE level without any "
+    "static predicate naming them (plan shows `dynamicpruningexpression` "
+    "in PartitionFilters; asserted in tests/test_plans.py). This is THE "
+    "mechanism that makes star-schema joins over a 100 TB "
+    "date/tenant-partitioned fact read only the slice the dim filter "
+    "selects; static pruning (q_scan_pruned) can't do it because the "
+    "qualifying keys are only known after the dim filter runs. The dim "
+    "key is cast to the partition column's inferred int type so the "
+    "pruned side stays a bare partition-column reference (a cast there "
+    "would defeat the rule).",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"dpp_{os.getpid()}_{key}")
+    if root not in _DPP_READY:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_nationkey"
+        ).write.mode("overwrite").partitionBy("c_nationkey").parquet(root)
+        _DPP_READY.add(root)
+    cust = spark.read.parquet(root)
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+        )
+    )
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -320,3 +320,13 @@ def test_sample_reservoir_partial_topk(spark):
     in one task's memory."""
     plan = explain_str(Q["q_sample_reservoir"].fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_dpp_runtime_partition_filter(spark):
+    """q_join_dpp's fact scan must carry a runtime (dynamic) partition
+    filter fed by the dim's broadcast — the file-level skip that makes a
+    dim-filtered star join read only matching partitions of a 100 TB
+    fact."""
+    df = Q["q_join_dpp"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
