@@ -867,3 +867,257 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ------------------------------------------------------------- CDC read
+
+CHG_BASE_MAX_YEAR = 1997  # base load: 1995..1997
+CHG_APPEND_YEAR = 1998  # second commit appends this year
+CHG_OVR_YEAR = 1996  # third commit overwrites this year's partition
+CHG_PRIORITY = "1-URGENT"  # rows repriced in the overwrite / MoR-deleted
+
+
+def _setup_orders_chg(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_chg: base append (1995-1997), append 1998, a partition
+    overwrite that reprices ONLY the urgent rows of 1996 (the untouched
+    rows of that partition are rewritten carry-overs the changelog must
+    cancel), and a merge-on-read delete of 1997 urgent rows (a pure
+    metadata commit the changelog must still surface as deletes)."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_chg")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_chg", orders.schema, [years("o_orderdate")])
+    base = mgr.append(
+        "orders_chg", orders.filter(F.year("o_orderdate") <= CHG_BASE_MAX_YEAR)
+    )
+    mgr.append(
+        "orders_chg", orders.filter(F.year("o_orderdate") == CHG_APPEND_YEAR)
+    )
+    ovr = orders.filter(F.year("o_orderdate") == CHG_OVR_YEAR).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == CHG_PRIORITY,
+            F.col("o_totalprice") + F.lit(10.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    mgr.overwrite_partitions("orders_chg", ovr)
+    mgr.delete(
+        "orders_chg",
+        where=[
+            ("o_orderdate", ">=", f"{CHG_BASE_MAX_YEAR}-01-01 00:00:00"),
+            ("o_orderdate", "<", f"{CHG_BASE_MAX_YEAR + 1}-01-01 00:00:00"),
+            ("o_orderpriority", "==", CHG_PRIORITY),
+        ],
+        mode="mor",
+    )
+    _READY[key] = {"base": base}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_cdc_read",
+    oracle=f"""
+    WITH chg AS (
+        SELECT 'insert' AS change_type, o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_APPEND_YEAR}
+        UNION ALL
+        SELECT 'insert', o_orderdate, o_totalprice + 10
+        FROM orders WHERE year(o_orderdate) = {CHG_OVR_YEAR}
+                      AND o_orderpriority = '{CHG_PRIORITY}'
+        UNION ALL
+        SELECT 'delete', o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_OVR_YEAR}
+                      AND o_orderpriority = '{CHG_PRIORITY}'
+        UNION ALL
+        SELECT 'delete', o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_BASE_MAX_YEAR}
+                      AND o_orderpriority = '{CHG_PRIORITY}'
+    )
+    SELECT change_type,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM chg
+    GROUP BY 1, 2
+    """,
+    doc="Row-level change stream between snapshots (≙ Iceberg "
+    "create_changelog_view / Delta change data feed) read from the "
+    "manifest file diff — NEVER a full-table diff: each commit "
+    "contributes only the files it touched. The range spans an append "
+    "(pure inserts), a partition overwrite that repriced only the "
+    f"urgent rows of {CHG_OVR_YEAR} (its untouched same-partition rows "
+    "are rewritten carry-overs, cancelled exceptAll-wise within the "
+    "affected files — Iceberg's carry-over removal), and a merge-on-read "
+    "delete (zero files moved; the newly-attached predicate is evaluated "
+    "against the parent-visible file content to emit the delete rows). "
+    "The oracle reconstructs the expected +/- stream from raw parquet. "
+    "At 100 TB this is the downstream-sync primitive: a consumer applies "
+    "per-commit deltas proportional to what changed, not to table size.",
+)
+def q_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, snaps = _setup_orders_chg(spark, sf_dir)
+    chg = mgr.changelog("orders_chg", from_snapshot=snaps["base"])
+    return chg.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------- incremental materialized view
+
+MV_BATCH_YEARS = (1996, 1998, 2001)  # upper bound (inclusive) per batch
+
+
+def _setup_sales_mv(spark: SparkSession, sf_dir: str) -> tuple:
+    """sales_base + sales_mv: the base table lands in three appends; after
+    each, ONLY the delta (read_incremental) is aggregated and merged into
+    the MV — the standard incremental-view-maintenance loop. Totals are
+    kept in exact integer cents so incremental accumulation is
+    bit-identical to a full recompute."""
+    from iceberg_poc_spark.tables import identity, years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "sales_mv")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+
+    def agg_cents(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+
+    mgr.create_table("sales_base", orders.schema, [years("o_orderdate")])
+    mv_schema = agg_cents(orders.limit(0)).schema
+    mgr.create_table("sales_mv", mv_schema, [identity("o_orderpriority")])
+    last = None
+    lo = None
+    for hi in MV_BATCH_YEARS:
+        batch = orders.filter(F.year("o_orderdate") <= hi)
+        if lo is not None:
+            batch = batch.filter(F.year("o_orderdate") > lo)
+        head = mgr.append("sales_base", batch)
+        delta = (
+            mgr.read_incremental("sales_base", last, head)
+            if last is not None
+            else mgr.read("sales_base")
+        )
+        mv_new = agg_cents(delta)
+        if last is not None:
+            mv_new = (
+                mgr.read("sales_mv")
+                .unionByName(mv_new)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_orders").alias("n_orders"),
+                    F.sum("total_cents").alias("total_cents"),
+                )
+            )
+        mgr.merge("sales_mv", mv_new, on=["o_orderpriority"])
+        last, lo = head, hi
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_mv_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance: the base table lands "
+    "in three append commits; after each, ONLY the new snapshot delta "
+    "(read_incremental — file-level, never a rescan of the base) is "
+    "aggregated and merged into the per-priority MV table, which this "
+    "query then reads back. The oracle is the FULL aggregate over the "
+    "final base state — the MV must be indistinguishable from a "
+    "recompute while having read each base row exactly once. Totals "
+    "accumulate in exact integer cents, so incremental and full sums "
+    "are bit-identical (no float-order drift across batches). At 100 TB "
+    "this is the nightly-rollup pattern: maintenance cost tracks the "
+    "delta, not the table.",
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_sales_mv(spark, sf_dir)
+    return mgr.read("sales_mv").select("o_orderpriority", "n_orders", "total_cents")
+
+
+# ------------------------------------------------------ Z-order pruning
+
+Z_UID_LO, Z_UID_HI = 30, 59  # ~20% of the 0..149 user range
+Z_TS_LO, Z_TS_HI = "2024-01-05 00:00:00", "2024-01-10 00:00:00"
+
+
+def _setup_ev_z(spark: SparkSession, sf_dir: str) -> tuple:
+    """ev_z: events landed unpartitioned, then Z-order-compacted on
+    (user_id, ts) into many small files so BOTH dimensions get narrow
+    per-file min/max stats."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "ev_z")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mgr.create_table("ev_z", ev.schema, [])
+    mgr.append("ev_z", ev)
+    m = mgr._load_manifest("ev_z")
+    total_bytes = sum(e["bytes"] for e in m["files"])
+    # ~16 output files regardless of SF: enough stats granularity for
+    # pruning to be visible, never a small-file explosion
+    mgr.compact("ev_z", target_bytes=max(1, total_bytes // 16),
+                zorder=["user_id", "ts"])
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_zorder_prune",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE user_id >= {Z_UID_LO} AND user_id <= {Z_UID_HI}
+    GROUP BY 1
+    """,
+    doc="Z-order file skipping (≙ rewrite_data_files(strategy => 'sort', "
+    "sort_order => 'zorder(user_id, ts)')): events are compacted along "
+    "the interleaved-bits space-filling curve built from manifest stats "
+    "(tables/manager.py:_zvalue — pure JVM shift/and/or, no extra data "
+    "pass), so EVERY listed dimension gets narrow per-file min/max "
+    "ranges simultaneously. This probe filters on user_id ALONE — the "
+    "dimension a linear sort on ts would spread across every file — and "
+    "the manifest planner skips the files whose user_id range misses "
+    "(planned < total asserted for BOTH dimensions independently in "
+    "tests/test_tablelayer.py). The oracle filters raw parquet. At "
+    "100 TB this is how a second/third filter dimension gets pruning "
+    "without a second copy of the data.",
+)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_ev_z(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "ev_z", where=[("user_id", ">=", Z_UID_LO), ("user_id", "<=", Z_UID_HI)]
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -322,3 +322,40 @@ def test_mor_deletes_are_metadata_only_and_time_travel(spark):
     n_all = load_table(spark, SF_DIR, "orders").count()
     assert mgr.read("orders_mor", snapshot_id=snaps["base"]).count() == n_all
     assert mgr.read("orders_mor").count() < n_all
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """After Z-order compaction on (user_id, ts), a filter on EITHER
+    dimension alone must skip files via manifest min/max stats — the
+    multi-dimensional locality a linear sort can't give its trailing
+    columns."""
+    mgr, _ = tablelayer._setup_ev_z(spark, SF_DIR)
+    _, p_uid, total = mgr.scan(
+        "ev_z",
+        where=[
+            ("user_id", ">=", tablelayer.Z_UID_LO),
+            ("user_id", "<=", tablelayer.Z_UID_HI),
+        ],
+    )
+    _, p_ts, _ = mgr.scan(
+        "ev_z",
+        where=[("ts", ">=", tablelayer.Z_TS_LO), ("ts", "<=", tablelayer.Z_TS_HI)],
+    )
+    assert total > 4, f"compaction produced only {total} files"
+    assert p_uid < total, f"user_id filter planned {p_uid}/{total} files"
+    assert p_ts < total, f"ts filter planned {p_ts}/{total} files"
+
+
+def test_changelog_empty_range_and_rewrite_noise_free(spark):
+    """A changelog over a range containing only data-equivalent commits
+    (compaction) is empty; the full range never double-counts MoR
+    deletes that stack on the same file."""
+    mgr, snaps = tablelayer._setup_orders_chg(spark, SF_DIR)
+    head = mgr._current_version("orders_chg")
+    same = mgr.changelog("orders_chg", from_snapshot=head)
+    assert same.count() == 0
+    chg = mgr.changelog("orders_chg", from_snapshot=snaps["base"], to_snapshot=head)
+    # every change row carries exactly one tag and a real snapshot id
+    n_total = chg.count()
+    n_tagged = chg.filter(F.col("_change_type").isin("insert", "delete")).count()
+    assert n_total == n_tagged
