@@ -645,3 +645,53 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_attrib")
+
+
+@register(
+    "q_stream_live_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="LIVE stream-static enrichment behind the differential gate: the "
+    "readStream event feed joins the STATIC customer profile dim inside "
+    "every micro-batch — the canonical streaming-enrichment shape "
+    "(clickstream x user profile). The dim is broadcast, so each "
+    "micro-batch pays a map-side hash join and the stream side never "
+    "shuffles for the join; the enriched stream then feeds a per-segment "
+    "aggregate drained under Trigger.AvailableNow in complete mode. "
+    "Stream-static joins are stateless (the static side is re-resolvable "
+    "per batch, picking up dim updates between batches at no state "
+    "cost), unlike the watermark-bounded state of the stream-stream "
+    "q_stream_live_join. The oracle runs the identical join+aggregate "
+    "as one batch query — streaming/batch unification, value-for-value.",
+)
+def q_stream_live_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_memory,
+    )
+
+    stream = load_events_stream(spark, table_path(sf_dir, "events"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(agg, "live_enrich", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("live_enrich")

@@ -669,3 +669,75 @@ def q_text_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "p", F.round(F.col("n").cast("double") / denom, 4)
     ).filter(F.col("n") >= BIGRAM_MIN_COUNT)
+
+
+# ------------------------------------------------------- inverted index
+
+IDX_TERMS = ("spark", "window")  # the AND-of-terms probe
+IDX_BUCKETS = 16
+
+
+def _setup_tok_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """tok_index: the (token, doc_id) posting-list table, bucket-hash
+    partitioned on token so a term lookup plans only its bucket's files."""
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.tables import bucket
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "tok_index")
+    if key in _READY:
+        return mgr, _READY[key]
+    postings = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .distinct()
+        .select("token", "doc_id")
+    )
+    mgr.create_table(
+        "tok_index", postings.schema, [bucket("token", IDX_BUCKETS)]
+    )
+    mgr.append("tok_index", postings)
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ' ' || text || ' ' LIKE '% {IDX_TERMS[0]} %'
+      AND ' ' || text || ' ' LIKE '% {IDX_TERMS[1]} %'
+    """,
+    doc="Index-backed multi-term document retrieval: a (token, doc_id) "
+    "posting-list table is built ONCE, bucket-hash partitioned on token "
+    f"(bucket({IDX_BUCKETS}) hidden partitioning), and an AND-of-terms "
+    "query scans it with token IN (...) — the manifest planner maps each "
+    "literal through the SAME xxhash64 the writer used and plans ONLY "
+    "the matching buckets' files (bucket point-lookup pruning, "
+    "manager._prune_buckets; planned < total asserted in "
+    "tests/test_table_manager.py). Posting-list intersection is a "
+    "doc_id groupBy requiring every term to hit; the (small) candidate "
+    "set then broadcasts against the corpus for metadata. The oracle "
+    "word-scans the raw text. At 100 TB this is the retrieval shape: "
+    "term lookups cost one bucket each, never a corpus scan, and the "
+    "index maintains incrementally by appending new docs' postings.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_tok_index(spark, sf_dir)
+    hits, _planned, _total = mgr.scan(
+        "tok_index", where=[("token", "in", list(IDX_TERMS))]
+    )
+    cand = (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("n_terms"))
+        .filter(F.col("n_terms") == len(IDX_TERMS))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id", "lang", "source"
+    )

@@ -1270,6 +1270,53 @@ class ParquetTableManager:
             name, apply(self._load_manifest(name, head)), rebase=apply, ref=ref
         )
 
+    def _prune_buckets(
+        self, m: dict, spec: list["Transform"], files: list[dict], where: list
+    ) -> list[dict]:
+        """Drop files whose bucket partition value cannot hold any literal
+        of an ``==``/``in`` predicate on the bucket's source column.
+        Bucket transforms are not order-preserving, so :func:`_may_match`
+        skips them; membership still maps exactly: x IN (v1..vn) =>
+        bucket(x) IN (bucket(v1)..bucket(vn)). The literals are hashed
+        with the writer's own expression (xxhash64 after a cast to the
+        column's declared type — hash input type changes the hash) in one
+        single-row driver job. Conservative: files from a spec generation
+        without the bucket value are kept."""
+        schema = StructType.fromJson(m["schema"])
+        probes: list[tuple[str, Column]] = []
+        for col, op, lit_v in where:
+            if op not in ("==", "in"):
+                continue
+            vals = lit_v if op == "in" else [lit_v]
+            for t in spec:
+                if t.kind != "bucket" or t.source != col:
+                    continue
+                dt = schema[col].dataType
+                for v in vals:
+                    probes.append(
+                        (
+                            t.field_name,
+                            F.pmod(F.xxhash64(F.lit(v).cast(dt)), F.lit(t.arg)),
+                        )
+                    )
+        if not probes:
+            return files
+        row = self.spark.range(1).select(
+            *[c.alias(f"b{i}") for i, (_f, c) in enumerate(probes)]
+        ).collect()[0]
+        allowed: dict[str, set[str]] = {}
+        for i, (fname, _c) in enumerate(probes):
+            allowed.setdefault(fname, set()).add(str(row[i]))
+        return [
+            e
+            for e in files
+            if all(
+                e["partition"].get(f) is None
+                or str(e["partition"].get(f)) in vs
+                for f, vs in allowed.items()
+            )
+        ]
+
     def scan(
         self, name: str, where: list[tuple[str, str, Any]] | None = None
     ) -> tuple[DataFrame, int, int]:
@@ -1280,7 +1327,12 @@ class ParquetTableManager:
         {==, >=, <=, >, <, in} (for ``in`` the literal is a list of
         members); predicates on partition-transform source
         columns prune files by their manifest partition values, and ALL
-        predicates are still applied row-level as residuals.
+        predicates are still applied row-level as residuals. Equality and
+        membership predicates additionally prune through BUCKET
+        transforms (Iceberg bucket-pruning for point lookups): the
+        literal's bucket is computed with the same xxhash64 the writer
+        used — one driver-side single-row job per scan, never a data
+        pass — and only files of matching buckets are planned.
         Returns (df, files_planned, files_total).
         """
         m = self._load_manifest(name)
@@ -1288,6 +1340,7 @@ class ParquetTableManager:
         files = m["files"]
         total = len(files)
         files = [e for e in files if _may_match(spec, e, where or [])]
+        files = self._prune_buckets(m, spec, files, where or [])
         df = self._read_files(name, m, files)
         pred = _predicate(where or [])
         if pred is not None:

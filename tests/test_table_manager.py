@@ -807,3 +807,23 @@ def test_mor_delete_with_temporal_literal(mgr, spark):
     got = mgr.read("t")
     assert got.count() == 24
     assert got.filter(F.col("ts") >= F.lit("2024-01-02").cast("timestamp_ntz")).count() == 0
+
+
+def test_bucket_pruning_point_lookup(spark, tmp_path):
+    """== / IN predicates must prune through bucket transforms: the
+    literal's bucket is computed with the writer's own hash and only
+    matching buckets' files are planned."""
+    from iceberg_poc_spark.tables import ParquetTableManager, bucket
+
+    mgr = ParquetTableManager(spark, str(tmp_path))
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    mgr.create_table("bkt", df.schema, [bucket("k", 8)])
+    mgr.append("bkt", df)
+    got, planned, total = mgr.scan("bkt", where=[("k", "==", "k42")])
+    assert total >= 8, f"expected >=8 bucket files, got {total}"
+    assert planned < total
+    assert [r["v"] for r in got.collect()] == [42]
+    _, planned_in, _ = mgr.scan("bkt", where=[("k", "in", ["k42", "k99"])])
+    assert planned_in <= 2 * (total // 8 + 1)
