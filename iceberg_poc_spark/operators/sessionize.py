@@ -695,3 +695,91 @@ def q_stream_live_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_enrich")
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS sv
+        FROM events
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT b.user_id, unnest(generate_series(b.lo, b.hi,
+                                                 INTERVAL 1 HOUR)) AS h
+        FROM bounds b
+    ), filled AS (
+        SELECT s.user_id, s.h,
+               COALESCE(hy.n, 0) AS n,
+               last_value(hy.sv IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.h) AS carried
+        FROM spine s LEFT JOIN hourly hy
+          ON hy.user_id = s.user_id AND hy.h = s.h
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_hours,
+           ROUND(SUM(CASE WHEN n = 0 THEN carried ELSE 0 END), 2)
+               AS carried_sum
+    FROM filled
+    GROUP BY 1
+    """,
+    doc="Time-series resample + gap fill (the hypertable/continuous-"
+    "aggregate primitive): each user's event stream is rolled up to an "
+    "hourly grid spanning their own [first, last] hour, missing hours "
+    "are materialized from a per-user time spine, and the last observed "
+    "hourly value is carried forward into gaps (LOCF) with an "
+    "ignore-nulls window. The probe aggregates the filled series back "
+    "per user — grid size, gap count, and the sum of carried values, so "
+    "a wrong spine, a mis-carried value, or an off-by-one-hour bucket "
+    "all break the hash. Scale shape: the spine is GENERATED per user "
+    "map-side (sequence + explode — no calendar table, no cross join); "
+    "the spine inherits its user_id hash partitioning from the bounds "
+    "aggregate, the gap-marking join builds the (pre-aggregated, "
+    "hours-per-user-sized) rollup side against it, and the LOCF window "
+    "reuses that same partitioning — no exchange lands between the join "
+    "and the window. Per-user state is bounded by that user's own time "
+    "span, never the global calendar.",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    filled = (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "carried",
+            F.last("sv", ignorenulls=True).over(
+                Window.partitionBy("user_id").orderBy("h")
+            ),
+        )
+    )
+    gap = F.when(F.col("n") == 0, 1).otherwise(0)
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(gap).cast("long").alias("n_gap_hours"),
+        F.round(
+            F.sum(F.when(F.col("n") == 0, F.col("carried")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("carried_sum"),
+    )
