@@ -441,3 +441,125 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt").cast("double") / F.sum("cnt").over(total), 4),
         )
     )
+
+
+# ------------------------------------------------- resize / frame-sample
+
+RESIZE_MAX = 8  # target grid edge (images) / frame count (audio)
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode, then nearest-neighbor-downsample images
+    to an at-most RESIZE_MAX x RESIZE_MAX grid / stride-sample audio to
+    at most RESIZE_MAX frames. Deterministic index math (source index
+    i*src//dst) — the toy stand-in for a real resampler; emits exact
+    integer sums so the mean division stays JVM-side float64. BMP rows
+    are flipped back to logical top-down order (the container stores
+    them bottom-up) so sampling indices agree with the closed-form
+    oracle."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "kind": [], "out_w": [], "out_h": [],
+            "n_out": [], "sum_val": [],
+        }
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            m = decode_media(bytes(p))
+            kind, w, h = m["kind"], m["width"], m["height"]
+            if kind == "wav":
+                flat = np.asarray(m["samples"], dtype=np.int64).reshape(-1)
+                n_out = min(w, RESIZE_MAX)
+                idx = (np.arange(n_out, dtype=np.int64) * w) // n_out
+                picked = flat[idx]
+                ow, oh = n_out, 1
+            else:
+                arr = np.asarray(m["samples"], dtype=np.int64).reshape(h, w * 3)
+                if kind == "bmp":
+                    arr = arr[::-1]
+                ow, oh = min(w, RESIZE_MAX), min(h, RESIZE_MAX)
+                ri = (np.arange(oh, dtype=np.int64) * h) // oh
+                cj = (np.arange(ow, dtype=np.int64) * w) // ow
+                cols = (cj[:, None] * 3 + np.arange(3)).reshape(-1)
+                picked = arr[np.ix_(ri, cols)].reshape(-1)
+                n_out = ow * oh * 3
+            out["doc_id"].append(int(doc_id))
+            out["kind"].append(kind)
+            out["out_w"].append(int(ow))
+            out["out_h"].append(int(oh))
+            out["n_out"].append(int(n_out))
+            out["sum_val"].append(int(picked.sum()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, doc_id % 3 AS kid,
+               CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 8
+                               WHEN 1 THEN doc_id % 24 + 4
+                               ELSE doc_id % 1000 + 100 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN (doc_id * 3) % 24 + 8
+                               WHEN 1 THEN (doc_id * 5) % 16 + 4
+                               ELSE 1 END AS h
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, kid, w, h,
+               least(w, {RESIZE_MAX}) AS ow,
+               CASE WHEN kid = 2 THEN 1 ELSE least(h, {RESIZE_MAX}) END AS oh
+        FROM m
+    ),
+    s AS (
+        SELECT doc_id, kid, w, h, ow, oh,
+               CASE WHEN kid = 2 THEN ow ELSE ow * oh * 3 END AS n_out,
+               CASE WHEN kid = 2 THEN
+                 list_sum(list_transform(range(0, ow),
+                   k -> (doc_id + (k * w) // ow) % 256))
+               ELSE
+                 list_sum(list_transform(range(0, ow * oh * 3),
+                   k -> (doc_id
+                         + (((k // (ow * 3)) * h // oh) * w
+                            + (((k % (ow * 3)) // 3) * w // ow)) * 3
+                         + k % 3) % 256))
+               END AS sum_val
+        FROM d
+    )
+    SELECT doc_id,
+           CASE kid WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END
+               AS kind,
+           CAST(ow AS INT) AS out_w,
+           CAST(oh AS INT) AS out_h,
+           CAST(n_out AS BIGINT) AS n_out,
+           {dround("CAST(sum_val AS DOUBLE) / n_out", 4)} AS mean_val
+    FROM s
+    """,
+    doc="Multimodal resize / frame-sample: decode the real container "
+    f"bytes, nearest-neighbor-downsample images to <= {RESIZE_MAX}x"
+    f"{RESIZE_MAX} (source row i*h//oh, col j*w//ow — the index math of "
+    "a real NN resampler), stride-sample audio to <= "
+    f"{RESIZE_MAX} frames (frame k at sample k*n//{RESIZE_MAX}), and "
+    "report the sampled grid's dims and exact-integer mean. BMP's "
+    "bottom-up row order is undone before sampling, so a row-flip bug "
+    "shifts the sampled indices and breaks the hash against the "
+    "closed-form oracle. Same chained-Arrow-kernel shape as "
+    "q_multimodal_meta: decode+sample run where the bytes live, only "
+    "(doc, dims, sum) rows ever shuffle — at 100 TB the payload never "
+    "crosses the network, which is the entire point of pushing resize "
+    "into the scan.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    media = docs.select("doc_id").mapInPandas(
+        encode_media_batches, schema="doc_id long, payload binary"
+    )
+    sampled = media.mapInPandas(
+        resize_batches,
+        schema="doc_id long, kind string, out_w int, out_h int, "
+        "n_out long, sum_val long",
+    )
+    return sampled.select(
+        "doc_id", "kind", "out_w", "out_h", "n_out",
+        F.round(F.col("sum_val").cast("double") / F.col("n_out"), 4).alias(
+            "mean_val"
+        ),
+    )
