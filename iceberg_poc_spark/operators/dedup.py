@@ -814,3 +814,90 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed.cast("long").alias("n_removed"),
         F.round(removed.cast("double") / F.count("*"), 4).alias("removed_ratio"),
     )
+
+
+_APPLY_KEPT_SQL = f"""
+        SELECT s.doc_id,
+               array_to_string(list(s.seg ORDER BY s.pos), ' ') AS kept_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM segs s
+        JOIN df d USING (seg)
+        WHERE d.df < {BOILER_MIN_DOCS}
+        GROUP BY s.doc_id
+"""
+
+
+@register(
+    "q_dedup_lines_apply",
+    oracle=f"""
+    WITH segarrs AS (
+        SELECT doc_id, {_segments_sql()} AS segarr FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               unnest(segarr) AS seg,
+               generate_subscripts(segarr, 1) AS pos
+        FROM segarrs
+    ), df AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+    ), kept AS (
+        {_APPLY_KEPT_SQL}
+    )
+    SELECT d.doc_id,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           md5(COALESCE(k.kept_text, '')) AS clean_md5
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="APPLY form of q_dedup_lines — materialize the CLEANED corpus: "
+    "boilerplate segments are dropped from every document and the "
+    "survivors are re-joined IN ORIGINAL ORDER into the post-removal "
+    "text each doc feeds downstream (proved by md5 of the rebuilt "
+    "string, so a segment lost, kept wrongly, or re-ordered breaks the "
+    "hash; fully-boilerplate docs survive as empty strings via the "
+    "corpus left join). Scale shape adds one detail over the accounting "
+    "query: segment order rides a (pos, seg) struct through the "
+    "per-doc aggregation — array_sort of the collected structs, never "
+    "a per-group sort shuffle of its own — and reconstruction shuffles "
+    "only (doc_id, kept segments), bounded by the corpus itself.",
+)
+def q_dedup_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SEG_WORDS
+    d = with_words(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    w = F.col("__words")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / F.lit(float(k))).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    seg_df = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    kept = (
+        segs.join(seg_df, "h")
+        .filter(F.col("df") < BOILER_MIN_DOCS)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda x: x.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.md5(F.coalesce(F.col("kept_text"), F.lit(""))).alias("clean_md5"),
+    )

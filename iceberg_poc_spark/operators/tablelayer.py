@@ -1121,3 +1121,75 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# -------------------------------------------------- branch + cherry-pick
+
+CP_BASE_MAX_YEAR = 1997  # main's base load
+CP_PICK_YEAR = 1998  # the one audited batch that ships
+CP_HOLD_YEAR = 1999  # stays on the audit branch
+
+
+def _setup_orders_cp(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_cp: base on main, an audit branch carrying TWO staged
+    appends, then cherry-pick of only the first onto main — the selective
+    WAP publish (ship one audited batch, hold the other)."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_cp")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_cp", orders.schema, [years("o_orderdate")])
+    mgr.append(
+        "orders_cp", orders.filter(F.year("o_orderdate") <= CP_BASE_MAX_YEAR)
+    )
+    mgr.create_branch("orders_cp", "audit")
+    picked = mgr.append(
+        "orders_cp",
+        orders.filter(F.year("o_orderdate") == CP_PICK_YEAR),
+        ref="audit",
+    )
+    mgr.append(
+        "orders_cp",
+        orders.filter(F.year("o_orderdate") == CP_HOLD_YEAR),
+        ref="audit",
+    )
+    mgr.cherry_pick("orders_cp", picked)
+    _READY[key] = {"picked": picked}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_branch_cherry_pick",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) <= {CP_PICK_YEAR}
+    GROUP BY 1
+    """,
+    doc="Selective write-audit-publish via cherry-pick (≙ Iceberg "
+    "cherrypick_snapshot — the OTHER publish path next to q_wap_publish's "
+    "fast-forward): two batches land on an audit branch; only the first "
+    f"(year {CP_PICK_YEAR}) passes audit and is cherry-picked onto main "
+    "— a metadata-only re-application of that snapshot's added files "
+    f"with a double-publish guard — while year {CP_HOLD_YEAR} stays "
+    "staged. The query reads MAIN, which must contain exactly "
+    "base + the picked batch; the held batch leaking onto main breaks "
+    "the oracle hash. Branch isolation both ways is asserted in "
+    "tests/test_tablelayer.py. At 100 TB this is per-batch quality "
+    "gating: audit N ingest commits, ship the good ones individually, "
+    "zero data rewritten either way.",
+)
+def q_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_cp(spark, sf_dir)
+    df = mgr.read("orders_cp")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

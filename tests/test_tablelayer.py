@@ -359,3 +359,20 @@ def test_changelog_empty_range_and_rewrite_noise_free(spark):
     n_total = chg.count()
     n_tagged = chg.filter(F.col("_change_type").isin("insert", "delete")).count()
     assert n_total == n_tagged
+
+
+def test_cherry_pick_isolation_both_ways(spark):
+    """Cherry-pick ships exactly the picked batch to main; the held batch
+    stays branch-only, and the branch still sees everything."""
+    mgr, _ = tablelayer._setup_orders_cp(spark, SF_DIR)
+    main = mgr.read("orders_cp")
+    audit = mgr.read("orders_cp", ref="audit")
+    y = F.year("o_orderdate")
+    assert main.filter(y == tablelayer.CP_HOLD_YEAR).count() == 0
+    assert main.filter(y == tablelayer.CP_PICK_YEAR).count() > 0
+    assert (
+        audit.filter(y == tablelayer.CP_HOLD_YEAR).count()
+        == load_table(spark, SF_DIR, "orders")
+        .filter(F.year("o_orderdate") == tablelayer.CP_HOLD_YEAR)
+        .count()
+    )
