@@ -271,3 +271,51 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+@register(
+    "q_win_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY d
+                   ) AS INT) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY 1
+    """,
+    doc="Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via "
+    "the classic date-minus-row_number trick — consecutive days share "
+    "the same (day - rank) anchor, so islands fall out of a plain "
+    "groupBy with no self-join and no iteration. Reports streak count, "
+    "longest streak, and total active days per user (the "
+    "retention/engagement primitive next to q_retention_cohort's grid). "
+    "Scale shape: one user_id shuffle for the window, then map-side "
+    "combinable aggregates on the SAME partitioning — the distinct, the "
+    "window, and both groupBys all reuse one hash partitioning; per-user "
+    "state is that user's distinct days, never the global calendar.",
+)
+def q_win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active_days"),
+    )
