@@ -462,3 +462,43 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    SELECT COALESCE(d.seg, '(none)') AS seg_label,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM (SELECT c_acctbal, NULLIF(c_mktsegment, 'BUILDING') AS seg
+          FROM customer) c
+    JOIN (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+          FROM customer) d
+      ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY 1
+    """,
+    doc="Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the "
+    "BUILDING segment is nulled out on BOTH sides, and the null-safe "
+    "condition still pairs those rows (plain equality silently drops "
+    "every NULL-keyed row — the classic lost-rows bug when joining on "
+    "nullable business keys). Same hash-join machinery, NULL hashes as "
+    "a regular key value; the row counts prove no NULL-keyed customer "
+    "vanished. At 100 TB nullable join keys are the norm (optional "
+    "foreign keys, unparsed attributes) — this is the semantics a "
+    "correct enrichment join needs without a sentinel-value rewrite.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    dim = cust.select("seg").distinct()
+    joined = cust.join(
+        F.broadcast(dim), cust["seg"].eqNullSafe(dim["seg"])
+    ).drop(dim["seg"])
+    return joined.groupBy(
+        F.coalesce(F.col("seg"), F.lit("(none)")).alias("seg_label")
+    ).agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

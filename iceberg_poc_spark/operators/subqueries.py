@@ -96,3 +96,77 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer")
     _view(spark, sf_dir, "orders")
     return spark.sql(_LATERAL_SQL)
+
+
+SCRIPT_STEP_K = 25  # threshold granularity: 25k price units per step
+
+
+@register(
+    "q_sql_scripting",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_totalprice,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total FROM t
+    ), cap AS (
+        SELECT {SCRIPT_STEP_K} * g AS k,
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice
+                                           < {SCRIPT_STEP_K} * g * 1000
+                                      THEN cents END), 0) AS BIGINT)
+                   AS captured
+        FROM generate_series(1, 100) s(g), t
+        GROUP BY 1
+    )
+    SELECT CAST(k AS INT) AS threshold_k,
+           captured AS captured_cents,
+           tot.total AS total_cents
+    FROM cap, tot
+    WHERE captured * 2 >= tot.total
+    ORDER BY k LIMIT 1
+    """,
+    doc="Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE): an iterative "
+    "threshold search — raise the price ceiling in "
+    f"{SCRIPT_STEP_K}k steps until the captured revenue reaches half of "
+    "total — written as a procedural script whose loop CONDITION is a "
+    "scalar, while every iteration's aggregate runs as a full "
+    "distributed query. That division of labor is the point of "
+    "scripting at 100 TB: control flow lives driver-side in SQL (no "
+    "Python round trips, no collect loops over data), the heavy scans "
+    "stay on the cluster, and the whole procedure ships as one "
+    "statement. The oracle finds the same fixpoint declaratively "
+    "(generate_series over candidate thresholds), so the loop's "
+    "termination step and both running totals are value-checked in "
+    "exact integer cents.",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    view = f"orders_scr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+        BEGIN
+          DECLARE total BIGINT;
+          DECLARE captured BIGINT DEFAULT 0;
+          DECLARE k INT DEFAULT 0;
+          SET total = (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                       FROM {view});
+          WHILE captured * 2 < total DO
+            SET k = k + {SCRIPT_STEP_K};
+            SET captured = (
+              SELECT CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)), 0) AS BIGINT)
+              FROM {view} WHERE o_totalprice < k * 1000);
+          END WHILE;
+          SELECT k AS threshold_k,
+                 captured AS captured_cents,
+                 total AS total_cents;
+        END
+        """)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)

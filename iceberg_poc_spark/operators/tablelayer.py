@@ -1193,3 +1193,74 @@ def q_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "q_mv_from_changelog",
+    oracle=f"""
+    WITH final AS (
+        SELECT o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_BASE_MAX_YEAR - 2}
+        UNION ALL
+        SELECT o_orderdate,
+               o_totalprice + CASE WHEN o_orderpriority = '{CHG_PRIORITY}'
+                                   THEN 10 ELSE 0 END
+        FROM orders WHERE year(o_orderdate) = {CHG_OVR_YEAR}
+        UNION ALL
+        SELECT o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_BASE_MAX_YEAR}
+                      AND o_orderpriority <> '{CHG_PRIORITY}'
+        UNION ALL
+        SELECT o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {CHG_APPEND_YEAR}
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM final
+    GROUP BY 1
+    """,
+    doc="Incremental view maintenance from the CHANGELOG — the general "
+    "IVM form that q_mv_incremental's append-only delta loop can't "
+    "cover: the per-year MV state is the base snapshot's aggregate plus "
+    "SIGNED changelog deltas (+count/+cents per insert row, -count/"
+    "-cents per delete row), so copy-on-write overwrites and "
+    "merge-on-read deletes maintain the view without rescanning the "
+    "base — an update is its delete+insert pair and nets out exactly. "
+    "The oracle recomputes the FINAL table state closed-form from raw "
+    "parquet and aggregates it: the base-plus-deltas result must be "
+    "indistinguishable from a full recompute across an append, a "
+    "partial partition overwrite, and a MoR delete. Integer-cents "
+    "totals keep the signed accumulation exact. At 100 TB this is how "
+    "a rollup stays fresh under GDPR deletes and backfills, at cost "
+    "proportional to the change stream.",
+)
+def q_mv_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, snaps = _setup_orders_chg(spark, sf_dir)
+    yr = F.year("o_orderdate").cast("int").alias("o_year")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = mgr.read("orders_chg", snapshot_id=snaps["base"]).groupBy(yr).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+    )
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        mgr.changelog("orders_chg", from_snapshot=snaps["base"])
+        .groupBy(yr)
+        .agg(
+            F.sum(sgn).cast("long").alias("n_orders"),
+            F.sum(sgn * cents).alias("total_cents"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_year")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
