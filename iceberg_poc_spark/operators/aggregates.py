@@ -483,3 +483,34 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("bm")).alias("n_customers")
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (Spark 4 LISTAGG ... WITHIN GROUP): "
+    "each region's nations concatenated in deterministic alphabetical "
+    "order — the SQL:2016 surface DuckDB spells string_agg(... ORDER "
+    "BY). The WITHIN GROUP ordering is what makes the result "
+    "hash-comparable at all; an unordered collect would flap. Map-side "
+    "combinable like any agg; the ordered merge happens per group.",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)\
+        .createOrReplaceTempView("__nation_region")
+    return spark.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM __nation_region
+        GROUP BY r_name
+    """)

@@ -1264,3 +1264,44 @@ def q_mv_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "q_scan_pyds",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{CUTOFF}'
+    GROUP BY 1
+    """,
+    doc="The snapshot table read through Spark's Python DataSource API "
+    "behind the differential gate: spark.read.format('snaptable') "
+    "resolves the tag through the SAME manifest machinery as "
+    "manager.read, pushes the date filter into the reader "
+    "(pushFilters -> per-file Arrow batches, manifest-pruned before "
+    "any file opens), and hands Spark one partition per surviving "
+    "file. This is the third access path to the table layer "
+    "(manager.read, SQL via temp views, and now the DataSource V2 "
+    "reader) — a user can mount the table into any Spark pipeline "
+    "with .format(); the oracle recomputes the tagged state from raw "
+    "parquet. Streaming reads from the same source are covered in "
+    "tests/test_pyds.py.",
+)
+def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr, _snaps = _setup_orders_tt(spark, sf_dir)
+    register_snaptable(spark)
+    df = (
+        spark.read.format("snaptable")
+        .option("warehouse", _warehouse(sf_dir))
+        .option("table", "orders_tt")
+        .option("ref", "pre_cutoff")
+        .load()
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
