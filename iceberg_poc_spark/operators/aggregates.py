@@ -514,3 +514,49 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __nation_region
         GROUP BY r_name
     """)
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_year, o_orderpriority AS mode_priority, n_orders
+    FROM (
+      SELECT o_year, o_orderpriority, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY o_year
+                                ORDER BY n_orders DESC, o_orderpriority)
+                 AS rn
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic per-group MODE: the most frequent order priority "
+    "per order-year. Spark's mode() aggregate is non-deterministic on "
+    "ties, so the engine computes it as count-then-pick — a two-key "
+    "groupBy (map-side combinable, shuffles only (year, priority, count) "
+    "triples) followed by a row_number window ordered (count DESC, value "
+    "ASC) for a total tie order. The window partitions on o_year — many "
+    "small partitions, no SinglePartition — and its input is the "
+    "pre-aggregated group table (|years x priorities| rows), not the "
+    "fact table, so the pattern costs the same at 100 TB as at 100 MB "
+    "past the first groupBy.",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n_orders"))
+    w = Window.partitionBy("o_year").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_year", F.col("o_orderpriority").alias("mode_priority"), "n_orders")
+    )

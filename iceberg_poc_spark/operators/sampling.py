@@ -302,3 +302,59 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("pos"))
         .filter(F.col("pos") <= RESERVOIR_K)
     )
+
+
+W_SCALE = 600.0  # chars at which keep-probability saturates to 1.0
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM (
+      SELECT source, n_chars,
+             substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < lpad(lower(to_hex(CAST(least(
+                     floor(least(1.0, n_chars / {W_SCALE}) * 4294967296.0),
+                     4294967295.0) AS BIGINT))), 8, '0')
+               AS kept
+      FROM documents
+    )
+    GROUP BY source ORDER BY source
+    """,
+    doc="Weighted (Poisson) sampling — keep-probability proportional to "
+    "document length, the quality/length-weighted corpus downsampling "
+    "step of LLM data mixing. Same content-addressed discipline as "
+    "q_sample_split: the per-doc uniform draw is md5(doc_id) and the "
+    "per-doc threshold is floor(min(1, n_chars/W_SCALE) * 2^32) "
+    "formatted as fixed-width hex, so membership is a pure row-local "
+    "function — reproducible across engines (doubles only touch * and "
+    "/, which IEEE rounds identically everywhere; no transcendentals), "
+    "runs, and repartitionings, and costs ZERO shuffle to decide; only "
+    "the per-source report aggregates. Unlike df.sample(), adding or "
+    "removing one document never flips any other document's fate.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_hex(F.col("doc_id"), "wsamp")
+    thresh_u32 = F.least(
+        F.floor(F.least(F.lit(1.0), F.col("n_chars") / F.lit(W_SCALE)) * F.lit(4294967296.0)),
+        F.lit(4294967295.0),
+    ).cast("bigint")
+    kept = u < F.lpad(F.lower(F.hex(thresh_u32)), 8, "0")
+    return (
+        d.select("source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -473,3 +473,45 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lit("a b"), " "), F.col("l_linenumber").cast("int")
         ).alias("tok"),
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key (≙ the per-tenant KMS data key)
+
+
+@register(
+    "q_fn_crypto",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                            AS h_md5,
+           sha256(c_name)                         AS h_sha256,
+           lower(hex(CAST(c_name AS BLOB)))       AS name_hex,
+           to_base64(CAST(c_name AS BLOB))        AS name_b64,
+           c_name                                 AS aes_roundtrip
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    doc="Hash / encoding / encryption surface: md5 + sha2-256 digests "
+    "(content addressing — the primitive every dedup and split operator "
+    "here builds on), hex + base64 encodings, and an AES-GCM "
+    "encrypt/decrypt round-trip with a literal data key — the in-engine "
+    "analogue of the reference's per-tenant KMS envelope encryption "
+    "(aig/AIGEventsTableCreator.java:369-383, sources/aws.py carries the "
+    "real KMS routing). The oracle can't see ciphertext (GCM IVs are "
+    "random per call), so it checks what IS deterministic: the decrypted "
+    "plaintext must come back byte-identical. All six expressions are "
+    "JVM intrinsics in one codegen'd projection — no shuffle, no Python.",
+)
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    key = F.lit(AES_KEY)
+    name_bin = F.col("c_name").cast("binary")
+    return c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.md5(name_bin).alias("h_md5"),
+        F.sha2(name_bin, 256).alias("h_sha256"),
+        F.lower(F.hex(name_bin)).alias("name_hex"),
+        F.base64(name_bin).alias("name_b64"),
+        F.aes_decrypt(F.aes_encrypt(name_bin, key), key)
+        .cast("string")
+        .alias("aes_roundtrip"),
+    )

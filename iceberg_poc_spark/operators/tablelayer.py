@@ -1305,3 +1305,123 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# -------------------------------------------------- rollback + targeted compaction
+
+RB_BAD_FACTOR = 100.0  # the corrupted load multiplies prices by this
+EV_CP_SPLIT = "2024-01-25 00:00:00"  # streaming-tail fragmentation starts here
+
+
+def _setup_orders_rb(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_rb: good batch1 -> corrupted batch2 (prices x100) ->
+    ``rollback`` to batch1 -> corrected batch3. The head must equal
+    batch1+batch3 exactly; the bad snapshot stays in history as an
+    unreferenced ancestor (still time-travelable until expiry)."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_rb")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    tail = orders.filter(F.col("o_orderdate") >= cutoff)
+    mgr.create_table("orders_rb", orders.schema, [years("o_orderdate")])
+    good = mgr.append("orders_rb", orders.filter(F.col("o_orderdate") < cutoff))
+    bad = mgr.append(
+        "orders_rb",
+        tail.withColumn("o_totalprice", F.col("o_totalprice") * F.lit(RB_BAD_FACTOR)),
+    )
+    mgr.rollback("orders_rb", good)
+    mgr.append("orders_rb", tail)
+    _READY[key] = {"good": good, "bad": bad}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_rollback",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Snapshot rollback (≙ Iceberg rollback_to_snapshot — the recovery "
+    "primitive the reference's atomic-commit design exists to enable, "
+    "BulkParquetToIcebergAtomicMultipart.java:97-101): a corrupted load "
+    "(every price x100) lands as a normal commit, rollback moves the head "
+    "pointer back to the last good snapshot (metadata-only, no data "
+    "rewritten), and the corrected batch re-lands on top. The head read "
+    "must equal good+corrected exactly — the oracle computes that state "
+    "from raw parquet, so surviving ANY corrupted row inflates totals "
+    "100x and fails the hash. History keeps the bad snapshot as an "
+    "unreferenced ancestor for forensics (asserted in "
+    "tests/test_tablelayer.py). At 100 TB rollback is one pointer CAS.",
+)
+def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_rb(spark, sf_dir)
+    df = mgr.read("orders_rb")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _setup_ev_cp(spark: SparkSession, sf_dir: str) -> tuple:
+    """ev_cp: bulk history (one append => one file per day partition) +
+    four micro-appends over the tail days (=> 4 small files in each) —
+    the fragmentation profile streaming ingest leaves. Targeted
+    compaction rewrites ONLY the fragmented tail partitions."""
+    from iceberg_poc_spark.tables import days
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "ev_cp")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    split = F.lit(EV_CP_SPLIT).cast("timestamp_ntz")
+    mgr.create_table("ev_cp", ev.schema, [days("ts")])
+    mgr.append("ev_cp", ev.filter(F.col("ts") < split))
+    for k in range(4):
+        mgr.append(
+            "ev_cp",
+            ev.filter((F.col("ts") >= split) & (F.col("event_id") % 4 == k)),
+        )
+    res = mgr.compact_partitions("ev_cp", min_files=2)
+    _READY[key] = {"rewritten": res["rewritten"], "added": res["added"]}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_compaction_targeted",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Targeted partition compaction (≙ Iceberg rewrite_data_files with "
+    "a partition filter — the ONLY maintenance shape that stays viable at "
+    "100 TB, where a full-table rewrite is off the table): "
+    "manager.compact_partitions rewrites exactly the day-partitions "
+    "fragmented by micro-appends (>=2 files, any under the small-file "
+    "threshold) and leaves the bulk history's files byte-identical — "
+    "untouched-partition file identity and tail file-count collapse are "
+    "asserted in tests/test_tablelayer.py. The read-back must hold every "
+    "row exactly (oracle recomputes from raw parquet): compaction is a "
+    "data-equivalent REPLACE snapshot.",
+)
+def q_compaction_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_ev_cp(spark, sf_dir)
+    df = mgr.read("ev_cp")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -376,3 +376,54 @@ def test_cherry_pick_isolation_both_ways(spark):
         .filter(F.year("o_orderdate") == tablelayer.CP_HOLD_YEAR)
         .count()
     )
+
+
+def test_rollback_restores_head_keeps_bad_snapshot_in_history(spark):
+    """Rollback is metadata-only recovery: the head equals good+corrected
+    exactly, the corrupted snapshot survives in history (forensics /
+    time travel), and reading AT the bad snapshot still shows the
+    corruption."""
+    mgr, snaps = tablelayer._setup_orders_rb(spark, SF_DIR)
+    cutoff = F.lit(tablelayer.CUTOFF).cast("timestamp_ntz")
+    orders = load_table(spark, SF_DIR, "orders")
+    n_all = orders.count()
+    head = mgr.read("orders_rb")
+    assert head.count() == n_all
+    # no corrupted (x100) price survives at the head
+    max_raw = orders.agg(F.max("o_totalprice")).first()[0]
+    assert head.agg(F.max("o_totalprice")).first()[0] <= max_raw
+    # the bad snapshot is still resolvable and still corrupted
+    bad = mgr.read("orders_rb", snapshot_id=snaps["bad"])
+    assert bad.filter(F.col("o_orderdate") >= cutoff).agg(
+        F.max("o_totalprice")
+    ).first()[0] > max_raw
+    # history retains the rollback commit as its own operation
+    ops = [r["operation"] for r in mgr.snapshots("orders_rb").collect()]
+    assert "rollback" in ops
+
+
+def test_compact_partitions_touches_only_fragmented_tail(spark):
+    """Targeted compaction: tail day-partitions (4 micro-append files)
+    collapse to one file each; bulk-history partitions keep their exact
+    file paths (byte-identical survivors, no rewrite)."""
+    mgr, snaps = tablelayer._setup_ev_cp(spark, SF_DIR)
+    assert snaps["rewritten"] > 0 and snaps["added"] > 0
+    m = mgr._load_manifest("ev_cp")
+    split_day = tablelayer.EV_CP_SPLIT[:10]
+    per_part: dict[str, list] = {}
+    for e in m["files"]:
+        day = list(e["partition"].values())[0]
+        per_part.setdefault(str(day), []).append(e["path"])
+    for day, paths in per_part.items():
+        if str(day) >= split_day:
+            assert len(paths) == 1, f"tail {day} still fragmented: {len(paths)}"
+    # untouched partitions: same paths as the pre-compaction base append
+    base_version = sorted(
+        r["snapshot_id"]
+        for r in mgr.snapshots("ev_cp").collect()
+        if r["operation"] == "append"
+    )[0]
+    base_m = mgr._load_manifest("ev_cp", base_version)
+    base_paths = {e["path"] for e in base_m["files"]}
+    head_paths = {e["path"] for e in m["files"]}
+    assert base_paths <= head_paths, "bulk-history files were rewritten"
