@@ -180,3 +180,37 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("int").alias("min_len"),
         F.max(F.length("value")).cast("int").alias("max_len"),
     )
+
+
+@register(
+    "q_source_xml",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size,
+           ROUND(SUM(p_retailprice), 2) AS total_price
+    FROM part
+    GROUP BY 1
+    """,
+    doc="XML round-trip fidelity through Spark 4's BUILT-IN xml source "
+    "(the spark-xml package folded into core — no external jar): part "
+    "is written as <row> elements through the gzip XML sink and read "
+    "back schema-explicit, then aggregated; the oracle aggregates the "
+    "original parquet. XML's failure class is entity escaping (&lt; "
+    "&amp; in free-text p_name/p_type) and numeric round-trip through "
+    "text — any mangled char or truncated double breaks the hash. "
+    "Complements q_fn_xml (which parses XML STRINGS via from_xml/xpath; "
+    "this is the file SOURCE surface).",
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources.formats import read_xml, write_xml
+
+    path = _fmt_dir(sf_dir, "part_xml")
+    part = load_table(spark, sf_dir, "part")
+    _ensure(path, lambda: write_xml(part, path))
+    back = read_xml(spark, path, schema=part.schema)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("p_size").cast("bigint").alias("sum_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )

@@ -741,3 +741,83 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(cand), "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct({shingles_sql(k=8)})) AS shingle
+        FROM documents WHERE source = 'src0'
+    ),
+    cand AS (
+        SELECT doc_id, source, unnest(list_distinct({shingles_sql(k=8)})) AS sh
+        FROM documents WHERE source <> 'src0'
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM cand
+        WHERE sh IN (SELECT shingle FROM bench)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Bloom-prune decontamination — q_decontaminate for the regime "
+    "where the benchmark n-gram set is itself too big to broadcast (a "
+    "full eval-suite 8-gram set at production scale is tens of GB). "
+    "Phase 1 broadcasts a 16-bit FINGERPRINT set instead: "
+    "substr(md5(shingle),1,4), at most 2^16 distinct rows NO MATTER how "
+    "large the benchmark grows — a Bloom filter with a bounded bit "
+    "budget (~1.5% false-positive mass at saturation), probed as a "
+    "broadcast semi join so the corpus still never shuffles. Phase 2 "
+    "exact-verifies only the prefilter survivors against the true "
+    "shingle set in a candidates-only shuffle join — false positives "
+    "die there, false negatives cannot exist (same md5 both sides), so "
+    "the result is exactly q_decontaminate's (identical oracle). The "
+    "two-phase shape caps broadcast memory at a constant while keeping "
+    "the shuffled volume proportional to the (rare) overlap, not the "
+    "corpus.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        with_words(
+            raw.filter(F.col("source") == "src0").repartition(8, F.col("doc_id"))
+        )
+        .select(F.explode(F.array_distinct(shingles_col(k=8))).alias("shingle"))
+        .distinct()
+    )
+    fp = bench_sh.select(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 4).alias("fp")
+    ).distinct()
+    cand = raw.filter(F.col("source") != "src0").repartition(F.col("doc_id"))
+    cand_sh = with_words(cand).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(k=8))).alias("sh")
+    )
+    survivors = cand_sh.join(
+        F.broadcast(fp),
+        F.substring(F.md5(F.col("sh").cast("binary")), 1, 4) == F.col("fp"),
+        "left_semi",
+    )
+    contaminated = (
+        survivors.join(bench_sh, survivors.sh == bench_sh.shingle, "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        cand.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )

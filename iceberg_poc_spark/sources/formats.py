@@ -86,3 +86,21 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
 def write_text(df: DataFrame, path: str, compression: str = "gzip") -> None:
     """``df`` must be a single string column (Spark text-sink contract)."""
     df.write.option("compression", compression).mode("overwrite").text(path)
+
+
+XML_OPTIONS = {"rowTag": "row"}
+
+
+def read_xml(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Spark 4 built-in XML source (the spark-xml package folded into
+    core). Schema-explicit like every reader here: XML inference is an
+    extra full pass and types everything it can't prove as string."""
+    return (
+        spark.read.options(**XML_OPTIONS).format("xml").schema(schema).load(path)
+    )
+
+
+def write_xml(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    df.write.options(**XML_OPTIONS).option("compression", compression).mode(
+        "overwrite"
+    ).format("xml").save(path)

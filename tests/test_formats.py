@@ -77,3 +77,18 @@ def test_text_roundtrip_line_per_doc(spark, tmp_path):
     back = read_text(spark, p)
     assert back.columns == ["value"]
     assert _rows(back.select(F.col("value").alias("text"))) == _rows(docs)
+
+
+def test_xml_roundtrip_escaping(spark, tmp_path):
+    from iceberg_poc_spark.sources.formats import read_xml, write_xml
+
+    part = load_table(spark, SF_DIR, "part").limit(300)
+    # inject the XML-hostile characters the sink must entity-escape
+    hostile = part.withColumn(
+        "p_name", F.concat(F.col("p_name"), F.lit(" <&> \"x\" 'y'"))
+    )
+    p = str(tmp_path / "part_xml")
+    write_xml(hostile, p)
+    back = read_xml(spark, p, schema=hostile.schema)
+    assert back.schema == hostile.schema
+    assert _rows(back) == _rows(hostile)
