@@ -179,3 +179,88 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_id").alias("next_click_id"),
         (us("asof_ts") - us("ts")).cast("bigint").alias("gap_us"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT e.event_id, c.event_id AS cid, c.ts AS cts
+           FROM e ASOF LEFT JOIN c
+             ON e.user_id = c.user_id AND e.ts >= c.ts
+         ),
+         f AS (
+           SELECT e.event_id, c.event_id AS cid, c.ts AS cts
+           FROM e ASOF LEFT JOIN c
+             ON e.user_id = c.user_id AND e.ts < c.ts
+         )
+    SELECT e.event_id,
+           CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR
+                     epoch_us(e.ts) - epoch_us(b.cts)
+                       <= epoch_us(f.cts) - epoch_us(e.ts))
+                THEN b.cid ELSE f.cid END AS nearest_click_id,
+           CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR
+                     epoch_us(e.ts) - epoch_us(b.cts)
+                       <= epoch_us(f.cts) - epoch_us(e.ts))
+                THEN epoch_us(e.ts) - epoch_us(b.cts)
+                ELSE epoch_us(f.cts) - epoch_us(e.ts) END AS gap_us
+    FROM e
+    JOIN b ON e.event_id = b.event_id
+    JOIN f ON e.event_id = f.event_id
+    """,
+    doc="Nearest as-of join (pandas merge_asof direction='nearest'): each "
+    "error matched to the same user's closest click in EITHER direction, "
+    "ties to the prior one. Both carries run in ONE union+window pass — "
+    "the backward last(ignorenulls) and forward first(ignorenulls) "
+    "frames share the same partitioning AND sort order, so the plan has "
+    "a single shuffle and a single sort (equal-ts clicks sort before "
+    "the error row: included backward/inclusive, excluded forward/"
+    "strict). The oracle composes DuckDB's two native ASOF directions "
+    "and picks per row. Same 100 TB shape as q_join_asof: no range-join "
+    "blowup, linear pass per key.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        .withColumn("cts", F.col("ts"))
+    )
+    l_t = errors.withColumn(_SRC, F.lit(1))
+    r_t = clicks.withColumn(_SRC, F.lit(0))
+    u = l_t.unionByName(r_t, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", _SRC)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", _SRC)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = (
+        u.withColumn("b_click", F.last("click_id", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("cts", ignorenulls=True).over(wb))
+        .withColumn("f_click", F.first("click_id", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.first("cts", ignorenulls=True).over(wf))
+    )
+    out = u.filter(F.col(_SRC) == 1)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_b = us("ts") - us("b_ts")
+    gap_f = us("f_ts") - us("ts")
+    back_wins = F.col("b_click").isNotNull() & (
+        F.col("f_click").isNull() | (gap_b <= gap_f)
+    )
+    return out.select(
+        "event_id",
+        F.when(back_wins, F.col("b_click"))
+        .otherwise(F.col("f_click"))
+        .alias("nearest_click_id"),
+        F.when(back_wins, gap_b).otherwise(gap_f).cast("bigint").alias("gap_us"),
+    )

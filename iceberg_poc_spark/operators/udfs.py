@@ -239,3 +239,90 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@udtf(returnType="source string, n_docs bigint, total_chars bigint, max_run int",
+      useArrow=True)
+class _SourceRunsUDTF:
+    """Polymorphic table function (Spark 4 UDTF with a TABLE argument):
+    consumes one whole partition in its PARTITION BY/ORDER BY order,
+    carries sequential state across rows (longest strictly-increasing
+    n_chars run — a computation that is inherently order-dependent), and
+    emits the summary from terminate(). Arrow-evaluated."""
+
+    def __init__(self):
+        self.source = None
+        self.n = 0
+        self.total = 0
+        self.run = 0
+        self.best = 0
+        self.prev = None
+
+    def eval(self, row):
+        self.source = row["source"]
+        n_chars = row["n_chars"]
+        self.n += 1
+        self.total += n_chars
+        self.run = self.run + 1 if (
+            self.prev is not None and n_chars > self.prev
+        ) else 1
+        self.best = max(self.best, self.run)
+        self.prev = n_chars
+
+    def terminate(self):
+        if self.source is not None:
+            yield self.source, self.n, self.total, self.best
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+               CASE WHEN n_chars > lag(n_chars) OVER
+                        (PARTITION BY source ORDER BY doc_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM documents
+    ),
+    g AS (
+        SELECT source, n_chars,
+               SUM(brk) OVER (PARTITION BY source ORDER BY rn) AS grp
+        FROM d
+    ),
+    runs AS (
+        SELECT source, grp, COUNT(*) AS run_len FROM g GROUP BY source, grp
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.total_chars AS BIGINT) AS total_chars,
+           CAST(r.max_run AS INT) AS max_run
+    FROM (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+          FROM documents GROUP BY source) s
+    JOIN (SELECT source, MAX(run_len) AS max_run FROM runs GROUP BY source) r
+      USING (source)
+    """,
+    doc="UDTF with a TABLE argument (Spark 4 polymorphic table function, "
+    "SELECT * FROM f(TABLE(t) PARTITION BY src ORDER BY id)): the engine "
+    "shuffles once on the partition key, streams each partition through "
+    "the UDTF in order, and the UDTF carries SEQUENTIAL state across "
+    "rows — here the longest strictly-increasing n_chars run per source, "
+    "a computation that is order-dependent by nature — emitting one "
+    "summary row from terminate(). Arrow-evaluated "
+    "(ArrowEvalPythonUDTF). The oracle is the gaps-and-islands SQL "
+    "equivalent, two engines computing the run two entirely different "
+    "ways. Scale: parallelism = number of sources; each partition "
+    "streams (state is O(1)), never materializes in memory.",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("source_runs_udtf", _SourceRunsUDTF)
+    load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).createOrReplaceTempView("__docs_pbr")
+    return spark.sql(
+        """
+        SELECT * FROM source_runs_udtf(
+            TABLE(__docs_pbr) PARTITION BY source ORDER BY doc_id
+        )
+        """
+    )
