@@ -358,3 +358,93 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TEMP_RATE_BASE = 0.5  # keep rate of the largest source; smaller sources keep more
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars_src
+        FROM documents GROUP BY source
+    ),
+    m AS (SELECT MAX(n_chars_src) AS nmax FROM stats),
+    rates AS (
+        SELECT source,
+               least(1.0, {TEMP_RATE_BASE} *
+                     sqrt(CAST(nmax AS DOUBLE) / CAST(n_chars_src AS DOUBLE)))
+                   AS keep_rate
+        FROM stats, m
+    ),
+    k AS (
+        SELECT d.source, r.keep_rate,
+               substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 < lpad(lower(to_hex(CAST(least(
+                       floor(r.keep_rate * 4294967296.0),
+                       4294967295.0) AS BIGINT))), 8, '0') AS kept
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           keep_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY source, keep_rate ORDER BY source
+    """,
+    doc=f"Temperature (alpha=0.5) source sampling — the multilingual/"
+    f"multi-corpus flattening rule (sampling rate per doc proportional to "
+    f"corpus_mass^(alpha-1)): each source's keep rate is "
+    f"{TEMP_RATE_BASE}*sqrt(largest_source_chars / source_chars) capped "
+    f"at 1, so the dominant corpus is downsampled hardest and tail "
+    f"corpora survive. Rates are DATA-DRIVEN (computed from the same "
+    f"scan via a broadcast single-row max, 20-row rate table "
+    f"broadcast-joined back), and bit-exactly reproducible in DuckDB "
+    f"because every float op involved — division, sqrt, multiply — is "
+    f"IEEE exact-rounded with NO multi-term float summation anywhere. "
+    f"Membership stays content-addressed md5-vs-hex-threshold like "
+    f"q_sample_weighted: zero-shuffle per-row decisions; the only "
+    f"shuffles are the tiny stats and report aggregations.",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("n_chars_src")
+    )
+    nmax = stats.agg(F.max("n_chars_src").alias("nmax"))
+    rates = stats.crossJoin(F.broadcast(nmax)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_RATE_BASE)
+            * F.sqrt(
+                F.col("nmax").cast("double") / F.col("n_chars_src").cast("double")
+            ),
+        ).alias("keep_rate"),
+    )
+    u = _u32_hex(F.col("doc_id"), "temp")
+    thresh = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(F.col("keep_rate") * F.lit(4294967296.0)),
+                    F.lit(4294967295.0),
+                ).cast("bigint")
+            )
+        ),
+        8,
+        "0",
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("source", "keep_rate", (u < thresh).alias("kept"))
+        .groupBy("source", "keep_rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("source", "keep_rate", "n_docs", "n_kept")
+        .orderBy("source")
+    )

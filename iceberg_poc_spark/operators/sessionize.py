@@ -783,3 +783,45 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("carried_sum"),
     )
+
+
+@register(
+    "q_stream_live_sliding",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws,
+               event_type
+        FROM events
+    )
+    SELECT strftime(ws, '{_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="LIVE sliding-window streaming behind the differential gate: the "
+    "readStream pipeline (file source -> watermark -> 2h windows sliding "
+    "hourly per event type) drains under Trigger.AvailableNow into a "
+    "complete-mode memory sink; every event must land in exactly its TWO "
+    "overlapping windows. The oracle mirrors the overlap as a 2-way "
+    "UNION ALL of hourly buckets (t's windows start at floor_hour(t) "
+    "and floor_hour(t)-1h). Completes the live gate set alongside "
+    "tumbling/session/dedup/join/stateful/to_table; state size is "
+    "|open windows x event types|, independent of event volume.",
+)
+def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_memory,
+        sliding_stream,
+    )
+
+    stream = sliding_stream(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    run_to_memory(stream, "live_sliding", output_mode="complete")
+    return spark.table("live_sliding").withColumn("n", F.col("n").cast("bigint"))
