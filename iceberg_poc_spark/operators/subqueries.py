@@ -170,3 +170,45 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Spark 4 SQL PIPE syntax (|> operators — SQL written in dataflow "
+    "order, the 2024 'SQL Has Problems' pipeline dialect): scan |> WHERE "
+    "|> JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg) |> ORDER BY. "
+    "Pipe stages desugar to the identical Catalyst plan as the nested "
+    "ANSI form the oracle runs — same pushdown, same broadcast — so "
+    "this gates the PARSER surface, not a new engine path. The shape "
+    "mirrors a shipdate-windowed revenue-by-priority rollup.",
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(f"li_pipe_{tag}")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(f"ord_pipe_{tag}")
+    return spark.sql(f"""
+        FROM li_pipe_{tag} AS l
+        |> WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |> JOIN ord_pipe_{tag} AS o ON l.l_orderkey = o.o_orderkey
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                         AS revenue
+           GROUP BY o.o_orderpriority
+        |> WHERE n_lines > 10
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n_lines, revenue
+    """)
