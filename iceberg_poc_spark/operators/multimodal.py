@@ -563,3 +563,62 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_val"
         ),
     )
+
+
+DUP_MOD = 64  # distinct media assets; every doc re-keys onto one of them
+
+
+def _encode_media_by_key(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, media_id) in, real container bytes for
+    media_id out — the duplicated-asset generator (the same image/audio
+    file crawled under many URLs)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [encode_media(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle=f"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY doc_id % {DUP_MOD}
+    ORDER BY canonical_doc_id
+    """,
+    doc=f"Binary-payload dedup — the image/audio exact-dedup step of "
+    f"multimodal corpus prep (the same asset crawled under many URLs): "
+    f"each document carries real container bytes for one of {DUP_MOD} "
+    f"distinct media assets (doc_id % {DUP_MOD} through the PPM/BMP/WAV "
+    f"codec suite — injective, since the byte pattern embeds the media "
+    f"id), payloads are content-hashed JVM-SIDE with sha2(payload, 256) "
+    f"— Python only generates bytes; the dedup groupBy shuffles 32-byte "
+    f"digests, never payloads — and each duplicate group reports its "
+    f"canonical (minimum) doc_id and multiplicity. The oracle derives "
+    f"the same groups closed-form from the re-keying rule. At 100 TB "
+    f"this is the only viable exact-dedup shape for media: hash where "
+    f"the bytes live, shuffle only digests.",
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(F.col("doc_id"))
+        .select("doc_id", (F.col("doc_id") % DUP_MOD).alias("media_id"))
+    )
+    with_payload = docs.mapInPandas(
+        _encode_media_by_key, schema="doc_id long, payload binary"
+    )
+    return (
+        with_payload.select("doc_id", F.sha2(F.col("payload"), 256).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies")
+        .orderBy("canonical_doc_id")
+    )

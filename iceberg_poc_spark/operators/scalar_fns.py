@@ -515,3 +515,43 @@ def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("aes_roundtrip"),
     )
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM t GROUP BY lower(seg) ORDER BY segment
+    """,
+    doc="Spark 4 COLLATION support (COLLATE UTF8_LCASE): the segment "
+    "column is deliberately case-mangled per row, then grouped under a "
+    "case-insensitive collation — the dirty-ingest reality where "
+    "'BUILDING' and 'building' are the same category. Collated grouping "
+    "happens in the hash-aggregate itself (no normalizing projection in "
+    "the engine path); the deterministic group label is max(lower(seg)) "
+    "— constant within a collated group. The oracle normalizes with "
+    "lower() instead, so the two engines must agree on the grouping "
+    "collation semantics exactly.",
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_col_{tag}")
+    return spark.sql(f"""
+        WITH t AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM cust_col_{tag}
+        )
+        SELECT max(lower(seg)) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM t GROUP BY seg COLLATE UTF8_LCASE
+        ORDER BY segment
+    """)
