@@ -555,3 +555,67 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t GROUP BY seg COLLATE UTF8_LCASE
         ORDER BY segment
     """)
+
+
+@register(
+    "q_fn_lambda",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 4)) AS INT)   AS n_long,
+           length(list_filter(string_split(text, ' '),
+                              x -> x = 'spark')) > 0              AS has_spark,
+           length(list_filter(string_split(text, ' '),
+                              x -> NOT length(x) > 0)) = 0        AS all_nonempty,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              x -> length(x)),
+                               'sum') AS BIGINT)                  AS total_chars,
+           list_aggregate(
+               list_filter(string_split(text, ' '),
+                   x -> length(x) = list_aggregate(
+                       list_transform(string_split(text, ' '),
+                                      y -> length(y)), 'max')),
+               'min')                                             AS longest
+    FROM documents
+    """,
+    doc="Higher-order lambda functions over array columns — the full "
+    "Catalyst lambda surface (filter / exists / forall / aggregate-fold "
+    "/ reduce) that similarity and multimodal internals lean on, gated "
+    "as its own query: long-word count (filter), token membership "
+    "(exists), emptiness invariant (forall), character total via an "
+    "explicit fold with a BIGINT accumulator (aggregate), and the "
+    "longest token by a deterministic (length, lexicographic) fold "
+    "seeded with ''. The oracle states the fold's closed form instead "
+    "(min over the max-length tokens): DuckDB 1.0's list_reduce "
+    "returns wrong values for ~7% of rows under full-table vectorized "
+    "execution (verified: correct row-at-a-time with a WHERE, wrong "
+    "in bulk — an engine bug, sidestepped, which is exactly the kind "
+    "of cross-engine check this gate exists for). All "
+    "five are codegen'd JVM lambda expressions on the un-exploded "
+    "array — no row expansion, no shuffle, no Python; at 100 TB the "
+    "array never leaves the scan task, which is why lambdas beat "
+    "explode-aggregate-reimplode for per-document array math.",
+)
+def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists(words, lambda x: x == "spark").alias("has_spark"),
+        F.forall(words, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x).cast("bigint"),
+        ).alias("total_chars"),
+        F.aggregate(
+            words,
+            F.lit(""),
+            lambda a, b: F.when(
+                (F.length(b) > F.length(a))
+                | ((F.length(b) == F.length(a)) & (b < a)),
+                b,
+            ).otherwise(a),
+        ).alias("longest"),
+    )

@@ -648,6 +648,67 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_live_outer",
+    oracle=f"""
+    WITH mx AS (SELECT strftime(max(ts) - INTERVAL 12 HOUR, '{_FMT_DUCK}') AS cutoff
+                FROM events)
+    SELECT b.user_id,
+           strftime(v.ts, '{_FMT_DUCK}') AS view_time,
+           strftime(b.ts, '{_FMT_DUCK}') AS buy_time,
+           b.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON b.user_id = v.user_id
+     AND b.ts >= v.ts
+     AND b.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE strftime(b.ts, '{_FMT_DUCK}') <= (SELECT cutoff FROM mx)
+    """,
+    doc="LIVE stream-stream LEFT OUTER join behind the differential "
+    "gate — the hard half of streaming joins: matched purchases emit "
+    "from the join probe, but an UNMATCHED purchase can only emit its "
+    "null-padded row once the watermark proves no qualifying view can "
+    "still arrive, i.e. by state eviction. The drained stream is "
+    "compared value-for-value (nulls included) against the oracle's "
+    "relational left join. Both sides are filtered to purchases at "
+    "least 12 h before the corpus max event time — rows in the final "
+    "watermark horizon (2 h delay + 1 h window) are NOT yet provably "
+    "unmatched when an AvailableNow drain terminates, so the gate "
+    "checks the region where outer semantics are unambiguous; the "
+    "string cutoff is computed once from the static table (single-row "
+    "action). At 100 TB/day the eviction-driven emission is exactly "
+    "what bounds outer-join state: without the time-bound condition "
+    "null rows could never be emitted at all.",
+)
+def q_stream_live_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.streaming.pipelines import (
+        attribution_stream_outer,
+        load_events_stream,
+        run_to_memory,
+    )
+
+    stream = attribution_stream_outer(
+        load_events_stream(spark, table_path(sf_dir, "events"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_attrib_outer", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.date_format(
+                F.max("ts") - F.expr("INTERVAL 12 HOURS"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("c")
+        )
+        .first()["c"]
+    )
+    return spark.table("live_attrib_outer").filter(F.col("buy_time") <= cutoff)
+
+
+@register(
     "q_stream_live_enrich",
     oracle="""
     SELECT c.c_mktsegment,

@@ -214,3 +214,48 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").cast("bigint").alias("sum_size"),
         F.round(F.sum("p_retailprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "q_meta_file_provenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)     AS n_rows,
+           CAST(1 AS BIGINT)            AS n_files,
+           CAST(0 AS BIGINT)            AS first_idx,
+           CAST(COUNT(*) - 1 AS BIGINT) AS last_idx
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="File-provenance metadata columns (_metadata.file_path / "
+    "file_name / row_index — Spark's hidden per-file lineage surface, "
+    "the engine-side analogue of the reference's per-file manifest "
+    "bookkeeping in aig/PartitionValueDebugger.java:169-195): orders is "
+    "written Hive-partitioned by priority, hash-repartitioned on the "
+    "partition column first so each priority lands in EXACTLY one "
+    "parquet file — the compact layout a well-run ingest produces. The "
+    "query reads it back and proves the provenance columns are exact: "
+    "one distinct file per priority, and row_index spanning precisely "
+    "0..n-1 (contiguous within the single file). The oracle states the "
+    "same invariants closed-form from the raw table, so a duplicate "
+    "file, a split file, or a row_index gap breaks the hash. At 100 TB "
+    "_metadata is how you trace a bad record to its source file without "
+    "a manifest lookup — free at scan time, no extra pass.",
+)
+def q_meta_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fmt_dir(sf_dir, "orders_hive")
+    orders = load_table(spark, sf_dir, "orders")
+    _ensure(
+        path,
+        lambda: orders.repartition(F.col("o_orderpriority"))
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(path),
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
+        F.min(F.col("_metadata.row_index")).alias("first_idx"),
+        F.max(F.col("_metadata.row_index")).alias("last_idx"),
+    )

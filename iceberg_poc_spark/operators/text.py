@@ -821,3 +821,52 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_text_rarity",
+    oracle=f"""
+    WITH w AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM w GROUP BY word)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_distinct,
+           CAST(MIN(df.df) AS BIGINT)    AS rarest_df,
+           CAST(SUM(df.df) AS BIGINT)    AS sum_df,
+           CAST(SUM(df.df) AS DOUBLE) / COUNT(*) AS mean_df
+    FROM w JOIN df USING (word)
+    GROUP BY w.doc_id
+    """,
+    doc="Word-rarity quality scoring — the corpus-statistics quality "
+    "filter (a doc whose words are all corpus-rare is likelier junk or "
+    "another language; one whose words are all ubiquitous is likelier "
+    "boilerplate): per-word document frequency over DISTINCT (doc, "
+    "word) pairs, joined back to each document's distinct words and "
+    "aggregated to the doc's rarest-word df, total df, and mean df. "
+    "Determinism: df values are exact BIGINTs, the mean is ONE IEEE "
+    "division of exact integers — no float summation order anywhere. "
+    "Plan: one exploded scan deduped to (doc, word) feeds both sides; "
+    "the df side aggregates to vocab size and joins back on word — "
+    "vocab-sized, broadcastable at any corpus scale (a few million "
+    "words however many documents), so the corpus-sized side never "
+    "shuffles twice. The same shape computes IDF tables, stopword "
+    "lists, and OOV-rate features at 100 TB.",
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.array_distinct(words_col())).alias("word"))
+    )
+    df_tbl = pairs.groupBy("word").agg(F.count("*").alias("df"))
+    return (
+        pairs.join(F.broadcast(df_tbl), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.min("df").alias("rarest_df"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
+        )
+    )

@@ -288,6 +288,41 @@ def attribution_stream(
     )
 
 
+def attribution_stream_outer(
+    events: DataFrame, attribution_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits — attributed to
+    prior views where one exists, with a NULL view otherwise.
+
+    The outer side is the semantically hard part of streaming joins: an
+    unmatched purchase can only be declared unmatched once the watermark
+    proves no qualifying view can still arrive, so the null-padded row is
+    emitted by STATE EVICTION, not by the join probe. Same time-bounded
+    condition as :func:`attribution_stream` (without it, outer state would
+    be unbounded and null rows could never be emitted at all)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("buy_ts"), "value")
+        .withWatermark("buy_ts", watermark)
+    )
+    cond = (
+        (buys.user_id == views.v_user)
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return buys.join(views, cond, "leftOuter").select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_time"),
+        "value",
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, dim_key: str = "c_custkey") -> DataFrame:
     """Stream-static join: enrich each event with a dimension row.
 
