@@ -214,6 +214,49 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_hll_merge",
+    oracle=None,  # sketch bytes are engine-specific; rows-only check +
+    # error-bound property vs the exact counts in tests/test_round5_ops.py.
+    doc="Mergeable HLL sketch rollup (Spark 4 hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate — the Apache DataSketches "
+    "surface under approx_count_distinct): per-segment user sketches "
+    "built in one pass, then the SKETCHES (not the data) are unioned "
+    "into an ALL row. This is the property approx_count_distinct hides: "
+    "sketches are reusable partial states — build once per partition/"
+    "day/segment, merge any subset later without rescanning, which at "
+    "100 TB is the difference between one pass and one pass per "
+    "question. Emits per-segment estimates plus the merged global row; "
+    "the union must estimate the DISTINCT union, not the sum (overlap "
+    "collapses), asserted against exact counts in pytest.",
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Materialize the sketch table ONCE (group-count rows, bytes each):
+    # both consumers below read the stored partials instead of re-scanning
+    # orders — the literal "build the sketches one pass, answer questions
+    # from them" shape this query exists to demonstrate (in production the
+    # sketch table would be a persisted snapshot-table column).
+    sketches = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count("*").alias("n_orders"),
+        )
+        .localCheckpoint()
+    )
+    per_group = sketches.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_custs"),
+        "n_orders",
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+        F.sum("n_orders").alias("n_orders"),
+    ).select(F.lit("ALL").alias("scope"), "est_custs", "n_orders")
+    return per_group.unionByName(merged)
+
+
+@register(
     "q_agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -135,3 +135,27 @@ def test_stream_outer_join_contains_inner_and_all_purchases(spark):
     null_rows = {(u, b) for (u, v, b) in got if v is None}
     assert null_rows == all_buys - matched_buys
     assert {(u, b) for (u, v, b) in got} == all_buys
+
+
+def test_hll_merge_estimates_within_bound(spark):
+    """Per-group and merged HLL estimates must sit within HLL++ error of
+    the exact distinct counts, and the merged row must estimate the
+    DISTINCT UNION (overlap collapses), not the sum of group counts."""
+    from iceberg_poc_spark.operators.aggregates import q_agg_hll_merge
+
+    out = {r["scope"]: r for r in q_agg_hll_merge(spark, SF_DIR_MID).collect()}
+    orders = load_table(spark, SF_DIR_MID, "orders")
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(out) == set(exact)
+    for scope, r in out.items():
+        rel = abs(r["est_custs"] - exact[scope]) / exact[scope]
+        assert rel < 0.05, (scope, r["est_custs"], exact[scope])
+    # overlap collapses: the merged estimate is far below the group sum
+    group_sum = sum(v for k, v in exact.items() if k != "ALL")
+    assert out["ALL"]["est_custs"] < 0.6 * group_sum
