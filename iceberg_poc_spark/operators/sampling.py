@@ -317,10 +317,11 @@ W_SCALE = 600.0  # chars at which keep-probability saturates to 1.0
                AS kept_chars
     FROM (
       SELECT source, n_chars,
-             substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             (n_chars >= {W_SCALE}
+              OR substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
                < lpad(lower(to_hex(CAST(least(
                      floor(least(1.0, n_chars / {W_SCALE}) * 4294967296.0),
-                     4294967295.0) AS BIGINT))), 8, '0')
+                     4294967295.0) AS BIGINT))), 8, '0'))
                AS kept
       FROM documents
     )
@@ -331,7 +332,10 @@ W_SCALE = 600.0  # chars at which keep-probability saturates to 1.0
     "step of LLM data mixing. Same content-addressed discipline as "
     "q_sample_split: the per-doc uniform draw is md5(doc_id) and the "
     "per-doc threshold is floor(min(1, n_chars/W_SCALE) * 2^32) "
-    "formatted as fixed-width hex, so membership is a pure row-local "
+    "formatted as fixed-width hex (with a saturation branch: p==1.0 "
+    "keeps unconditionally, since the strict u<thresh compare alone "
+    "would drop a doc whose md5 prefix is exactly 'ffffffff' — a 2^-32 "
+    "deviation from 'p=1 always kept'), so membership is a pure row-local "
     "function — reproducible across engines (doubles only touch * and "
     "/, which IEEE rounds identically everywhere; no transcendentals), "
     "runs, and repartitionings, and costs ZERO shuffle to decide; only "
@@ -345,7 +349,11 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.least(F.lit(1.0), F.col("n_chars") / F.lit(W_SCALE)) * F.lit(4294967296.0)),
         F.lit(4294967295.0),
     ).cast("bigint")
-    kept = u < F.lpad(F.lower(F.hex(thresh_u32)), 8, "0")
+    # saturation: p==1.0 keeps unconditionally (strict < alone would drop
+    # an md5 prefix of exactly 'ffffffff' — a 2^-32 deviation from p=1)
+    kept = (F.col("n_chars") >= F.lit(W_SCALE)) | (
+        u < F.lpad(F.lower(F.hex(thresh_u32)), 8, "0")
+    )
     return (
         d.select("source", "n_chars", kept.alias("kept"))
         .groupBy("source")
@@ -380,10 +388,11 @@ TEMP_RATE_BASE = 0.5  # keep rate of the largest source; smaller sources keep mo
     ),
     k AS (
         SELECT d.source, r.keep_rate,
-               substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               (r.keep_rate >= 1.0
+                OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                  < lpad(lower(to_hex(CAST(least(
                        floor(r.keep_rate * 4294967296.0),
-                       4294967295.0) AS BIGINT))), 8, '0') AS kept
+                       4294967295.0) AS BIGINT))), 8, '0')) AS kept
         FROM documents d JOIN rates r USING (source)
     )
     SELECT source,
@@ -435,9 +444,12 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
         "0",
     )
+    # same p==1.0 saturation branch as q_sample_weighted: a capped rate
+    # keeps every row, not all-but-'ffffffff'
+    kept = (F.col("keep_rate") >= F.lit(1.0)) | (u < thresh)
     return (
         d.join(F.broadcast(rates), "source")
-        .select("source", "keep_rate", (u < thresh).alias("kept"))
+        .select("source", "keep_rate", kept.alias("kept"))
         .groupBy("source", "keep_rate")
         .agg(
             F.count("*").alias("n_docs"),

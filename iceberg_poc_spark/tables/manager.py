@@ -220,6 +220,26 @@ def _collect_column_stats(md) -> dict[str, list]:
     }
 
 
+def _tz_free_lit(v: Any) -> Column:
+    """Literal that is insensitive to the PYTHON PROCESS timezone.
+
+    ``F.lit(naive datetime)`` converts wall time -> epoch micros through
+    the driver process's local tz (the TZ env var), NOT the session tz —
+    so under TZ=America/New_York with a UTC session the literal lands 4-5
+    hours off and a ``>= midnight`` scan bound silently drops the whole
+    boundary day (caught by the r6 sf0.01 oracle sweep on
+    q_scan_iceberg). Naive temporals go through a string->TIMESTAMP_NTZ
+    cast instead, which is wall-clock-exact under any process/session tz
+    (table timestamps read as NTZ via inferTimestampNTZ)."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime) and v.tzinfo is None:
+        return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        return F.lit(v.isoformat()).cast("date")
+    return F.lit(v)
+
+
 def _predicate(where: list) -> Column | None:
     """AND of (col, op, literal) triples as a Column; None if empty."""
     pred = None
@@ -228,7 +248,7 @@ def _predicate(where: list) -> Column | None:
         if op == "in":
             p = c.isin(list(lit_v))
         else:
-            v = F.lit(lit_v)
+            v = _tz_free_lit(lit_v)
             p = {"==": c == v, ">=": c >= v, "<=": c <= v, ">": c > v, "<": c < v}[op]
         pred = p if pred is None else (pred & p)
     return pred

@@ -124,15 +124,24 @@ def test_temperature_rates_flatten_the_mixture(spark):
     realized keep fractions track the declared rate."""
     from iceberg_poc_spark.operators.sampling import TEMP_RATE_BASE
 
-    rows = sorted(
-        Q["q_sample_temperature"].fn(spark, SF_DIR).collect(),
-        key=lambda r: r["n_docs"] * 0,  # stable; sort below by mass proxy
-    )
-    # recover per-source mass ordering via keep_rate: rate is a strictly
-    # decreasing function of mass, so max-mass source = min rate
+    rows = Q["q_sample_temperature"].fn(spark, SF_DIR).collect()
     rates = [r["keep_rate"] for r in rows]
     assert min(rates) == TEMP_RATE_BASE  # the largest source, uncapped
     assert all(TEMP_RATE_BASE <= kr <= 1.0 for kr in rates)
+    # monotone: recompute per-source char mass from the raw table and
+    # assert keep_rate is nonincreasing in mass (strictly, below the cap)
+    mass = {
+        r["source"]: r["m"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("m"))
+        .collect()
+    }
+    by_mass = sorted(rows, key=lambda r: mass[r["source"]], reverse=True)
+    for a, b in zip(by_mass, by_mass[1:]):
+        assert a["keep_rate"] <= b["keep_rate"], (a, b)
+        if b["keep_rate"] < 1.0 and mass[a["source"]] > mass[b["source"]]:
+            assert a["keep_rate"] < b["keep_rate"], (a, b)
     for r in rows:
         got = r["n_kept"] / r["n_docs"]
         # binomial 4-sigma tolerance

@@ -827,3 +827,29 @@ def test_bucket_pruning_point_lookup(spark, tmp_path):
     assert [r["v"] for r in got.collect()] == [42]
     _, planned_in, _ = mgr.scan("bkt", where=[("k", "in", ["k42", "k99"])])
     assert planned_in <= 2 * (total // 8 + 1)
+
+
+def test_scan_datetime_literal_is_process_tz_free(mgr, spark):
+    """A naive-datetime scan bound must be wall-clock-exact regardless of
+    the driver process's TZ env var: F.lit(naive datetime) converts
+    through the PROCESS tz (not the session tz), which shifted a
+    >=midnight bound by 4h under TZ=America/New_York and silently
+    dropped the boundary day (r6 sf0.01 sweep, q_scan_iceberg). The
+    fixed path builds the literal via a string->TIMESTAMP_NTZ cast; this
+    asserts both the plan shape (ntz literal, no tz-dependent cast) and
+    the boundary rows."""
+    from iceberg_poc_spark.tables.manager import _tz_free_lit
+
+    lit_type = (
+        spark.range(1).select(_tz_free_lit(dt.datetime(2024, 1, 2))).dtypes[0][1]
+    )
+    assert lit_type == "timestamp_ntz"
+    mgr.create_table("t", EVENTS_SCHEMA, [days("ts")])
+    mgr.append("t", make_events(spark, 48))  # hourly from 2024-01-01
+    got, planned, total = mgr.scan("t", where=[("ts", ">=", dt.datetime(2024, 1, 2))])
+    assert got.count() == 24  # all of day 2 incl. the 00:00 boundary row
+    assert (
+        got.filter(F.col("ts") == F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")).count()
+        == 1
+    )
+    assert planned < total  # day-1 files pruned at the manifest
