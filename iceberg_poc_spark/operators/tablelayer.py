@@ -761,6 +761,104 @@ def q_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _setup_orders_eqd(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_eqd: EQUALITY deletes (≙ Iceberg v2 equality-delete files)
+    — two stacked key-set deletes committed as metadata + a tiny delete
+    file (ZERO data files rewritten; asserted in
+    tests/test_tablelayer.py), then an append that RE-INSERTS half the
+    first delete's keys — the CDC delete-then-reinsert replay, which the
+    sequence semantics must keep (a delete binds only to files present
+    at its commit)."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_eqd")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_eqd", orders.schema, [years("o_orderdate")])
+    base = mgr.append("orders_eqd", orders)
+    k1 = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") >= 350000.0)
+    ).select("o_orderkey")
+    mgr.delete("orders_eqd", equality=["o_orderkey"], keys=k1, mode="mor")
+    k2 = (
+        orders.filter(F.col("o_totalprice") < 1500.0)
+        .select("o_custkey")
+        .distinct()
+    )
+    eq_head = mgr.delete(
+        "orders_eqd", equality=["o_custkey"], keys=k2, mode="mor"
+    )
+    readd = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") >= 350000.0)
+        & (F.col("o_orderkey") % 2 == 0)
+    ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + F.lit(0.25), 2))
+    head = mgr.append("orders_eqd", readd)
+    _READY[key] = {"base": base, "eq_head": eq_head, "head": head}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_delete_mor_eq",
+    oracle="""
+    WITH k1 AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 350000.0
+    ),
+    k2 AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice < 1500.0
+    ),
+    survived AS (
+        SELECT o_totalprice, o_orderdate FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM k1)
+          AND o_custkey  NOT IN (SELECT o_custkey FROM k2)
+    ),
+    readded AS (
+        SELECT ROUND(o_totalprice + 0.25, 2) AS o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 350000.0
+          AND o_orderkey % 2 = 0
+    ),
+    state AS (
+        SELECT * FROM survived UNION ALL SELECT * FROM readded
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM state GROUP BY 1
+    """,
+    doc="EQUALITY-delete merge-on-read (≙ Iceberg v2 equality-delete "
+    "files — the one delete class q_delete_mor's predicates can't "
+    "express, and the shape a streaming CDC upsert pipeline commits "
+    "daily): two stacked key-set deletes (single-column order keys, "
+    "then customer keys — distinct column sets exercising the per-set "
+    "anti-join grouping) land as parquet delete files attached to only "
+    "the stats-overlapping manifest entries, with ZERO data files "
+    "rewritten (path identity asserted in tests/test_tablelayer.py). "
+    "Reads apply a null-safe BROADCAST anti-join of the key set against "
+    "exactly the affected files — at 100 TB the delete file is KBs "
+    "against TBs scanned, and files outside the key range skip the join "
+    "entirely. A follow-up append RE-INSERTS half the first delete's "
+    "keys and survives (sequence semantics: a delete binds only to "
+    "files present at its commit) — delete-then-reinsert replay, which "
+    "the oracle reproduces relationally. rewrite_deletes() folds key "
+    "sets in and frees the delete files for snapshot-expiry GC "
+    "(tests/test_table_manager.py).",
+)
+def q_delete_mor_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_eqd(spark, sf_dir)
+    df = mgr.read("orders_eqd")
+    return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 @register(
     "q_snapshot_expiry",
     oracle="""

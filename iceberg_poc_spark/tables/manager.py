@@ -240,6 +240,17 @@ def _tz_free_lit(v: Any) -> Column:
     return F.lit(v)
 
 
+def _null_safe_eq(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
+    """Null-safe equi-join condition over ``cols`` (Iceberg equality
+    deletes match NULL keys to NULL values; plain ``on=cols`` would never
+    match them). ``<=>`` is still an equi-join predicate, so Spark plans
+    a hash/broadcast join, not a cartesian."""
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
+
+
 def _predicate(where: list) -> Column | None:
     """AND of (col, op, literal) triples as a Column; None if empty."""
     pred = None
@@ -571,6 +582,17 @@ class ParquetTableManager:
             raise ValueError(
                 f"{col!r} is a partition source; drop the partition field first"
             )
+        # outstanding MoR deletes bind by name; dropping the column would
+        # leave the read path unable to apply them
+        for e in m["files"]:
+            if any(
+                any(c == col for c, _op, _v in dw)
+                for dw in e.get("deletes", [])
+            ) or any(col in d["cols"] for d in e.get("eq_deletes", [])):
+                raise ValueError(
+                    f"column {col!r} has outstanding merge-on-read "
+                    f"deletes; run rewrite_deletes() before dropping"
+                )
         m["schema"] = json.loads(
             StructType([f for f in schema.fields if f.name != col]).json()
         )
@@ -601,6 +623,12 @@ class ParquetTableManager:
                 if any(c == old for c, _op, _v in dw):
                     raise ValueError(
                         f"column {old!r} has outstanding merge-on-read "
+                        f"deletes; run rewrite_deletes() before renaming"
+                    )
+            for d in e.get("eq_deletes", []):
+                if old in d["cols"]:
+                    raise ValueError(
+                        f"column {old!r} keys outstanding equality "
                         f"deletes; run rewrite_deletes() before renaming"
                     )
         fields = []
@@ -877,8 +905,10 @@ class ParquetTableManager:
     def delete(
         self,
         name: str,
-        where: list[tuple[str, str, Any]],
+        where: list[tuple[str, str, Any]] | None = None,
         mode: str = "cow",
+        equality: list[str] | None = None,
+        keys: DataFrame | None = None,
     ) -> int:
         """Row-level DELETE (≙ Iceberg row-level deletes; the reference
         has no row-level ops at all). NULL-predicate rows are kept, per
@@ -897,8 +927,32 @@ class ParquetTableManager:
         :meth:`rewrite_deletes` (or any rewriting op touching the file)
         folds the deletes in. Both modes commit atomically and
         time-travel correctly: prior snapshots keep the pre-delete
-        entries."""
+        entries.
+
+        ``equality=[cols] + keys=<DataFrame>``: EQUALITY delete (≙
+        Iceberg v2 equality-delete files — the streaming-CDC-upsert
+        shape): instead of a predicate, the rows to delete are identified
+        by a SET OF KEY TUPLES. ``keys`` must carry exactly the
+        ``equality`` columns; it is deduplicated and written as parquet
+        delete file(s) under ``deletes/``, and each CURRENT data file
+        whose column stats / partition values can overlap the key range
+        gets the delete file attached to its manifest entry. Reads
+        anti-join the delete set (null-safe, so a NULL key deletes NULL
+        rows) against exactly the affected files. Sequence semantics
+        match Iceberg: the delete binds only to files present at commit
+        time — rows APPENDED AFTERWARDS with the same keys are NOT
+        affected, which is what makes delete-then-reinsert (CDC upsert
+        replay) correct. With ``mode="cow"`` the affected files are
+        instead rewritten immediately via the same anti-join."""
         m = self._load_manifest(name)
+        if equality is not None:
+            if keys is None:
+                raise ValueError("equality delete requires keys=")
+            if where is not None:
+                raise ValueError("pass either where= or equality=, not both")
+            return self._delete_equality(name, m, equality, keys, mode)
+        if where is None:
+            raise ValueError("predicate delete requires where=")
         affected, untouched = self._split_files(m, where)
         if not affected:
             return m["version"]  # provably nothing to delete: no-op
@@ -930,18 +984,123 @@ class ParquetTableManager:
         m["parent"] = m["version"]
         return self._commit(name, m)
 
+    def _delete_equality(
+        self,
+        name: str,
+        m: dict,
+        equality: list[str],
+        keys: DataFrame,
+        mode: str,
+    ) -> int:
+        """Write an equality-delete file and attach it (mor) or fold it
+        (cow). Affected-file selection maps the key set's per-column
+        [min, max] range through the SAME stats/partition-transform
+        pruning a scan uses, so a point-keyed delete touches only the
+        files that can hold those keys — at 100 TB the delete commit cost
+        is O(matching files' metadata), never a table pass."""
+        schema = StructType.fromJson(m["schema"])
+        names = {f.name for f in schema.fields}
+        missing = [c for c in equality if c not in names]
+        if missing:
+            raise ValueError(f"equality columns not in schema: {missing}")
+        if sorted(keys.columns) != sorted(equality):
+            raise ValueError(
+                f"keys columns {keys.columns} != equality {equality}"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        dkeys = keys.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in equality]
+        ).distinct()
+        # one tiny driver-side job: per-column min/max of the key set,
+        # reused as the file-pruning bounds below
+        bounds = dkeys.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in equality],
+            *[F.max(c).alias(f"mx_{c}") for c in equality],
+            *[F.count(c).alias(f"nn_{c}") for c in equality],
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        where_bounds: list[tuple[str, str, Any]] = []
+        for c in equality:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            if mn is not None:
+                where_bounds.append((c, ">=", mn))
+            if mx is not None:
+                where_bounds.append((c, "<=", mx))
+        spec = self._spec(m)
+        has_null_keys = any(
+            bounds[f"nn_{c}"] < bounds["n_all"] for c in equality
+        )
+        affected, untouched = [], []
+        for e in m["files"]:
+            hit = _may_match(spec, e, where_bounds)
+            # NULL keys carry no range info; stats can't exclude a file
+            # for them (min/max never covers NULL)
+            (affected if hit or has_null_keys else untouched).append(e)
+        if not affected:
+            return m["version"]
+        if mode == "cow":
+            df = self._read_files(name, m, affected)
+            cond = _null_safe_eq(df, dkeys, equality)
+            kept = df.join(dkeys, on=cond, how="left_anti")
+            new_files = self._write_files(name, kept, spec)
+            m["files"] = untouched + new_files
+            m["operation"] = "delete"
+            m["parent"] = m["version"]
+            return self._commit(name, m)
+        if mode != "mor":
+            raise ValueError(f"unknown delete mode {mode!r}")
+        # ---- mor: persist the key set as parquet delete file(s)
+        del_dir = os.path.join(self._dir(name), "deletes")
+        staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
+        dkeys.write.mode("overwrite").option("compression", "zstd").parquet(
+            staging
+        )
+        os.makedirs(del_dir, exist_ok=True)
+        del_entries: list[dict] = []
+        import shutil as _sh
+
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            dst = os.path.join(del_dir, f"eqdel-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(staging, fn), dst)
+            del_entries.append(
+                {
+                    "path": os.path.relpath(dst, self._dir(name)),
+                    "cols": list(equality),
+                    "bytes": os.path.getsize(dst),
+                }
+            )
+        _sh.rmtree(staging, ignore_errors=True)
+        for e in affected:
+            e = dict(e)
+            e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
+            untouched.append(e)
+        m["files"] = untouched
+        m["operation"] = "delete-mor"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
     def rewrite_deletes(self, name: str) -> int:
         """Materialize merge-on-read deletes (≙ Iceberg
         ``rewrite_position_delete_files`` + data-file rewrite): ONLY the
-        files carrying delete predicates are read (deletes applied) and
-        rewritten clean; every delete-free file survives untouched. After
-        this, reads of the new snapshot pay no delete filters. No-op if
-        nothing carries deletes."""
+        files carrying delete predicates OR equality-delete files are
+        read (deletes applied) and rewritten clean; every delete-free
+        file survives untouched. After this, reads of the new snapshot
+        pay no delete filters, and the delete files become unreferenced
+        (reaped by :meth:`expire_snapshots` once no surviving snapshot
+        points at them). No-op if nothing carries deletes."""
         m = self._load_manifest(name)
-        dirty = [e for e in m["files"] if e.get("deletes")]
+        dirty = [
+            e for e in m["files"] if e.get("deletes") or e.get("eq_deletes")
+        ]
         if not dirty:
             return m["version"]
-        clean = [e for e in m["files"] if not e.get("deletes")]
+        clean = [
+            e
+            for e in m["files"]
+            if not (e.get("deletes") or e.get("eq_deletes"))
+        ]
         df = self._read_files(name, m, dirty)
         new_files = self._write_files(name, df, self._spec(m))
         m["files"] = clean + new_files
@@ -1064,10 +1223,13 @@ class ParquetTableManager:
         never matters.
 
         Merge-on-read deletes: a file entry may carry ``deletes`` — the
-        predicate list(s) of :meth:`delete` commits made in ``mor`` mode.
-        Files are additionally grouped by their delete set and each
-        group's read applies NOT(predicate) per delete, so readers see
-        the post-delete state without any file having been rewritten."""
+        predicate list(s) of :meth:`delete` commits made in ``mor`` mode
+        — and/or ``eq_deletes`` — parquet key-set delete files of
+        equality-delete commits. Files are additionally grouped by their
+        delete sets; each group's read applies NOT(predicate) per
+        predicate delete and a null-safe broadcast anti-join per
+        equality-delete column set, so readers see the post-delete state
+        without any file having been rewritten."""
         schema = StructType.fromJson(manifest["schema"])
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -1083,12 +1245,13 @@ class ParquetTableManager:
         groups: dict[tuple, list[dict]] = {}
         for e in files:
             dkey = json.dumps(e.get("deletes", []), sort_keys=True)
+            ekey = json.dumps(e.get("eq_deletes", []), sort_keys=True)
             groups.setdefault(
-                (tuple(sorted(e["partition"])), dkey), []
+                (tuple(sorted(e["partition"])), dkey, ekey), []
             ).append(e)
 
         parts: list[DataFrame] = []
-        for (layout, dkey), entries in groups.items():
+        for (layout, dkey, ekey), entries in groups.items():
             hidden = [k for k in layout if k not in names]
             read_schema = StructType(
                 [
@@ -1123,6 +1286,29 @@ class ParquetTableManager:
                 pred = _predicate([tuple(w) for w in dw])
                 if pred is not None:
                     proj = proj.filter(~F.coalesce(pred, F.lit(False)))
+            # equality deletes: null-safe anti-join per key-column set;
+            # delete files sharing a column set are unioned into ONE
+            # anti-join (one shuffle-free broadcast for typical key-set
+            # sizes — the set is 32-byte-keys small next to the data)
+            eq_by_cols: dict[tuple, list[str]] = {}
+            for d in json.loads(ekey):
+                eq_by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
+            for cols, dpaths in eq_by_cols.items():
+                dels = self.spark.read.parquet(
+                    *[os.path.join(self._dir(name), p) for p in dpaths]
+                ).distinct()
+                total_bytes = sum(
+                    d.get("bytes", 0)
+                    for d in json.loads(ekey)
+                    if tuple(d["cols"]) == cols
+                )
+                if total_bytes < 64 * 1024 * 1024:
+                    dels = F.broadcast(dels)
+                proj = proj.join(
+                    dels,
+                    on=_null_safe_eq(proj, dels, list(cols)),
+                    how="left_anti",
+                )
             parts.append(proj)
         out = parts[0]
         for p in parts[1:]:
@@ -1520,18 +1706,37 @@ class ParquetTableManager:
                     continue
                 old_n = len(pe.get("deletes", []))
                 new_preds = e.get("deletes", [])[old_n:]
-                if not new_preds:
-                    continue
-                conds = [
-                    F.coalesce(
-                        _predicate([tuple(c) for c in w]), F.lit(False)
+                if new_preds:
+                    conds = [
+                        F.coalesce(
+                            _predicate([tuple(c) for c in w]), F.lit(False)
+                        )
+                        for w in new_preds
+                    ]
+                    hit = self._read_files(name, pm, [pe]).filter(
+                        _reduce(lambda a, b: a | b, conds)
                     )
-                    for w in new_preds
-                ]
-                hit = self._read_files(name, pm, [pe]).filter(
-                    _reduce(lambda a, b: a | b, conds)
-                )
-                dels = hit if dels is None else dels.unionByName(hit)
+                    dels = hit if dels is None else dels.unionByName(hit)
+                # equality deletes: rows of the file's PARENT-visible
+                # content matching the newly-attached key set (semi-join
+                # per key-column set; parent visibility means stacked
+                # deletes never double-count a row)
+                old_e = len(pe.get("eq_deletes", []))
+                new_eq = e.get("eq_deletes", [])[old_e:]
+                by_cols: dict[tuple, list[str]] = {}
+                for d in new_eq:
+                    by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
+                for cols, dpaths in by_cols.items():
+                    dk = self.spark.read.parquet(
+                        *[os.path.join(self._dir(name), dp) for dp in dpaths]
+                    ).distinct()
+                    base = self._read_files(name, pm, [pe])
+                    hit = base.join(
+                        F.broadcast(dk),
+                        on=_null_safe_eq(base, dk, list(cols)),
+                        how="left_semi",
+                    )
+                    dels = hit if dels is None else dels.unionByName(hit)
             if ins is not None and dels is not None:
                 ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
             for df, tag in ((ins, "insert"), (dels, "delete")):
@@ -1581,18 +1786,27 @@ class ParquetTableManager:
             for v in range(self._max_manifest_version(name) + 1)
             if v not in keep and os.path.exists(self._manifest_path(name, v))
         ]
+        def _paths(entry: dict) -> list[str]:
+            # a manifest entry references its data file AND any
+            # equality-delete files attached to it — both are live
+            return [entry["path"]] + [
+                d["path"] for d in entry.get("eq_deletes", [])
+            ]
+
         live: set[str] = set()
         for v in keep:
-            live |= {e["path"] for e in self._load_manifest(name, v)["files"]}
+            for e in self._load_manifest(name, v)["files"]:
+                live.update(_paths(e))
         removed_files = removed_snaps = 0
         for v in drop:
             for e in self._load_manifest(name, v)["files"]:
-                if e["path"] not in live:
-                    fp = os.path.join(self._dir(name), e["path"])
-                    if os.path.exists(fp):
-                        os.remove(fp)
-                        removed_files += 1
-                    live.add(e["path"])  # count each orphan once
+                for p in _paths(e):
+                    if p not in live:
+                        fp = os.path.join(self._dir(name), p)
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                            removed_files += 1
+                        live.add(p)  # count each orphan once
             os.remove(self._manifest_path(name, v))
             removed_snaps += 1
         return {"snapshots": removed_snaps, "files": removed_files}

@@ -853,3 +853,130 @@ def test_scan_datetime_literal_is_process_tz_free(mgr, spark):
         == 1
     )
     assert planned < total  # day-1 files pruned at the manifest
+
+
+def _mk_ranged(spark, mgr):
+    """1000 rows partitioned so each file holds a TIGHT contiguous k
+    range (k//100) — the stats-pruning fixture for equality deletes."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 100).cast("long").alias("g"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    mgr.create_table("eqt", df.schema, [identity("g")])
+    mgr.append("eqt", df)
+    return df
+
+
+def test_eq_delete_attaches_only_to_overlapping_files(mgr, spark):
+    """A key set spanning [0, 50) must attach its delete file to ONLY
+    the data file whose stats can hold those keys — the delete commit is
+    O(matching files), never a table pass."""
+    _mk_ranged(spark, mgr)
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    mgr.delete("eqt", equality=["k"], keys=keys, mode="mor")
+    m = mgr._load_manifest("eqt")
+    dirty = [e for e in m["files"] if e.get("eq_deletes")]
+    assert len(dirty) == 1
+    assert dirty[0]["partition"]["g"] == "0"
+    assert mgr.read("eqt").count() == 950
+
+
+def test_eq_delete_stacked_rewrite_and_gc(mgr, spark):
+    """Stacked equality deletes both apply; rewrite_deletes rewrites
+    ONLY dirty files (clean files survive by path identity); after
+    expiry the orphaned equality-delete files are physically removed."""
+    import os
+
+    _mk_ranged(spark, mgr)
+    mgr.delete(
+        "eqt",
+        equality=["k"],
+        keys=spark.range(0, 10).select(F.col("id").alias("k")),
+        mode="mor",
+    )
+    mgr.delete(
+        "eqt",
+        equality=["k"],
+        keys=spark.range(5, 15).select(F.col("id").alias("k")),
+        mode="mor",
+    )
+    assert mgr.read("eqt").count() == 985
+    m = mgr._load_manifest("eqt")
+    clean_paths = {e["path"] for e in m["files"] if not e.get("eq_deletes")}
+    del_paths = [
+        os.path.join(mgr._dir("eqt"), d["path"])
+        for e in m["files"]
+        for d in e.get("eq_deletes", [])
+    ]
+    assert del_paths and all(os.path.exists(p) for p in del_paths)
+    mgr.rewrite_deletes("eqt")
+    m2 = mgr._load_manifest("eqt")
+    assert not any(e.get("eq_deletes") for e in m2["files"])
+    assert clean_paths <= {e["path"] for e in m2["files"]}, (
+        "delete-free files must survive rewrite by identity"
+    )
+    assert mgr.read("eqt").count() == 985
+    # delete files are still referenced by historical snapshots; expiry
+    # to the head frees them
+    mgr.expire_snapshots("eqt", keep_last=1)
+    assert all(not os.path.exists(p) for p in del_paths)
+
+
+def test_eq_delete_schema_evolution_guards(mgr, spark):
+    """Rename/drop of an equality-delete key column is rejected until
+    the deletes are materialized."""
+    _mk_ranged(spark, mgr)
+    mgr.delete(
+        "eqt",
+        equality=["k"],
+        keys=spark.range(0, 5).select(F.col("id").alias("k")),
+        mode="mor",
+    )
+    with pytest.raises(ValueError, match="equality"):
+        mgr.rename_column("eqt", "k", "kk")
+    with pytest.raises(ValueError, match="outstanding"):
+        mgr.drop_column("eqt", "k")
+    mgr.rewrite_deletes("eqt")
+    mgr.rename_column("eqt", "k", "kk")
+    assert "kk" in mgr.read("eqt").columns
+
+
+def test_eq_delete_null_safe_and_validation(mgr, spark):
+    """NULL keys delete NULL rows (Iceberg equality-delete null
+    semantics — plain equi-join would never match them); bad arguments
+    fail fast."""
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "k long, s string"
+    )
+    mgr.create_table("nt", df.schema, [])
+    mgr.append("nt", df)
+    with pytest.raises(ValueError, match="keys"):
+        mgr.delete("nt", equality=["k"], mode="mor")
+    with pytest.raises(ValueError, match="not in schema"):
+        mgr.delete(
+            "nt",
+            equality=["zz"],
+            keys=spark.range(1).select(F.col("id").alias("zz")),
+            mode="mor",
+        )
+    nk = spark.createDataFrame([(None,)], "k long")
+    mgr.delete("nt", equality=["k"], keys=nk, mode="mor")
+    assert sorted(r["s"] for r in mgr.read("nt").collect()) == ["b", "c"]
+
+
+def test_eq_delete_changelog_emits_key_matches(mgr, spark):
+    """The changelog of an equality-delete commit emits exactly the
+    parent-visible rows matching the new key set as deletes."""
+    _mk_ranged(spark, mgr)
+    v0 = mgr._current_version("eqt")
+    mgr.delete(
+        "eqt",
+        equality=["k"],
+        keys=spark.range(100, 120).select(F.col("id").alias("k")),
+        mode="mor",
+    )
+    cl = mgr.changelog("eqt", v0)
+    dels = cl.filter("_change_type = 'delete'")
+    assert dels.count() == 20
+    assert sorted(r["k"] for r in dels.collect()) == list(range(100, 120))

@@ -427,3 +427,45 @@ def test_compact_partitions_touches_only_fragmented_tail(spark):
     base_paths = {e["path"] for e in base_m["files"]}
     head_paths = {e["path"] for e in m["files"]}
     assert base_paths <= head_paths, "bulk-history files were rewritten"
+
+
+def test_eq_deletes_are_metadata_only_and_sequence_scoped(spark):
+    """Equality-delete commits leave every data-file path untouched;
+    the re-insert append's rows survive despite their keys being in the
+    first delete's key set (a delete binds only to files present at its
+    commit); time travel to base still reads the full table."""
+    mgr, snaps = tablelayer._setup_orders_eqd(spark, SF_DIR)
+    m_eq = mgr._load_manifest("orders_eqd", snaps["eq_head"])
+    m_base = mgr._load_manifest("orders_eqd", snaps["base"])
+    assert {e["path"] for e in m_eq["files"]} == {
+        e["path"] for e in m_base["files"]
+    }, "equality merge-on-read must rewrite nothing"
+    assert m_eq["operation"] == "delete-mor"
+    assert any(e.get("eq_deletes") for e in m_eq["files"])
+    # two distinct key-column sets are attached
+    colsets = {
+        tuple(d["cols"])
+        for e in m_eq["files"]
+        for d in e.get("eq_deletes", [])
+    }
+    assert colsets == {("o_orderkey",), ("o_custkey",)}
+    n_all = load_table(spark, SF_DIR, "orders").count()
+    assert mgr.read("orders_eqd", snapshot_id=snaps["base"]).count() == n_all
+    # re-appended files (post-delete) carry NO eq_deletes entries
+    m_head = mgr._load_manifest("orders_eqd", snaps["head"])
+    base_paths = {e["path"] for e in m_base["files"]}
+    new_entries = [e for e in m_head["files"] if e["path"] not in base_paths]
+    assert new_entries and all(not e.get("eq_deletes") for e in new_entries)
+    # and their rows are all visible at head
+    n_readd = sum(e["records"] for e in new_entries)
+    got = mgr.read("orders_eqd")
+    k1 = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") >= 350000.0)
+        & (F.col("o_orderkey") % 2 == 0)
+    )
+    assert n_readd == k1.count()
+    assert (
+        got.join(k1.select("o_orderkey"), "o_orderkey", "left_semi").count()
+        == n_readd
+    )
