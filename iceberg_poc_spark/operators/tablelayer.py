@@ -36,6 +36,8 @@ from iceberg_poc_spark.sources import load_table
 
 CUTOFF = "1998-01-01 00:00:00"
 MERGE_KEY_OFFSET = 100_000_000
+TXN_KEY_OFFSET = 200_000_000
+TXN_CUST_OFFSET = 10_000_000
 OVERWRITE_YEAR = 1999
 EVOLVE_NATION_SPLIT = 12
 PE_DATE_LO = "1997-01-01 00:00:00"
@@ -856,6 +858,117 @@ def q_delete_mor_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _setup_txn_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """fact_txn + dim_txn: a base load of orders/customer, then a
+    BACKFILL delta (new orders under NEW customer keys + the matching
+    dim rows) staged and landed through ONE multi-table transaction —
+    the fact-and-dims-together-or-not-at-all shape
+    (manager.transaction; crash injection in tests/test_table_manager.py
+    proves no partial visibility)."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "fact_txn")
+    if key in _READY:
+        return mgr, _READY[key]
+    from iceberg_poc_spark.tables import years
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    mgr.create_table("fact_txn", orders.schema, [years("o_orderdate")])
+    mgr.create_table("dim_txn", cust.schema, [])
+    mgr.append("fact_txn", orders)
+    mgr.append("dim_txn", cust)
+    src = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1997)
+    )
+    delta_orders = src.select(
+        (F.col("o_orderkey") + TXN_KEY_OFFSET).alias("o_orderkey"),
+        (F.col("o_custkey") + TXN_CUST_OFFSET).alias("o_custkey"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    delta_cust = (
+        src.select(
+            (F.col("o_custkey") + TXN_CUST_OFFSET).alias("c_custkey"),
+            F.concat(
+                F.lit("TXN-"), (F.col("o_custkey") % 3).cast("string")
+            ).alias("c_mktsegment"),
+        )
+        .distinct()
+    )
+    txn = mgr.transaction()
+    txn.append("fact_txn", delta_orders)
+    txn.append("dim_txn", delta_cust)
+    heads = txn.commit()
+    _READY[key] = {"heads": heads}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_txn_multi_table",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+    ),
+    f AS (
+        SELECT o_custkey, o_totalprice, o_orderdate FROM orders
+        UNION ALL
+        SELECT o_custkey + {TXN_CUST_OFFSET}, o_totalprice, o_orderdate
+        FROM src
+    ),
+    d AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        UNION ALL
+        SELECT DISTINCT o_custkey + {TXN_CUST_OFFSET},
+               'TXN-' || CAST(o_custkey % 3 AS VARCHAR)
+        FROM src
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(year(f.o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(f.o_totalprice), 2) AS revenue
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Multi-table ATOMIC commit (≙ Iceberg catalog multi-table "
+    "transactions — the capability a per-table CAS can't give): a "
+    "backfill delta of new fact rows under NEW dimension keys plus the "
+    "matching dim rows lands through manager.transaction() — data files "
+    "staged in parallel first, then ONE exclusive-create of the txn "
+    "record as the commit point, then idempotent per-table head "
+    "advances with crash repair rolled forward by the next reader of "
+    "ANY involved table (no partial visibility; crash-injection pytest "
+    "in tests/test_table_manager.py). The query joins fact to dim "
+    "post-commit: every TXN-segment row in the result depends on BOTH "
+    "tables' halves of the transaction having landed, which the oracle "
+    "reproduces relationally. At 100 TB the expensive distributed "
+    "writes happen before the commit point; the atomic step is "
+    "metadata-only, so the consistency guarantee costs O(tables), not "
+    "O(data).",
+)
+def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _ = _setup_txn_tables(spark, sf_dir)
+    f = mgr.read("fact_txn")
+    d = mgr.read("dim_txn")
+    return (
+        f.join(F.broadcast(d), f.o_custkey == d.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )
 
 

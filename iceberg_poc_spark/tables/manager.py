@@ -381,6 +381,7 @@ class ParquetTableManager:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
+        self._in_txn_repair = False
         os.makedirs(warehouse, exist_ok=True)
 
     # ---------------------------------------------------------------- paths
@@ -404,7 +405,16 @@ class ParquetTableManager:
         branch has no commits. The head is the highest ``seq-*`` file; each
         seq file appears atomically WITH its content (hard-linked from a
         fully-written temp file), so readers never observe a half-written
-        pointer."""
+        pointer.
+
+        Read-repair: a PUBLISHED multi-table transaction whose head
+        advances were interrupted (crash between the txn record landing
+        and the per-table applies) is rolled forward for ``name`` before
+        the head is resolved — so once the txn record exists, no reader
+        can ever observe this table without the txn's effect (the
+        no-partial-visibility half of :meth:`transaction`)."""
+        if not self._in_txn_repair:
+            self._repair_txns(name)
         d = self._heads_dir(name, ref)
         try:
             entries = [fn for fn in os.listdir(d) if fn.startswith("seq-")]
@@ -826,6 +836,128 @@ class ParquetTableManager:
             return out
 
         return self._commit(name, m, rebase=rebase, ref=ref)
+
+    # ------------------------------------------------- multi-table commits
+    def _txns_dir(self) -> str:
+        return os.path.join(self.warehouse, "_txns")
+
+    def _txn_marker(self, seq: str, table: str) -> str:
+        return os.path.join(self._txns_dir(), f"{seq}.done.{table}")
+
+    def transaction(self) -> "Transaction":
+        """Open a multi-table transaction (≙ Iceberg catalog multi-table
+        transactions; the single-table :meth:`_commit` CAS is the
+        degenerate case): stage appends to ANY number of tables, then
+        land them with ONE atomic publish — fact and dims together or
+        not at all, the backfill-consistency shape.
+
+        Protocol (all-or-nothing visibility on a plain filesystem):
+
+        1. ``stage``: each :meth:`Transaction.append` writes its data
+           files immediately (parallel, expensive part) but advances no
+           head — invisible, crash leaves only orphans.
+        2. ``publish``: ONE exclusive-create of a txn record listing
+           every (table, ref, added-files) — this is the commit point.
+        3. ``apply``: per-table head CAS advances, idempotent.
+
+        A crash between publish and apply cannot expose partial state:
+        every head resolution (:meth:`_ref_head`) first rolls forward
+        published-but-unapplied transactions for that table, so readers
+        either see no effect (pre-publish) or, on first contact with ANY
+        involved table, that table's full txn effect. Applies are
+        idempotent (a table whose head already contains the staged files
+        is skipped; per-table done-markers short-circuit), so concurrent
+        repairers and the committing writer never double-append."""
+        return Transaction(self)
+
+    def _publish_txn(self, entries: list[dict]) -> str:
+        """Exclusive-create the txn record — the single commit point."""
+        os.makedirs(self._txns_dir(), exist_ok=True)
+        payload = json.dumps({"entries": entries}, sort_keys=True)
+        while True:
+            existing = [
+                fn
+                for fn in os.listdir(self._txns_dir())
+                if fn.startswith("txn-") and "." not in fn[4:]
+            ]
+            nxt = 1 + max(
+                [int(fn[4:]) for fn in existing] or [0]
+            )
+            seq = f"txn-{nxt:09d}"
+            if self._link_pointer(
+                os.path.join(self._txns_dir(), seq), payload
+            ):
+                return seq
+
+    def _apply_txn(self, seq: str, record: dict) -> dict[str, int]:
+        """Idempotently roll a published txn forward on every table it
+        touches; returns {table: head version after apply}."""
+        prev, self._in_txn_repair = self._in_txn_repair, True
+        try:
+            out: dict[str, int] = {}
+            for entry in record["entries"]:
+                name, ref = entry["table"], entry.get("ref", "main")
+                added = entry["added"]
+                marker = self._txn_marker(seq, name)
+                if not os.path.exists(marker):
+                    added_paths = {e["path"] for e in added}
+                    while True:
+                        seq_head, cur = self._ref_head(name, ref)
+                        m = self._load_manifest(name, cur)
+                        if added_paths <= {e["path"] for e in m["files"]}:
+                            break  # a concurrent repairer already applied
+                        nm = dict(m)
+                        nm["files"] = m["files"] + added
+                        nm["operation"] = "txn-append"
+                        nm["parent"] = cur
+                        nm["txn"] = seq
+                        version = self._alloc_version(name, nm)
+                        if self._link_pointer(
+                            os.path.join(
+                                self._heads_dir(name, ref),
+                                f"seq-{seq_head + 1:09d}",
+                            ),
+                            str(version),
+                        ):
+                            break
+                    self._link_pointer(marker, "done")
+                out[name] = self._ref_head(name, ref)[1]
+            # fully applied: prune the record + markers (pending scans on
+            # every head resolution stay O(outstanding), not O(history))
+            for entry in record["entries"]:
+                try:
+                    os.remove(self._txn_marker(seq, entry["table"]))
+                except FileNotFoundError:
+                    pass
+            try:
+                os.remove(os.path.join(self._txns_dir(), seq))
+            except FileNotFoundError:
+                pass
+            return out
+        finally:
+            self._in_txn_repair = prev
+
+    def _repair_txns(self, name: str) -> None:
+        """Roll forward any published-but-unapplied transaction touching
+        ``name`` (and, transitively, every table in those records —
+        repair is per-record, keeping the all-or-nothing story)."""
+        d = self._txns_dir()
+        try:
+            records = sorted(
+                fn
+                for fn in os.listdir(d)
+                if fn.startswith("txn-") and "." not in fn[4:]
+            )
+        except FileNotFoundError:
+            return
+        for seq in records:
+            try:
+                with open(os.path.join(d, seq)) as f:
+                    record = json.loads(f.read())
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # pruned (fully applied) by a concurrent repairer
+            if any(e["table"] == name for e in record["entries"]):
+                self._apply_txn(seq, record)
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
         """Dynamic partition overwrite (≙ Iceberg's dynamic ``overwrite``
@@ -1974,6 +2106,57 @@ class ParquetTableManager:
         m["operation"] = "replace"
         m["parent"] = m["version"]
         return self._commit(name, m)
+
+
+class Transaction:
+    """Staged multi-table commit — see
+    :meth:`ParquetTableManager.transaction` for the protocol. Appends
+    only (the backfill / fact+dims shape); each :meth:`append` runs the
+    distributed write NOW, so ``commit()`` is pure metadata."""
+
+    def __init__(self, mgr: ParquetTableManager):
+        self.mgr = mgr
+        self._staged: list[dict] = []
+        self._done = False
+
+    def append(self, name: str, df: DataFrame, ref: str = "main") -> "Transaction":
+        if self._done:
+            raise ValueError("transaction already committed")
+        mgr = self.mgr
+        _seq, head = mgr._ref_head(name, ref)
+        if head < 0:
+            raise ValueError(f"branch {ref!r} does not exist on {name!r}")
+        m = mgr._load_manifest(name, head)
+        schema_cols = [
+            f.name for f in StructType.fromJson(m["schema"]).fields
+        ]
+        aligned = df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in schema_cols
+            ]
+        )
+        files = mgr._write_files(name, aligned, mgr._spec(m))
+        for s in self._staged:
+            if s["table"] == name and s.get("ref", "main") == ref:
+                s["added"] = s["added"] + files
+                return self
+        self._staged.append({"table": name, "ref": ref, "added": files})
+        return self
+
+    def commit(self) -> dict[str, int]:
+        """Publish the txn record (the atomic commit point), then apply
+        the per-table head advances. Returns {table: new version}. A
+        crash after publish is repaired by the next reader of any
+        involved table; a crash before publish leaves only invisible
+        staged files."""
+        if self._done:
+            raise ValueError("transaction already committed")
+        if not self._staged:
+            raise ValueError("nothing staged")
+        self._done = True
+        seq = self.mgr._publish_txn(self._staged)
+        return self.mgr._apply_txn(seq, {"entries": self._staged})
 
 
 # --------------------------------------------------- Iceberg (env-gated)

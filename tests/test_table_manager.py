@@ -980,3 +980,120 @@ def test_eq_delete_changelog_emits_key_matches(mgr, spark):
     dels = cl.filter("_change_type = 'delete'")
     assert dels.count() == 20
     assert sorted(r["k"] for r in dels.collect()) == list(range(100, 120))
+
+
+def _mk_txn_tables(spark, mgr):
+    fact = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("d")
+    )
+    dim = spark.range(5).select(
+        F.col("id").alias("d"),
+        F.concat(F.lit("seg"), F.col("id")).alias("s"),
+    )
+    mgr.create_table("fact", fact.schema, [])
+    mgr.create_table("dim", dim.schema, [])
+    mgr.append("fact", fact)
+    mgr.append("dim", dim)
+
+
+def test_txn_multi_table_atomic_commit(mgr, spark):
+    """A transaction's appends land on BOTH tables with one publish;
+    the fully-applied record is pruned from _txns."""
+    import os
+
+    _mk_txn_tables(spark, mgr)
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") % 2 + 5).alias("d")
+        ),
+    )
+    txn.append(
+        "dim", spark.createDataFrame([(5, "seg5"), (6, "seg6")], "d long, s string")
+    )
+    heads = txn.commit()
+    assert set(heads) == {"fact", "dim"}
+    assert mgr.read("fact").count() == 150
+    assert mgr.read("dim").count() == 7
+    assert os.listdir(mgr._txns_dir()) == []
+    with pytest.raises(ValueError, match="already committed"):
+        txn.commit()
+
+
+def test_txn_crash_after_publish_no_partial_visibility(mgr, spark):
+    """Crash injected between the txn-record publish and the per-table
+    head advances: the NEXT reader of EITHER table rolls the whole
+    record forward, so no reader can observe fact-new/dim-old."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    _mk_txn_tables(spark, mgr)
+    orig = ParquetTableManager._apply_txn
+    ParquetTableManager._apply_txn = lambda self, seq, record: (_ for _ in ()).throw(
+        RuntimeError("crash after publish")
+    )
+    try:
+        txn = mgr.transaction()
+        txn.append(
+            "fact",
+            spark.range(150, 160).select(
+                F.col("id").alias("k"), F.lit(0).alias("d")
+            ),
+        )
+        txn.append(
+            "dim", spark.createDataFrame([(7, "seg7")], "d long, s string")
+        )
+        with pytest.raises(RuntimeError, match="crash after publish"):
+            txn.commit()
+    finally:
+        ParquetTableManager._apply_txn = orig
+    # fresh reader touches ONLY fact; the repair must advance dim too
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    assert fresh.read("fact").count() == 110
+    assert (
+        fresh._load_manifest("dim")["operation"] == "txn-append"
+    ), "reading fact must have rolled the dim half forward too"
+    assert fresh.read("dim").count() == 6
+
+
+def test_txn_crash_before_publish_invisible(mgr, spark):
+    """Crash injected BEFORE the txn record lands: neither table
+    advances — staged files stay invisible orphans."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    _mk_txn_tables(spark, mgr)
+    orig = ParquetTableManager._publish_txn
+    ParquetTableManager._publish_txn = lambda self, entries: (_ for _ in ()).throw(
+        RuntimeError("crash before publish")
+    )
+    try:
+        txn = mgr.transaction()
+        txn.append(
+            "fact",
+            spark.range(150, 160).select(
+                F.col("id").alias("k"), F.lit(0).alias("d")
+            ),
+        )
+        with pytest.raises(RuntimeError, match="crash before publish"):
+            txn.commit()
+    finally:
+        ParquetTableManager._publish_txn = orig
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    assert fresh.read("fact").count() == 100
+    assert fresh._load_manifest("fact")["operation"] == "append"
+
+
+def test_txn_apply_is_idempotent_under_concurrent_repair(mgr, spark):
+    """Applying the same published record twice (the concurrent-repairer
+    race) must not double-append."""
+    _mk_txn_tables(spark, mgr)
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 110).select(F.col("id").alias("k"), F.lit(0).alias("d")),
+    )
+    staged = list(txn._staged)
+    seq = mgr._publish_txn(staged)
+    mgr._apply_txn(seq, {"entries": staged})
+    mgr._apply_txn(seq, {"entries": staged})  # replay: no-op
+    assert mgr.read("fact").count() == 110
