@@ -437,6 +437,83 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_travel_sql",
+    oracle=f"""
+    WITH pinned AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS s
+        FROM orders WHERE o_orderdate < TIMESTAMP '{CUTOFF}'
+        GROUP BY 1
+    ),
+    head AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice
+                         + CASE WHEN year(o_orderdate) = {OVERWRITE_YEAR}
+                                THEN 10.0 ELSE 0.0 END), 2) AS s
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT COALESCE(pinned.o_year, head.o_year) AS o_year,
+           COALESCE(pinned.n, 0) AS n_asof,
+           head.n AS n_head,
+           COALESCE(pinned.s, 0.0) AS sum_asof,
+           head.s AS sum_head
+    FROM pinned FULL JOIN head ON pinned.o_year = head.o_year
+    """,
+    doc="Time travel specified ENTIRELY in SQL — the ``VERSION AS OF`` "
+    "surface (≙ Iceberg's SQL time travel; reference snapshot walk "
+    "aig/PartitionValueDebugger.java:169-195) reachable without any "
+    "Python API call: two ``CREATE TEMPORARY VIEW ... USING snaptable "
+    "OPTIONS (snapshot ...)`` statements mount the pinned snapshot and "
+    "the live head of the SAME table, and one SQL full-outer join "
+    "diffs them per order-year (the head carries a later append AND a "
+    "partition overwrite, so both row counts and sums diverge — the "
+    "audit-a-backfill query). The snapshot resolution, manifest "
+    "pruning, and schema handling all run inside the DataSource "
+    "(sources/pyds.py); ``as_of`` (TIMESTAMP AS OF) rides the same "
+    "option surface (tests/test_pyds.py). The oracle reconstructs both "
+    "states relationally from raw parquet.",
+)
+def q_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr, snaps = _setup_orders_tt(spark, sf_dir)
+    register_snaptable(spark)
+    wh = _warehouse(sf_dir)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ott_asof USING snaptable "
+        f"OPTIONS (warehouse '{wh}', `table` 'orders_tt', "
+        f"snapshot '{snaps['snap1']}')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ott_head USING snaptable "
+        f"OPTIONS (warehouse '{wh}', `table` 'orders_tt')"
+    )
+    return spark.sql(
+        """
+        WITH pinned AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+            FROM ott_asof GROUP BY 1
+        ),
+        head AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+            FROM ott_head GROUP BY 1
+        )
+        SELECT COALESCE(pinned.o_year, head.o_year) AS o_year,
+               COALESCE(pinned.n, 0) AS n_asof,
+               head.n AS n_head,
+               COALESCE(pinned.s, 0.0) AS sum_asof,
+               head.s AS sum_head
+        FROM pinned FULL JOIN head ON pinned.o_year = head.o_year
+        """
+    )
+
+
+@register(
     "q_scan_incremental",
     oracle=f"""
     SELECT o_orderpriority,

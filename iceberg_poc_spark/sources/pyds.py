@@ -74,6 +74,7 @@ def _resolve_manifest(options) -> tuple[dict, str]:
         table,
         snapshot_id=int(snap) if snap is not None else None,
         ref=options.get("ref"),
+        as_of=options.get("as_of"),  # TIMESTAMP AS OF (epoch or ISO UTC)
     )
     return mgr._load_manifest(table, v), mgr._dir(table)
 
@@ -223,7 +224,16 @@ class SnapTableStreamReader(DataSourceStreamReader):
 
 class SnapTableDataSource(DataSource):
     """``spark.read.format("snaptable").option("warehouse", w)
-    .option("table", t)[.option("snapshot", id) | .option("ref", name)]``"""
+    .option("table", t)[.option("snapshot", id) | .option("ref", name)
+    | .option("as_of", instant)]``
+
+    The same options work from PURE SQL — the ``VERSION AS OF`` /
+    ``TIMESTAMP AS OF`` surface without any Python API call::
+
+        CREATE TEMPORARY VIEW orders_v3 USING snaptable
+        OPTIONS (warehouse '/w', `table` 'orders', snapshot '3')
+
+    (gated end-to-end by ``q_time_travel_sql``)."""
 
     @classmethod
     def name(cls) -> str:

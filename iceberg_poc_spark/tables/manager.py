@@ -498,6 +498,9 @@ class ParquetTableManager:
         lost the CAS is left orphaned and reaped by
         :meth:`expire_snapshots`."""
         os.makedirs(self._meta_dir(name), exist_ok=True)
+        import time as _time
+
+        manifest["committed_at"] = _time.time()
         while True:
             seq, cur = self._ref_head(name, ref)
             if (
@@ -1448,12 +1451,39 @@ class ParquetTableManager:
         return out
 
     def _resolve(
-        self, name: str, snapshot_id: int | None = None, ref: str | None = None
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        as_of: float | str | None = None,
     ) -> int:
-        """Resolve a read target: explicit snapshot id > tag > branch >
-        main head."""
+        """Resolve a read target: explicit snapshot id > commit-time
+        bound (``as_of``: epoch seconds or an ISO-8601 UTC instant — the
+        ``TIMESTAMP AS OF`` analogue, resolving to the newest main-chain
+        snapshot committed at or before the bound) > tag > branch > main
+        head."""
         if snapshot_id is not None:
             return snapshot_id
+        if as_of is not None:
+            try:  # DataSource options arrive as strings — epoch first
+                bound = float(as_of)
+            except (TypeError, ValueError):
+                import datetime as _dt
+
+                d = _dt.datetime.fromisoformat(str(as_of))
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                bound = d.timestamp()
+            best = -1
+            for v in self._ancestors(name, self._current_version(name)):
+                m = self._load_manifest(name, v)
+                if m.get("committed_at", float("-inf")) <= bound:
+                    best = max(best, v)
+            if best < 0:
+                raise ValueError(
+                    f"no snapshot of {name!r} committed at or before {as_of!r}"
+                )
+            return best
         if ref is not None and ref != "main":
             tag = self._tag_path(name, ref)
             if os.path.exists(tag):
@@ -1470,11 +1500,15 @@ class ParquetTableManager:
         name: str,
         snapshot_id: int | None = None,
         ref: str | None = None,
+        as_of: float | str | None = None,
     ) -> DataFrame:
         """Read the table at the current snapshot, a historical snapshot
-        (time travel ≙ Iceberg ``VERSION AS OF``), or a named branch/tag
-        (≙ ``VERSION AS OF 'ref'``)."""
-        m = self._load_manifest(name, self._resolve(name, snapshot_id, ref))
+        (time travel ≙ Iceberg ``VERSION AS OF``), a named branch/tag
+        (≙ ``VERSION AS OF 'ref'``), or the newest snapshot committed at
+        or before an instant (``as_of`` ≙ ``TIMESTAMP AS OF``)."""
+        m = self._load_manifest(
+            name, self._resolve(name, snapshot_id, ref, as_of)
+        )
         return self._read_files(name, m, m["files"])
 
     # ----------------------------------------------------- branches & tags

@@ -118,3 +118,30 @@ def test_stream_replays_appends_only(mgr, spark, tmp_path):
     q.awaitTermination()
     assert _rows(spark.table("t_changes")) == _rows(mgr.read("t"))
     assert spark.table("t_changes").count() == 20
+
+
+def test_timestamp_as_of_option_and_sql_surface(mgr, spark):
+    """``as_of`` (TIMESTAMP AS OF) resolves to the newest snapshot
+    committed at or before the instant — via the Python option, an ISO
+    string, and the PURE-SQL ``CREATE TEMPORARY VIEW ... USING
+    snaptable`` surface; a pre-history instant raises."""
+    import time
+
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10))
+    between = time.time()
+    time.sleep(0.05)
+    mgr.append("t", make_events(spark, 20, start=dt.datetime(2024, 7, 1)))
+    assert _load(spark, mgr, "t").count() == 30
+    assert _load(spark, mgr, "t", as_of=str(between)).count() == 10
+    iso = dt.datetime.fromtimestamp(between, dt.timezone.utc).isoformat()
+    assert mgr.read("t", as_of=iso).count() == 10
+    # SQL-only surface: VERSION AS OF via OPTIONS, no Python reader call
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW t_sql_asof USING snaptable "
+        f"OPTIONS (warehouse '{mgr.warehouse}', `table` 't', "
+        f"as_of '{between}')"
+    )
+    assert spark.sql("SELECT COUNT(*) AS c FROM t_sql_asof").first().c == 10
+    with pytest.raises(Exception, match="committed at or before"):
+        mgr.read("t", as_of=0)
