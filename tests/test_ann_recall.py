@@ -99,3 +99,53 @@ def test_ann_recall_floor_and_scan_fraction(spark):
     # exhaustive radius is exact by construction — the harness is sane
     mean_all, frac_all = _recall_at_radius(pdf, IVF_BITS)
     assert mean_all == 1.0 and frac_all == 1.0
+
+
+def test_multiprobe_recall_floor(spark):
+    """q_sim_ann_multiprobe's anchor-IVF budgeted probe must clear the
+    recall bar the fixed-radius sign-LSH path can't: mean recall@5 >=
+    0.8 while scanning <= 55% of the corpus (measured ~0.86-0.98 at
+    ~50% across sf0.001-0.1). Mirrors the engine's exact scheme —
+    strided anchors, argmax-cosine assignment, best-B probe by
+    query-anchor cosine — over >= 25 strided probes."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = len(ids)
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    stride = n // ANN_MP_CELLS
+    anchors = norm[np.arange(ANN_MP_CELLS) * stride]
+    assign = (norm @ anchors.T).argmax(axis=1)
+    recalls, fracs = [], []
+    for qi in np.arange(0, n, max(1, n // N_PROBES)):
+        sims = norm @ norm[qi]
+        sims[qi] = -2
+        truth = set(ids[np.lexsort((ids, -sims))[:K]])
+        chosen = np.argsort(-(anchors @ norm[qi]))[:ANN_MP_PROBE]
+        mask = np.isin(assign, chosen)
+        mask[qi] = False
+        cand = np.where(mask)[0]
+        cs = sims[cand]
+        ann = set(ids[cand[np.lexsort((ids[cand], -cs))[:K]]])
+        recalls.append(len(truth & ann) / K)
+        fracs.append(len(cand) / (n - 1))
+    mean_r, mean_f = float(np.mean(recalls)), float(np.mean(fracs))
+    assert mean_f <= 0.55, f"multiprobe scanned {mean_f:.0%}"
+    assert mean_r >= 0.8, f"multiprobe mean recall@{K} = {mean_r:.3f}"
+    # and the shipped plan really prunes at the manifest: B of C files
+    from iceberg_poc_spark.operators.similarity import _ann_multiprobe_scan
+
+    _df, planned, total, _q = _ann_multiprobe_scan(spark, SF_DIR)
+    assert planned == ANN_MP_PROBE and total == ANN_MP_CELLS
