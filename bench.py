@@ -13,6 +13,16 @@ amortized out of the measurement — the steady-state number is what a
 long-running job sees (compile seconds vanish against hours at 100 TB);
 a cold measurement would mostly rank queries by generated-code size.
 Set SPARK_GRAFT_BENCH_COLD=1 to skip warmups and measure first-run cost.
+
+Sub-2s queries report the MEDIAN of 3 timed runs: at that absolute cost
+single-shot scheduler/GC noise is the same order as the signal and has
+produced spurious >1.5x round-over-round "regressions" on flat plans
+(r5: q_fn_xml, q_udtf_lateral — both map-side, no plan change). Slow
+queries stay single-shot (their signal dwarfs the noise and re-running
+table-layer state machines would triple bench wall time). The reported
+total is the sum of per-query reported values, so it composes the same
+way across rounds. SPARK_GRAFT_BENCH_REPEATS overrides the repeat count
+(1 = old single-shot behavior).
 """
 
 from __future__ import annotations
@@ -64,9 +74,16 @@ def main() -> None:
             except Exception as e:  # warm-SF-only failures must not mask
                 print(f"BENCH WARMUP ERROR {name}: {e}", file=sys.stderr)
         try:
-            t0 = time.perf_counter()
-            materialize(queries[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+            runs = []
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                materialize(queries[name].fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+                if runs[0] >= 2.0:
+                    break  # slow query: signal >> noise, single-shot
+            runs.sort()
+            timings[name] = round(runs[len(runs) // 2], 3)
         except Exception as e:  # a failing query must not hide the others
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)

@@ -566,9 +566,16 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equal the oracle's batch COUNT(*) — micro-batch boundaries must "
     "not lose or double-count state. State is one row per user (bounded "
     "by key cardinality, not stream length); batches reach Python as "
-    "Arrow-backed pandas frames, vectorized per group. Completes the "
-    "live trio's fourth leg: agg window / join / table sink / custom "
-    "state.",
+    "Arrow-backed pandas frames, vectorized per group. Scaling profile "
+    "(r6): wall time = batches x ~1.3 s fixed (state-store commit + "
+    "Python state-worker round trip per micro-batch) + rows x "
+    "throughput, so the availableNow drain is batch-count-bounded — "
+    "the loader caps the drain at ~4 batches (ceil(files/4), "
+    "streaming/pipelines.py) and state parallelism is sized to the "
+    "stream (4 shuffle partitions), giving ~3.3x wall for 10x rows on "
+    "the re-keyed sweep (was 6.35x at ~8 batches, 27x at one batch "
+    "per file). Completes the live trio's fourth leg: agg window / "
+    "join / table sink / custom state.",
 )
 def q_stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_poc_spark.sources import table_path

@@ -59,14 +59,19 @@ def load_events_stream(
     adapt — the same defensive typing sources/tables.py applies.
 
     ``files_per_trigger`` sizes the micro-batches. The default derives it
-    from the directory (ceil(n_files/8)) so a multi-file corpus still
-    drains in ~8 batches — cross-batch semantics (state survival, dedup
-    across batches) stay exercised — while batch COUNT stays O(1) as the
-    corpus grows. The earlier fixed maxFilesPerTrigger=1 made wall-time
-    scale with FILE COUNT, not rows: the 10x re-keyed sf1 sweep showed
-    the live stateful query at 27x for 10x data purely from per-batch
-    overhead x 32 part files. Production availableNow backfills size the
-    trigger to the cluster for exactly this reason.
+    from the directory (ceil(n_files/4)) so a multi-file corpus drains
+    in at most ~4 batches — enough that cross-batch semantics (state
+    survival, dedup across batches) stay exercised, while batch COUNT
+    stays O(1) as the corpus grows. Batch count is THE scaling lever
+    for availableNow drains: each stateful micro-batch pays a fixed
+    ~1.3 s here (state-store commit + Python state-worker round trip +
+    epoch planning) regardless of rows, so wall time is
+    batches x fixed + rows x throughput. History of this constant: a
+    fixed maxFilesPerTrigger=1 put the 10x re-keyed stateful drain at
+    27x (32 part files = 32 batches); ceil(n/8) (up to 8 batches) at
+    6.35x; ceil(n/4) measures ~3.3x for 10x rows — sublinear and
+    batch-bounded. Production availableNow backfills size the trigger
+    to the cluster for exactly this reason.
 
     The file source needs a directory (new files appearing there become
     stream input); a single-file path is wrapped in a symlinked temp dir.
@@ -82,7 +87,7 @@ def load_events_stream(
         n_files = len(
             [f for f in os.listdir(path) if not f.startswith(("_", "."))]
         )
-        files_per_trigger = max(1, -(-n_files // 8))
+        files_per_trigger = max(1, -(-n_files // 4))
     ts_is_long = isinstance(
         spark.read.parquet(path).schema["ts"].dataType, LongType
     )
