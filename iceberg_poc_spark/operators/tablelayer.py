@@ -1049,6 +1049,93 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPSERT_B1 = "2024-01-11 00:00:00"
+UPSERT_B2 = "2024-01-21 00:00:00"
+
+
+def _setup_users_upsert(spark: SparkSession, sf_dir: str) -> tuple:
+    """users_up: three CDC batches (events split at fixed ts boundaries,
+    deduped to the last event per user within each batch) applied in ts
+    order through :meth:`upsert_equality` — each application is ONE
+    commit carrying an equality-delete file + the batch's data files, no
+    existing file rewritten (asserted in tests/test_tablelayer.py)."""
+    from pyspark.sql import Window
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "users_up")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    mgr.create_table(
+        "users_up",
+        ev.drop("event_id").schema,
+        [],
+    )
+    base = None
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b1 = F.lit(UPSERT_B1).cast("timestamp_ntz")
+    b2 = F.lit(UPSERT_B2).cast("timestamp_ntz")
+    batches = [
+        ev.filter(F.col("ts") < b1),
+        ev.filter((F.col("ts") >= b1) & (F.col("ts") < b2)),
+        ev.filter(F.col("ts") >= b2),
+    ]
+    heads = []
+    for batch in batches:
+        last = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "event_id")
+        )
+        heads.append(mgr.upsert_equality("users_up", last, ["user_id"]))
+        if base is None:
+            base = heads[0]
+    _READY[key] = {"heads": heads}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_upsert_equality",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS last_type,
+           value AS last_value,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="Streaming-CDC UPSERT as one-commit merge-on-read epochs (≙ an "
+    "Iceberg v2 upsert write: equality-delete file + data files under "
+    "ONE snapshot — what a foreachBatch CDC sink commits per "
+    "micro-batch, and the write shape q_merge_upsert's copy-on-write "
+    "deliberately avoids): three batches of per-user latest events are "
+    "applied in order through manager.upsert_equality, each commit "
+    "atomically retiring every prior version of its keys (delete file "
+    "attached to stats-overlapping older files only) while its OWN new "
+    "rows are exempt by sequence position. ZERO existing files "
+    "rewritten across all three epochs (path-identity asserted in "
+    "tests/test_tablelayer.py); write cost per epoch is O(batch), not "
+    "O(table) — the property that makes minute-level CDC ingestion "
+    "affordable at 100 TB. The final read must collapse to exactly the "
+    "last event per user, which the oracle computes with one window "
+    "over the raw events.",
+)
+def q_upsert_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_users_upsert(spark, sf_dir)
+    df = mgr.read("users_up")
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
 @register(
     "q_snapshot_expiry",
     oracle="""

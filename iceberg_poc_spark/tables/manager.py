@@ -1184,7 +1184,21 @@ class ParquetTableManager:
             return self._commit(name, m)
         if mode != "mor":
             raise ValueError(f"unknown delete mode {mode!r}")
-        # ---- mor: persist the key set as parquet delete file(s)
+        del_entries = self._write_eq_delete_files(name, dkeys, equality)
+        for e in affected:
+            e = dict(e)
+            e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
+            untouched.append(e)
+        m["files"] = untouched
+        m["operation"] = "delete-mor"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def _write_eq_delete_files(
+        self, name: str, dkeys: DataFrame, equality: list[str]
+    ) -> list[dict]:
+        """Persist a deduplicated key set as parquet equality-delete
+        file(s) under ``deletes/``; returns manifest-attachable entries."""
         del_dir = os.path.join(self._dir(name), "deletes")
         staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
         dkeys.write.mode("overwrite").option("compression", "zstd").parquet(
@@ -1207,12 +1221,65 @@ class ParquetTableManager:
                 }
             )
         _sh.rmtree(staging, ignore_errors=True)
-        for e in affected:
-            e = dict(e)
-            e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
-            untouched.append(e)
-        m["files"] = untouched
-        m["operation"] = "delete-mor"
+        return del_entries
+
+    def upsert_equality(
+        self, name: str, df: DataFrame, keys: list[str]
+    ) -> int:
+        """Merge-on-read UPSERT in ONE commit (≙ an Iceberg v2 streaming
+        upsert epoch: equality-delete file + data files under one
+        snapshot/sequence number — the shape a CDC `foreachBatch` sink
+        commits per micro-batch). The incoming rows' key tuples become an
+        equality-delete file attached to the stats-overlapping EXISTING
+        files (old versions of those keys vanish), and the incoming rows
+        land as new data files the delete does NOT bind to — so the
+        commit atomically replaces each key's row(s). NO existing file is
+        rewritten; cost is one metadata commit + the new rows' write,
+        regardless of table size. Rows sharing a key within ``df`` all
+        survive (dedupe upstream per batch — Iceberg's upsert contract).
+        Readers pay the anti-join until :meth:`rewrite_deletes`."""
+        m = self._load_manifest(name)
+        schema = StructType.fromJson(m["schema"])
+        schema_cols = [f.name for f in schema.fields]
+        missing = [c for c in keys if c not in schema_cols]
+        if missing:
+            raise ValueError(f"equality columns not in schema: {missing}")
+        aligned = df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in schema_cols
+            ]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        dkeys = aligned.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in keys]
+        ).distinct()
+        bounds = dkeys.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in keys],
+            *[F.max(c).alias(f"mx_{c}") for c in keys],
+            *[F.count(c).alias(f"nn_{c}") for c in keys],
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        where_bounds: list[tuple[str, str, Any]] = []
+        for c in keys:
+            if bounds[f"mn_{c}"] is not None:
+                where_bounds.append((c, ">=", bounds[f"mn_{c}"]))
+            if bounds[f"mx_{c}"] is not None:
+                where_bounds.append((c, "<=", bounds[f"mx_{c}"]))
+        has_null_keys = any(
+            bounds[f"nn_{c}"] < bounds["n_all"] for c in keys
+        )
+        spec = self._spec(m)
+        del_entries = self._write_eq_delete_files(name, dkeys, keys)
+        out_files: list[dict] = []
+        for e in m["files"]:
+            if _may_match(spec, e, where_bounds) or has_null_keys:
+                e = dict(e)
+                e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
+            out_files.append(e)
+        new_files = self._write_files(name, aligned, spec)
+        m["files"] = out_files + new_files
+        m["operation"] = "upsert"
         m["parent"] = m["version"]
         return self._commit(name, m)
 

@@ -1097,3 +1097,28 @@ def test_txn_apply_is_idempotent_under_concurrent_repair(mgr, spark):
     mgr._apply_txn(seq, {"entries": staged})
     mgr._apply_txn(seq, {"entries": staged})  # replay: no-op
     assert mgr.read("fact").count() == 110
+
+
+def test_upsert_equality_changelog_emits_update_pairs(mgr, spark):
+    """The changelog of an upsert commit is the CDC update convention:
+    a delete of each replaced key's old row + an insert of its new row;
+    brand-new keys emit inserts only."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    mgr.create_table("u", df.schema, [])
+    mgr.append("u", df)
+    v0 = mgr._current_version("u")
+    up = spark.createDataFrame([(2, "B2"), (9, "new")], "k long, s string")
+    mgr.upsert_equality("u", up, ["k"])
+    cl = mgr.changelog("u", v0)
+    rows = sorted(
+        (r["k"], r["s"], r["_change_type"]) for r in cl.collect()
+    )
+    assert rows == [
+        (2, "B2", "insert"),
+        (2, "b", "delete"),
+        (9, "new", "insert"),
+    ]
+    got = sorted((r["k"], r["s"]) for r in mgr.read("u").collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "new")]

@@ -469,3 +469,41 @@ def test_eq_deletes_are_metadata_only_and_sequence_scoped(spark):
         got.join(k1.select("o_orderkey"), "o_orderkey", "left_semi").count()
         == n_readd
     )
+
+
+def test_upsert_equality_epochs_are_single_commit_zero_rewrite(spark):
+    """Each CDC epoch advances the table by exactly ONE snapshot whose
+    operation is 'upsert'; no pre-existing data file is ever rewritten
+    or dropped by an upsert; each epoch's own files carry no delete;
+    and stacked epochs leave exactly one visible row per key."""
+    mgr, snaps = tablelayer._setup_users_upsert(spark, SF_DIR)
+    heads = snaps["heads"]
+    assert len(heads) == 3
+    paths_before: set = set()
+    for i, v in enumerate(heads):
+        m = mgr._load_manifest("users_up", v)
+        assert m["operation"] == "upsert"
+        paths_now = {e["path"] for e in m["files"]}
+        assert paths_before <= paths_now, "upsert must not rewrite/drop files"
+        new_entries = [
+            e for e in m["files"] if e["path"] not in paths_before
+        ]
+        assert new_entries and all(
+            not e.get("eq_deletes") for e in new_entries
+        ), "an epoch's own files must not carry its delete"
+        if i > 0:
+            old_entries = [
+                e for e in m["files"] if e["path"] in paths_before
+            ]
+            assert all(e.get("eq_deletes") for e in old_entries)
+        assert v == heads[i - 1] + 1 if i > 0 else True
+        paths_before = paths_now
+    got = mgr.read("users_up")
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
