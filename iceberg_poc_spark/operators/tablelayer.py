@@ -1136,6 +1136,123 @@ def q_upsert_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TXN_EPOCH_SPLIT = "2024-01-16 00:00:00"
+
+
+def _setup_txn_cdc(spark: SparkSession, sf_dir: str) -> tuple:
+    """users_st + user_tot: a CDC EPOCH across two tables — the latest
+    user state AND the per-user running totals derived from the same
+    event batch — staged as two transaction upserts and landed with ONE
+    atomic publish (Transaction.upsert): a reader joining state to
+    totals can never see a half-applied epoch."""
+    from pyspark.sql import Window
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "users_st")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    split = F.lit(TXN_EPOCH_SPLIT).cast("timestamp_ntz")
+    b1, b2 = ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(batch):
+        return (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts")
+        )
+
+    def totals(batch):
+        return batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+
+    st1, tot1 = latest(b1), totals(b1)
+    mgr.create_table("users_st", st1.schema, [])
+    mgr.create_table("user_tot", tot1.schema, [])
+    mgr.upsert_equality("users_st", st1, ["user_id"])
+    mgr.upsert_equality("user_tot", tot1, ["user_id"])
+    # the epoch: batch2's state and totals land together or not at all
+    cur = mgr.read("user_tot").select(
+        F.col("user_id"),
+        F.col("n_events").alias("n_old"),
+        F.col("max_value").alias("mx_old"),
+    )
+    tot2 = (
+        totals(b2)
+        .join(cur, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("n_events") + F.coalesce(F.col("n_old"), F.lit(0))).alias(
+                "n_events"
+            ),
+            F.greatest(
+                F.col("max_value"),
+                F.coalesce(F.col("mx_old"), F.col("max_value")),
+            ).alias("max_value"),
+        )
+    )
+    txn = mgr.transaction()
+    txn.upsert("users_st", latest(b2), ["user_id"])
+    txn.upsert("user_tot", tot2, ["user_id"])
+    heads = txn.commit()
+    _READY[key] = {"heads": heads}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_txn_cdc_epoch",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    tot AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           l.event_type AS last_type,
+           t.n_events,
+           t.max_value
+    FROM latest l JOIN tot t USING (user_id)
+    """,
+    doc="Atomic CDC EPOCH across two tables — Transaction.upsert "
+    "composing the round's two commit primitives (multi-table publish + "
+    "one-commit merge-on-read upsert): the per-user latest state AND "
+    "the per-user running totals derived from the same event batch are "
+    "staged as two equality-delete upsert epochs and landed with ONE "
+    "txn-record publish, so a reader joining state to totals can never "
+    "observe state-new/totals-old (crash injection + read-repair in "
+    "tests/test_table_manager.py). Delete-file attachment resolves at "
+    "APPLY time against the then-current head — concurrent commits "
+    "that win in between correctly fall under the delete, Iceberg "
+    "sequence-order semantics. The oracle recomputes both tables' "
+    "final states from raw events and joins them; any torn epoch, "
+    "lost key, or double-applied delta breaks the hash. At 100 TB "
+    "each epoch costs O(batch) writes + one metadata publish.",
+)
+def q_txn_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _ = _setup_txn_cdc(spark, sf_dir)
+    st = mgr.read("users_st")
+    tot = mgr.read("user_tot")
+    return st.join(tot, "user_id").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("max_value"),
+    )
+
+
 @register(
     "q_snapshot_expiry",
     oracle="""

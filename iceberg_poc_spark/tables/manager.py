@@ -240,6 +240,15 @@ def _tz_free_lit(v: Any) -> Column:
     return F.lit(v)
 
 
+def _json_lit(v: Any):
+    """Manifest/record-storable literal: temporals -> ISO strings (the
+    stats comparisons cast implicitly at read)."""
+    if isinstance(v, (list, tuple, set)):
+        return [_json_lit(x) for x in v]
+    n = _norm_stat(v)
+    return n if isinstance(n, (int, float, str, bool)) else str(n)
+
+
 def _null_safe_eq(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
     """Null-safe equi-join condition over ``cols`` (Iceberg equality
     deletes match NULL keys to NULL values; plain ``on=cols`` would never
@@ -903,26 +912,33 @@ class ParquetTableManager:
                 added = entry["added"]
                 marker = self._txn_marker(seq, name)
                 if not os.path.exists(marker):
-                    added_paths = {e["path"] for e in added}
-                    while True:
-                        seq_head, cur = self._ref_head(name, ref)
-                        m = self._load_manifest(name, cur)
-                        if added_paths <= {e["path"] for e in m["files"]}:
-                            break  # a concurrent repairer already applied
-                        nm = dict(m)
-                        nm["files"] = m["files"] + added
-                        nm["operation"] = "txn-append"
-                        nm["parent"] = cur
-                        nm["txn"] = seq
-                        version = self._alloc_version(name, nm)
-                        if self._link_pointer(
-                            os.path.join(
-                                self._heads_dir(name, ref),
-                                f"seq-{seq_head + 1:09d}",
-                            ),
-                            str(version),
-                        ):
-                            break
+                    if entry.get("op") == "upsert":
+                        self._apply_upsert(
+                            name, ref, {**entry, "txn": seq}
+                        )
+                    else:
+                        added_paths = {e["path"] for e in added}
+                        while True:
+                            seq_head, cur = self._ref_head(name, ref)
+                            m = self._load_manifest(name, cur)
+                            if added_paths <= {
+                                e["path"] for e in m["files"]
+                            }:
+                                break  # a concurrent repairer applied it
+                            nm = dict(m)
+                            nm["files"] = m["files"] + added
+                            nm["operation"] = "txn-append"
+                            nm["parent"] = cur
+                            nm["txn"] = seq
+                            version = self._alloc_version(name, nm)
+                            if self._link_pointer(
+                                os.path.join(
+                                    self._heads_dir(name, ref),
+                                    f"seq-{seq_head + 1:09d}",
+                                ),
+                                str(version),
+                            ):
+                                break
                     self._link_pointer(marker, "done")
                 out[name] = self._ref_head(name, ref)[1]
             # fully applied: prune the record + markers (pending scans on
@@ -1092,15 +1108,7 @@ class ParquetTableManager:
         if not affected:
             return m["version"]  # provably nothing to delete: no-op
         if mode == "mor":
-            # manifest-storable literal form: temporals -> ISO strings
-            # (string-vs-temporal comparison casts implicitly at read)
-            def jlit(v):
-                if isinstance(v, (list, tuple, set)):
-                    return [jlit(x) for x in v]
-                n = _norm_stat(v)
-                return n if isinstance(n, (int, float, str, bool)) else str(n)
-
-            where_json = [[c, op, jlit(v)] for c, op, v in where]
+            where_json = [[c, op, _json_lit(v)] for c, op, v in where]
             for e in affected:
                 e = dict(e)
                 e["deletes"] = [*e.get("deletes", []), where_json]
@@ -1238,6 +1246,15 @@ class ParquetTableManager:
         regardless of table size. Rows sharing a key within ``df`` all
         survive (dedupe upstream per batch — Iceberg's upsert contract).
         Readers pay the anti-join until :meth:`rewrite_deletes`."""
+        entry = self._stage_upsert(name, df, keys)
+        return self._apply_upsert(name, "main", entry)
+
+    def _stage_upsert(self, name: str, df: DataFrame, keys: list[str]) -> dict:
+        """Run the DATA half of an upsert epoch (distributed writes of
+        the new rows + the key-set delete file, plus the pruning bounds),
+        with no head advance — the JSON-able entry is applied later by
+        :meth:`_apply_upsert` (directly, or through a multi-table
+        :class:`Transaction`)."""
         m = self._load_manifest(name)
         schema = StructType.fromJson(m["schema"])
         schema_cols = [f.name for f in schema.fields]
@@ -1260,28 +1277,64 @@ class ParquetTableManager:
             *[F.count(c).alias(f"nn_{c}") for c in keys],
             F.count(F.lit(1)).alias("n_all"),
         ).first()
-        where_bounds: list[tuple[str, str, Any]] = []
+        where_bounds = []
         for c in keys:
             if bounds[f"mn_{c}"] is not None:
-                where_bounds.append((c, ">=", bounds[f"mn_{c}"]))
+                where_bounds.append([c, ">=", _json_lit(bounds[f"mn_{c}"])])
             if bounds[f"mx_{c}"] is not None:
-                where_bounds.append((c, "<=", bounds[f"mx_{c}"]))
+                where_bounds.append([c, "<=", _json_lit(bounds[f"mx_{c}"])])
         has_null_keys = any(
             bounds[f"nn_{c}"] < bounds["n_all"] for c in keys
         )
-        spec = self._spec(m)
         del_entries = self._write_eq_delete_files(name, dkeys, keys)
-        out_files: list[dict] = []
-        for e in m["files"]:
-            if _may_match(spec, e, where_bounds) or has_null_keys:
-                e = dict(e)
-                e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
-            out_files.append(e)
-        new_files = self._write_files(name, aligned, spec)
-        m["files"] = out_files + new_files
-        m["operation"] = "upsert"
-        m["parent"] = m["version"]
-        return self._commit(name, m)
+        new_files = self._write_files(name, aligned, self._spec(m))
+        return {
+            "op": "upsert",
+            "added": new_files,
+            "eq_deletes": del_entries,
+            "bounds": where_bounds,
+            "null_keys": has_null_keys,
+        }
+
+    def _apply_upsert(self, name: str, ref: str, entry: dict) -> int:
+        """Idempotent head advance of a staged upsert: attach the delete
+        file to every CURRENT stats-overlapping file (apply-time head —
+        commits that won meanwhile correctly fall under the delete, per
+        sequence ordering), then add the epoch's own files exempt."""
+        bounds = [tuple(b) for b in entry["bounds"]]
+        added_paths = {e["path"] for e in entry["added"]}
+        while True:
+            seq_head, cur = self._ref_head(name, ref)
+            m = self._load_manifest(name, cur)
+            if added_paths <= {e["path"] for e in m["files"]}:
+                return cur  # already applied (idempotent replay)
+            spec = self._spec(m)
+            out_files: list[dict] = []
+            for e in m["files"]:
+                if _may_match(spec, e, bounds) or entry["null_keys"]:
+                    e = dict(e)
+                    e["eq_deletes"] = [
+                        *e.get("eq_deletes", []),
+                        *entry["eq_deletes"],
+                    ]
+                out_files.append(e)
+            nm = dict(m)
+            nm["files"] = out_files + entry["added"]
+            nm["operation"] = "upsert"
+            nm["parent"] = cur
+            if entry.get("txn"):
+                nm["txn"] = entry["txn"]
+            import time as _time
+
+            nm["committed_at"] = _time.time()
+            version = self._alloc_version(name, nm)
+            if self._link_pointer(
+                os.path.join(
+                    self._heads_dir(name, ref), f"seq-{seq_head + 1:09d}"
+                ),
+                str(version),
+            ):
+                return version
 
     def rewrite_deletes(self, name: str) -> int:
         """Materialize merge-on-read deletes (≙ Iceberg
@@ -2239,10 +2292,30 @@ class Transaction:
         )
         files = mgr._write_files(name, aligned, mgr._spec(m))
         for s in self._staged:
-            if s["table"] == name and s.get("ref", "main") == ref:
+            if (
+                s["table"] == name
+                and s.get("ref", "main") == ref
+                and s.get("op") is None
+            ):
                 s["added"] = s["added"] + files
                 return self
         self._staged.append({"table": name, "ref": ref, "added": files})
+        return self
+
+    def upsert(
+        self, name: str, df: DataFrame, keys: list[str], ref: str = "main"
+    ) -> "Transaction":
+        """Stage a merge-on-read upsert epoch (equality-delete file + the
+        batch's data files — :meth:`ParquetTableManager.upsert_equality`
+        semantics) to land atomically with the transaction's other
+        staged operations: the fact-and-dim-CDC-epoch-together shape.
+        The delete file's attachment to existing files is resolved at
+        APPLY time against the then-current head, so commits that win
+        in between correctly fall under the delete (sequence order)."""
+        if self._done:
+            raise ValueError("transaction already committed")
+        entry = self.mgr._stage_upsert(name, df, keys)
+        self._staged.append({"table": name, "ref": ref, **entry})
         return self
 
     def commit(self) -> dict[str, int]:

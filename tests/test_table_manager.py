@@ -1122,3 +1122,45 @@ def test_upsert_equality_changelog_emits_update_pairs(mgr, spark):
     ]
     got = sorted((r["k"], r["s"]) for r in mgr.read("u").collect())
     assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "new")]
+
+
+def test_txn_upsert_crash_repair_no_partial_epoch(mgr, spark):
+    """A transaction staging UPSERTS to two tables, crashed between
+    publish and apply: read-repair must land BOTH upserts (state and
+    totals move together); idempotent replay must not re-attach
+    deletes or duplicate rows."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    b = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    mgr.create_table("A", a.schema, [])
+    mgr.create_table("B", b.schema, [])
+    mgr.append("A", a)
+    mgr.append("B", b)
+    orig = ParquetTableManager._apply_txn
+    ParquetTableManager._apply_txn = lambda self, seq, record: (_ for _ in ()).throw(
+        RuntimeError("boom")
+    )
+    try:
+        txn = mgr.transaction()
+        txn.upsert(
+            "A", spark.createDataFrame([(2, "B2"), (3, "c")], "k long, s string"), ["k"]
+        )
+        txn.upsert(
+            "B", spark.createDataFrame([(2, 21.0), (3, 30.0)], "k long, v double"), ["k"]
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            txn.commit()
+    finally:
+        ParquetTableManager._apply_txn = orig
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    assert sorted((r.k, r.s) for r in fresh.read("A").collect()) == [
+        (1, "a"), (2, "B2"), (3, "c")
+    ]
+    assert sorted((r.k, r.v) for r in fresh.read("B").collect()) == [
+        (1, 10.0), (2, 21.0), (3, 30.0)
+    ]
+    # both tables advanced with operation 'upsert' and a txn marker
+    for t in ("A", "B"):
+        m = fresh._load_manifest(t)
+        assert m["operation"] == "upsert" and m.get("txn")
