@@ -1154,28 +1154,17 @@ class ParquetTableManager:
         dkeys = keys.select(
             *[F.col(c).cast(types[c]).alias(c) for c in equality]
         ).distinct()
-        # one tiny driver-side job: per-column min/max of the key set,
-        # reused as the file-pruning bounds below
-        bounds = dkeys.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in equality],
-            *[F.max(c).alias(f"mx_{c}") for c in equality],
-            *[F.count(c).alias(f"nn_{c}") for c in equality],
-            F.count(F.lit(1)).alias("n_all"),
-        ).first()
-        where_bounds: list[tuple[str, str, Any]] = []
-        for c in equality:
-            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-            if mn is not None:
-                where_bounds.append((c, ">=", mn))
-            if mx is not None:
-                where_bounds.append((c, "<=", mx))
+        where_bounds, has_null_keys = self._eq_key_predicate(dkeys, equality)
+        if not where_bounds and not has_null_keys:
+            return m["version"]  # empty key set: no-op
         spec = self._spec(m)
-        has_null_keys = any(
-            bounds[f"nn_{c}"] < bounds["n_all"] for c in equality
+        pruned = set(
+            id(e)
+            for e in self._prune_buckets(m, spec, m["files"], where_bounds)
         )
         affected, untouched = [], []
         for e in m["files"]:
-            hit = _may_match(spec, e, where_bounds)
+            hit = id(e) in pruned and _may_match(spec, e, where_bounds)
             # NULL keys carry no range info; stats can't exclude a file
             # for them (min/max never covers NULL)
             (affected if hit or has_null_keys else untouched).append(e)
@@ -1201,6 +1190,50 @@ class ParquetTableManager:
         m["operation"] = "delete-mor"
         m["parent"] = m["version"]
         return self._commit(name, m)
+
+    # exact-membership pruning bound: key sets at or under this size are
+    # collected driver-side and prune as `col IN (...)` — through bucket
+    # transforms and gappy stats — instead of a coarse min/max range.
+    # 1024 keys x a scalar is a trivial driver/manifest payload; a GDPR
+    # erasure batch or CDC epoch is typically far smaller.
+    EQ_POINT_KEY_LIMIT = 1024
+
+    def _eq_key_predicate(
+        self, dkeys: DataFrame, equality: list[str]
+    ) -> tuple[list[tuple[str, str, Any]], bool]:
+        """(pruning predicate, has_null_keys) for an equality key set.
+
+        Small single-column sets become an exact ``IN`` membership test —
+        which :func:`_may_match` maps through ANY deterministic transform
+        and :meth:`_prune_buckets` maps through bucket transforms, so a
+        point-keyed delete on a bucket-partitioned table attaches to only
+        the matching buckets' files (the 100 TB GDPR-erasure shape).
+        Larger or composite key sets fall back to per-column min/max
+        ranges from one tiny agg job."""
+        if len(equality) == 1:
+            col = equality[0]
+            sample = dkeys.limit(self.EQ_POINT_KEY_LIMIT + 1).collect()
+            if len(sample) <= self.EQ_POINT_KEY_LIMIT:
+                vals = [r[col] for r in sample]
+                nonnull = [v for v in vals if v is not None]
+                where = [(col, "in", nonnull)] if nonnull else []
+                return where, len(nonnull) < len(vals)
+        bounds = dkeys.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in equality],
+            *[F.max(c).alias(f"mx_{c}") for c in equality],
+            *[F.count(c).alias(f"nn_{c}") for c in equality],
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        where_bounds: list[tuple[str, str, Any]] = []
+        for c in equality:
+            if bounds[f"mn_{c}"] is not None:
+                where_bounds.append((c, ">=", bounds[f"mn_{c}"]))
+            if bounds[f"mx_{c}"] is not None:
+                where_bounds.append((c, "<=", bounds[f"mx_{c}"]))
+        has_null_keys = any(
+            bounds[f"nn_{c}"] < bounds["n_all"] for c in equality
+        )
+        return where_bounds, has_null_keys
 
     def _write_eq_delete_files(
         self, name: str, dkeys: DataFrame, equality: list[str]
@@ -1271,28 +1304,14 @@ class ParquetTableManager:
         dkeys = aligned.select(
             *[F.col(c).cast(types[c]).alias(c) for c in keys]
         ).distinct()
-        bounds = dkeys.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in keys],
-            *[F.max(c).alias(f"mx_{c}") for c in keys],
-            *[F.count(c).alias(f"nn_{c}") for c in keys],
-            F.count(F.lit(1)).alias("n_all"),
-        ).first()
-        where_bounds = []
-        for c in keys:
-            if bounds[f"mn_{c}"] is not None:
-                where_bounds.append([c, ">=", _json_lit(bounds[f"mn_{c}"])])
-            if bounds[f"mx_{c}"] is not None:
-                where_bounds.append([c, "<=", _json_lit(bounds[f"mx_{c}"])])
-        has_null_keys = any(
-            bounds[f"nn_{c}"] < bounds["n_all"] for c in keys
-        )
+        where, has_null_keys = self._eq_key_predicate(dkeys, keys)
         del_entries = self._write_eq_delete_files(name, dkeys, keys)
         new_files = self._write_files(name, aligned, self._spec(m))
         return {
             "op": "upsert",
             "added": new_files,
             "eq_deletes": del_entries,
-            "bounds": where_bounds,
+            "bounds": [[c, op, _json_lit(v)] for c, op, v in where],
             "null_keys": has_null_keys,
         }
 
@@ -1302,6 +1321,7 @@ class ParquetTableManager:
         commits that won meanwhile correctly fall under the delete, per
         sequence ordering), then add the epoch's own files exempt."""
         bounds = [tuple(b) for b in entry["bounds"]]
+        empty_keys = not bounds and not entry["null_keys"]
         added_paths = {e["path"] for e in entry["added"]}
         while True:
             seq_head, cur = self._ref_head(name, ref)
@@ -1309,9 +1329,16 @@ class ParquetTableManager:
             if added_paths <= {e["path"] for e in m["files"]}:
                 return cur  # already applied (idempotent replay)
             spec = self._spec(m)
+            pruned = set(
+                id(e)
+                for e in self._prune_buckets(m, spec, m["files"], bounds)
+            )
             out_files: list[dict] = []
             for e in m["files"]:
-                if _may_match(spec, e, bounds) or entry["null_keys"]:
+                if not empty_keys and (
+                    (id(e) in pruned and _may_match(spec, e, bounds))
+                    or entry["null_keys"]
+                ):
                     e = dict(e)
                     e["eq_deletes"] = [
                         *e.get("eq_deletes", []),

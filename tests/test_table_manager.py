@@ -1164,3 +1164,42 @@ def test_txn_upsert_crash_repair_no_partial_epoch(mgr, spark):
     for t in ("A", "B"):
         m = fresh._load_manifest(t)
         assert m["operation"] == "upsert" and m.get("txn")
+
+
+def test_eq_delete_point_keys_prune_through_buckets(mgr, spark):
+    """A small single-column key set prunes as exact membership: on a
+    bucket-partitioned table the delete file attaches to ONLY the
+    matching buckets' files — the GDPR-erasure shape where a handful of
+    keys must not touch 10k files' metadata."""
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    mgr.create_table("bup", df.schema, [bucket("k", 8)])
+    mgr.append("bup", df)
+    total = len(mgr._load_manifest("bup")["files"])
+    assert total >= 8
+    keys = spark.createDataFrame([("k42",), ("k99",)], "k string")
+    mgr.delete("bup", equality=["k"], keys=keys, mode="mor")
+    m = mgr._load_manifest("bup")
+    dirty = [e for e in m["files"] if e.get("eq_deletes")]
+    assert 1 <= len(dirty) <= 2 * (total // 8 + 1), (
+        f"{len(dirty)} of {total} files attached; bucket pruning failed"
+    )
+    assert mgr.read("bup").count() == 1998
+    # and the same through a staged (transactional) upsert
+    up = spark.createDataFrame([("k42", -1), ("k7", -2)], "k string, v long")
+    txn = mgr.transaction()
+    txn.upsert("bup", up, ["k"])
+    txn.commit()
+    m2 = mgr._load_manifest("bup")
+    base_paths = {e["path"] for e in m["files"]}
+    newly_dirty = [
+        e
+        for e in m2["files"]
+        if e["path"] in base_paths
+        and len(e.get("eq_deletes", [])) > 0
+        and e["path"] not in {d["path"] for d in dirty}
+    ]
+    assert len(newly_dirty) <= 2 * (total // 8 + 1)
+    got = {r["k"]: r["v"] for r in mgr.read("bup").collect()}
+    assert got["k42"] == -1 and got["k7"] == -2 and len(got) == 1999
