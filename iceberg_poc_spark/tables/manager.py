@@ -1265,7 +1265,7 @@ class ParquetTableManager:
         return del_entries
 
     def upsert_equality(
-        self, name: str, df: DataFrame, keys: list[str]
+        self, name: str, df: DataFrame, keys: list[str], ref: str = "main"
     ) -> int:
         """Merge-on-read UPSERT in ONE commit (≙ an Iceberg v2 streaming
         upsert epoch: equality-delete file + data files under one
@@ -1280,7 +1280,7 @@ class ParquetTableManager:
         survive (dedupe upstream per batch — Iceberg's upsert contract).
         Readers pay the anti-join until :meth:`rewrite_deletes`."""
         entry = self._stage_upsert(name, df, keys)
-        return self._apply_upsert(name, "main", entry)
+        return self._apply_upsert(name, ref, entry)
 
     def _stage_upsert(self, name: str, df: DataFrame, keys: list[str]) -> dict:
         """Run the DATA half of an upsert epoch (distributed writes of

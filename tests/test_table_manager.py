@@ -1203,3 +1203,61 @@ def test_eq_delete_point_keys_prune_through_buckets(mgr, spark):
     assert len(newly_dirty) <= 2 * (total // 8 + 1)
     got = {r["k"]: r["v"] for r in mgr.read("bup").collect()}
     assert got["k42"] == -1 and got["k7"] == -2 and len(got) == 1999
+
+
+def test_concurrent_transactions_lose_nothing(mgr, spark):
+    """Interleaved multi-table transactions from concurrent committers:
+    every staged append lands exactly once on both tables (CAS retry +
+    idempotent applies), no lost updates, no duplicates."""
+    import threading
+
+    a = spark.createDataFrame([(0, "seed")], "k long, s string")
+    b = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    mgr.create_table("A", a.schema, [])
+    mgr.create_table("B", b.schema, [])
+    mgr.append("A", a)
+    mgr.append("B", b)
+    # stage all transactions first (writes), then race the commits
+    txns = []
+    for i in range(1, 5):
+        t = mgr.transaction()
+        t.append("A", spark.createDataFrame([(i, f"s{i}")], "k long, s string"))
+        t.append("B", spark.createDataFrame([(i, float(i))], "k long, v double"))
+        txns.append(t)
+    errs = []
+
+    def commit(t):
+        try:
+            t.commit()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit, args=(t,)) for t in txns]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(r.k for r in mgr.read("A").collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.k for r in mgr.read("B").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_upsert_equality_to_branch_wap(mgr, spark):
+    """Write-audit-publish with upserts: a CDC epoch upserted to an
+    audit branch leaves main untouched until fast_forward publishes it."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    mgr.create_table("w", df.schema, [])
+    mgr.append("w", df)
+    mgr.create_branch("w", "audit")
+    mgr.upsert_equality(
+        "w",
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k long, s string"),
+        ["k"],
+        ref="audit",
+    )
+    assert sorted(r.s for r in mgr.read("w").collect()) == ["a", "b"]
+    assert sorted(r.s for r in mgr.read("w", ref="audit").collect()) == [
+        "B2", "a", "c"
+    ]
+    mgr.fast_forward("w", "audit")
+    assert sorted(r.s for r in mgr.read("w").collect()) == ["B2", "a", "c"]
