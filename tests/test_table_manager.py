@@ -1261,3 +1261,21 @@ def test_upsert_equality_to_branch_wap(mgr, spark):
     ]
     mgr.fast_forward("w", "audit")
     assert sorted(r.s for r in mgr.read("w").collect()) == ["B2", "a", "c"]
+
+
+def test_eq_delete_composite_key(mgr, spark):
+    """Composite-column equality deletes match full tuples only (not the
+    cross product of per-column members) and fall back to min/max range
+    pruning."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+    mgr.create_table("ck", df.schema, [])
+    mgr.append("ck", df)
+    keys = spark.createDataFrame([(5, 5), (6, 6), (7, 0)], "k long, g long")
+    mgr.delete("ck", equality=["k", "g"], keys=keys, mode="mor")
+    # (5,5) and (6,6) exist (5%10=5, 6%10=6); (7,0) does not (7%10=7)
+    got = mgr.read("ck")
+    assert got.count() == 98
+    assert got.filter("k in (5, 6)").count() == 0
+    assert got.filter("k = 7").count() == 1
