@@ -79,13 +79,102 @@ def _resolve_manifest(options) -> tuple[dict, str]:
     return mgr._load_manifest(table, v), mgr._dir(table)
 
 
+def _coerce_scalar(v, typ):
+    """JSON-normalized manifest literal -> pyarrow scalar of the column's
+    type (temporals travel as ISO strings)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    if isinstance(v, str) and pa.types.is_timestamp(typ):
+        return pa.scalar(dt.datetime.fromisoformat(v), typ)
+    if isinstance(v, str) and pa.types.is_date(typ):
+        return pa.scalar(dt.date.fromisoformat(v), typ)
+    return pa.scalar(v, typ)
+
+
+def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
+    """Apply the entry's outstanding merge-on-read deletes to an aligned
+    Arrow table — the executor-side twin of the manager read path's
+    NOT(predicate) filters and null-safe anti-joins, so `.format(
+    "snaptable")` readers see the SAME post-delete state as
+    ``manager.read`` (a dirty table must never leak deleted rows through
+    the connector face)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ops = {
+        "==": pc.equal,
+        ">=": pc.greater_equal,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        "<": pc.less,
+    }
+    for dw in entry.get("deletes", []):
+        mask = None
+        for col, op, v in (tuple(w) for w in dw):
+            c = tbl[col]
+            if op == "in":
+                m = pc.is_in(
+                    c,
+                    value_set=pa.array(
+                        [_coerce_scalar(x, c.type).as_py() for x in v],
+                        c.type,
+                    ),
+                )
+            else:
+                m = ops[op](c, _coerce_scalar(v, c.type))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        if mask is not None:
+            # SQL DELETE keeps NULL-predicate rows: null -> keep
+            tbl = tbl.filter(pc.fill_null(pc.invert(mask), True))
+    eq_by_cols: dict[tuple, list[str]] = {}
+    for d in entry.get("eq_deletes", []):
+        eq_by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
+    for cols, dpaths in eq_by_cols.items():
+        keys = pa.concat_tables(
+            [
+                pq.read_table(os.path.join(table_dir, p), columns=list(cols))
+                for p in dpaths
+            ]
+        )
+        nn_mask = None
+        for c in cols:
+            m = pc.is_valid(keys[c])
+            nn_mask = m if nn_mask is None else pc.and_(nn_mask, m)
+        nn_keys = keys.filter(nn_mask)
+        if nn_keys.num_rows:
+            # arrow anti-join never matches null left keys — exactly the
+            # null-safe semantics for the non-null delete tuples
+            tbl = tbl.join(
+                nn_keys.group_by(list(cols)).aggregate([]),
+                keys=list(cols),
+                join_type="left anti",
+            )
+        for krow in keys.filter(pc.invert(nn_mask)).to_pylist():
+            # null-bearing delete tuples: null matches null (<=>)
+            mask = None
+            for c in cols:
+                m = (
+                    pc.is_null(tbl[c])
+                    if krow[c] is None
+                    else pc.equal(tbl[c], _coerce_scalar(krow[c], tbl[c].type))
+                )
+                m = pc.fill_null(m, False)
+                mask = m if mask is None else pc.and_(mask, m)
+            tbl = tbl.filter(pc.invert(mask))
+    return tbl
+
+
 def _read_file_as_batches(
     entry: dict, table_dir: str, schema_json: dict
 ) -> Iterator["pa.RecordBatch"]:  # noqa: F821
     """Read ONE manifest file entry aligned to the current table schema:
     present columns cast up (widening promotion), renamed columns resolved
     via former_names, identity-partition columns restored from the hive
-    partition values, evolved-in columns filled with NULL."""
+    partition values, evolved-in columns filled with NULL; outstanding
+    merge-on-read deletes (predicate and equality) applied."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -121,7 +210,9 @@ def _read_file_as_batches(
         if source is None:
             source = pa.nulls(n, afield.type)
         cols.append(pc.cast(source, afield.type))
-    yield from pa.table(cols, schema=target).to_batches()
+    out = _apply_mor_deletes(pa.table(cols, schema=target), entry, table_dir)
+    # arrow joins may reorder columns; the batch contract is target order
+    yield from out.select(target.names).cast(target).to_batches()
 
 
 class SnapTableReader(DataSourceReader):

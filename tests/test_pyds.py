@@ -145,3 +145,29 @@ def test_timestamp_as_of_option_and_sql_surface(mgr, spark):
     assert spark.sql("SELECT COUNT(*) AS c FROM t_sql_asof").first().c == 10
     with pytest.raises(Exception, match="committed at or before"):
         mgr.read("t", as_of=0)
+
+
+def test_datasource_applies_mor_deletes(mgr, spark):
+    """A table with outstanding merge-on-read deletes (predicate AND
+    equality, incl. a null key) must read identically through
+    .format('snaptable') and manager.read — the connector face must
+    never leak deleted rows."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)] + [(None, -1.0)],
+        "k long, v double",
+    )
+    mgr.create_table("d", df.schema, [])
+    mgr.append("d", df)
+    mgr.delete("d", [("v", ">=", 40.0)], mode="mor")
+    mgr.delete(
+        "d",
+        equality=["k"],
+        keys=spark.createDataFrame([(3,), (7,), (None,)], "k long"),
+        mode="mor",
+    )
+    # re-append a deleted key: newer file is exempt (sequence semantics)
+    mgr.append("d", spark.createDataFrame([(7, 700.0)], "k long, v double"))
+    via_mgr = _rows(mgr.read("d"))
+    via_ds = _rows(_load(spark, mgr, "d"))
+    assert via_ds == via_mgr
+    assert len(via_ds) == 50 + 1 + 1 - 10 - 3  # null row kept? no: deleted
