@@ -930,6 +930,11 @@ class ParquetTableManager:
                             nm["operation"] = "txn-append"
                             nm["parent"] = cur
                             nm["txn"] = seq
+                            import time as _time
+
+                            # fresh commit instant — inheriting the
+                            # parent's would corrupt TIMESTAMP AS OF
+                            nm["committed_at"] = _time.time()
                             version = self._alloc_version(name, nm)
                             if self._link_pointer(
                                 os.path.join(

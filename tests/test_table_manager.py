@@ -1279,3 +1279,24 @@ def test_eq_delete_composite_key(mgr, spark):
     assert got.count() == 98
     assert got.filter("k in (5, 6)").count() == 0
     assert got.filter("k = 7").count() == 1
+
+
+def test_txn_commits_carry_fresh_commit_instant(mgr, spark):
+    """TIMESTAMP AS OF correctness across transactional commits: a
+    txn-applied snapshot must record ITS OWN commit instant, not its
+    parent's — an instant between the base append and the txn must
+    resolve to the base."""
+    import time
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    mgr.create_table("t", df.schema, [])
+    mgr.append("t", df)
+    between = time.time()
+    time.sleep(0.05)
+    txn = mgr.transaction()
+    txn.append("t", spark.createDataFrame([(2, "b")], "k long, s string"))
+    txn.upsert("t", spark.createDataFrame([(1, "A")], "k long, s string"), ["k"])
+    txn.commit()
+    assert mgr.read("t").count() == 2
+    assert mgr.read("t", as_of=between).count() == 1
+    assert mgr.read("t", as_of=time.time()).count() == 2
