@@ -853,8 +853,11 @@ class ParquetTableManager:
     def _txns_dir(self) -> str:
         return os.path.join(self.warehouse, "_txns")
 
-    def _txn_marker(self, seq: str, table: str) -> str:
-        return os.path.join(self._txns_dir(), f"{seq}.done.{table}")
+    def _txn_marker(self, seq: str, idx: int, table: str) -> str:
+        # per-ENTRY granularity: one transaction may stage several ops
+        # against the same table (append + upsert), each needing its own
+        # applied-marker — a per-table marker would skip the second op
+        return os.path.join(self._txns_dir(), f"{seq}.done.{idx}.{table}")
 
     def transaction(self) -> "Transaction":
         """Open a multi-table transaction (≙ Iceberg catalog multi-table
@@ -907,10 +910,10 @@ class ParquetTableManager:
         prev, self._in_txn_repair = self._in_txn_repair, True
         try:
             out: dict[str, int] = {}
-            for entry in record["entries"]:
+            for idx, entry in enumerate(record["entries"]):
                 name, ref = entry["table"], entry.get("ref", "main")
                 added = entry["added"]
-                marker = self._txn_marker(seq, name)
+                marker = self._txn_marker(seq, idx, name)
                 if not os.path.exists(marker):
                     if entry.get("op") == "upsert":
                         self._apply_upsert(
@@ -948,9 +951,9 @@ class ParquetTableManager:
                 out[name] = self._ref_head(name, ref)[1]
             # fully applied: prune the record + markers (pending scans on
             # every head resolution stay O(outstanding), not O(history))
-            for entry in record["entries"]:
+            for idx, entry in enumerate(record["entries"]):
                 try:
-                    os.remove(self._txn_marker(seq, entry["table"]))
+                    os.remove(self._txn_marker(seq, idx, entry["table"]))
                 except FileNotFoundError:
                     pass
             try:
@@ -1824,6 +1827,11 @@ class ParquetTableManager:
                         )
                     )
         if not probes:
+            return files
+        if self.spark is None:
+            # metadata-only manager (the DataSource path constructs one
+            # without a session): skip bucket pruning, keep all files —
+            # conservative is correct, just less pruned
             return files
         row = self.spark.range(1).select(
             *[c.alias(f"b{i}") for i, (_f, c) in enumerate(probes)]

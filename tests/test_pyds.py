@@ -171,3 +171,21 @@ def test_datasource_applies_mor_deletes(mgr, spark):
     via_ds = _rows(_load(spark, mgr, "d"))
     assert via_ds == via_mgr
     assert len(via_ds) == 50 + 1 + 1 - 10 - 3  # null row kept? no: deleted
+
+
+def test_datasource_rolls_pending_txn_forward(mgr, spark):
+    """A published-but-unapplied transaction (upsert + append) must be
+    rolled forward even when the next reader is the spark-less
+    DataSource metadata path — no partial visibility through the
+    connector face either."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    mgr.create_table("p", df.schema, [])
+    mgr.append("p", df)
+    txn = mgr.transaction()
+    txn.append("p", spark.createDataFrame([(3, "c")], "k long, s string"))
+    txn.upsert("p", spark.createDataFrame([(2, "B2")], "k long, s string"), ["k"])
+    # publish WITHOUT applying (the crash window)
+    seq = mgr._publish_txn(txn._staged)
+    assert seq
+    got = sorted(r[1] for r in _rows(_load(spark, mgr, "p")))
+    assert got == ["B2", "a", "c"]

@@ -1297,6 +1297,10 @@ def test_txn_commits_carry_fresh_commit_instant(mgr, spark):
     txn.append("t", spark.createDataFrame([(2, "b")], "k long, s string"))
     txn.upsert("t", spark.createDataFrame([(1, "A")], "k long, s string"), ["k"])
     txn.commit()
-    assert mgr.read("t").count() == 2
+    # value-level: BOTH same-table entries applied (the append AND the
+    # upsert — a per-table applied-marker once skipped the second)
+    assert sorted((r.k, r.s) for r in mgr.read("t").collect()) == [
+        (1, "A"), (2, "b")
+    ]
     assert mgr.read("t", as_of=between).count() == 1
     assert mgr.read("t", as_of=time.time()).count() == 2
