@@ -379,6 +379,49 @@ def run_to_table(
     q.awaitTermination()
 
 
+def run_to_table_upsert(
+    stream_df: DataFrame,
+    mgr: ParquetTableManager,
+    table: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """Streaming CDC-upsert sink: each micro-batch is reduced to its
+    last row per key (``order_cols`` descending breaks intra-batch ties)
+    and committed through :meth:`ParquetTableManager.upsert_equality` —
+    ONE merge-on-read epoch per micro-batch (equality-delete file + the
+    batch's data files under one snapshot, no existing file rewritten).
+    This is the minute-level CDC ingestion loop at 100 TB: per-epoch
+    write cost is O(batch), and a failure-replayed epoch CONVERGES —
+    re-upserting the same batch retires the first application's rows via
+    the key set and lands identical ones, so at-least-once foreachBatch
+    delivery still yields exactly-once table STATE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        mgr.upsert_equality(table, last, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def rate_events(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
     """Synthetic live event stream from the deterministic rate-micro-batch
     source — the streaming twin of the reference's synthetic event

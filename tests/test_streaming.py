@@ -317,3 +317,79 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got.count() == ev.count()
     # exactly-once: no event id appears twice across the restarts
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_cdc_upsert_sink_converges_to_batch_state(spark, tmp_path):
+    """foreachBatch -> upsert_equality: a ts-ordered sequence of event
+    files streamed one file per micro-batch must leave the table at
+    exactly the batch-computed last-event-per-user state, with every
+    epoch a single 'upsert' snapshot and zero files rewritten; an
+    injected REPLAY of the final batch converges (same state, no dupes)."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from iceberg_poc_spark.streaming.pipelines import run_to_table_upsert
+
+    ev = batch_events(spark).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    # three ts-ordered files with strictly increasing mtimes so the file
+    # source's (mtime, path) ordering is deterministic
+    src = tmp_path / "cdc_src"
+    os.makedirs(src)
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        d = str(src / f"b{i}")
+        p.coalesce(1).write.parquet(d)
+        time.sleep(0.05)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, f), str(src / f"{i:02d}.parquet")
+                )
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    mgr.create_table("users_live", ev.schema, [])
+    stream = load_events_stream(spark, str(src), files_per_trigger=1).select(
+        *ev.columns
+    )
+    run_to_table_upsert(
+        stream,
+        mgr,
+        "users_live",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, mgr.read("users_live").collect()))
+    assert got == want
+    ops = [
+        r["operation"]
+        for r in mgr.snapshots("users_live").collect()
+        if r["operation"] != "create"
+    ]
+    assert ops == ["upsert", "upsert", "upsert"]
+    # replay injection: re-apply the LAST batch -> state converges
+    last_batch = parts[2].withColumn("rn", F.row_number().over(w)).filter(
+        "rn = 1"
+    ).drop("rn")
+    mgr.upsert_equality("users_live", last_batch, ["user_id"])
+    assert sorted(map(tuple, mgr.read("users_live").collect())) == want
