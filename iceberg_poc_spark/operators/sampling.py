@@ -460,3 +460,88 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "keep_rate", "n_docs", "n_kept")
         .orderBy("source")
     )
+
+
+TB_FRACTION = 0.3  # per-source token budget as a fraction of source mass
+
+
+@register(
+    "q_sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               md5('tb:' || CAST(doc_id AS VARCHAR)) AS u
+        FROM documents
+    ),
+    b AS (
+        SELECT source, CAST(FLOOR({TB_FRACTION} * SUM(toks)) AS BIGINT) AS budget
+        FROM t GROUP BY source
+    ),
+    c AS (
+        SELECT source, toks, u, doc_id,
+               SUM(toks) OVER (
+                   PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT c.source, b.budget,
+           CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN cum <= budget THEN toks ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM c JOIN b USING (source)
+    GROUP BY c.source, b.budget
+    ORDER BY c.source
+    """,
+    doc=f"Token-budget mixture sampling — the 'fill each source's quota' "
+    f"step of LLM data mixing (a mixture recipe is expressed in TOKENS "
+    f"per source, not keep probabilities: q_sample_temperature's rates "
+    f"hit a budget only in expectation; this hits it exactly): docs are "
+    f"taken in content-addressed md5(doc_id) order until the running "
+    f"token sum reaches {TB_FRACTION} of the source's mass, so "
+    f"membership is reproducible across runs AND stable under corpus "
+    f"growth (a doc's position in the hash order never depends on other "
+    f"docs' arrival). Exact-integer running sums windowed per source — "
+    f"parallel across sources, sequential within (inherent to an exact "
+    f"prefix cutoff); the 100 TB path replaces the per-source sort with "
+    f"a one-pass quantile sketch over u that estimates the cutoff "
+    f"threshold, then a zero-shuffle membership filter like "
+    f"q_sample_weighted — exactness of the budget is the trade. Window "
+    f"is partitioned by source: no SinglePartition shape (plan-gated).",
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.operators.text import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(words_col()).cast("bigint").alias("toks"),
+        _u32_hex(F.col("doc_id"), "tb").alias("u"),
+    )
+    b = t.groupBy("source").agg(
+        F.floor(F.lit(TB_FRACTION) * F.sum("toks")).cast("bigint").alias("budget")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.join(F.broadcast(b), "source")
+        .groupBy("source", "budget")
+        .agg(
+            F.sum(F.when(F.col("cum") <= F.col("budget"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("cum") <= F.col("budget"), F.col("toks")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
