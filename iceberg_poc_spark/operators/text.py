@@ -870,3 +870,93 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
         )
     )
+
+
+@register(
+    "q_contamination_score",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct({shingles_sql(k=8)})) AS shingle
+        FROM documents WHERE source = 'src0'
+    ),
+    cand AS (
+        SELECT doc_id, source, unnest(list_distinct({shingles_sql(k=8)})) AS sh
+        FROM documents WHERE source <> 'src0'
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(CASE WHEN sh IN (SELECT shingle FROM bench)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM cand GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.source,
+               CAST(p.n_hit AS DOUBLE) / p.n_sh AS ratio
+        FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+        WHERE d.source <> 'src0'
+    )
+    SELECT source,
+           CASE WHEN ratio = 0 THEN 'clean'
+                WHEN ratio <= 0.25 THEN 'low'
+                WHEN ratio <= 0.5 THEN 'mid'
+                WHEN ratio <= 0.75 THEN 'high'
+                ELSE 'critical' END AS overlap_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="GRADED benchmark-contamination scoring — the thresholded form "
+    "of q_decontaminate's binary rule: per candidate document, the "
+    "fraction of its distinct 8-gram shingles that appear anywhere in "
+    "the benchmark slice (src0), banded into clean/low/mid/high/"
+    "critical per source. Real pipelines drop 'critical', quarantine "
+    "'high', and keep 'low' (one shared boilerplate shingle should not "
+    "erase a long document — the binary rule's false-positive mode). "
+    "Same scale shape as q_decontaminate: the benchmark shingle set "
+    "broadcasts, candidates stream through a broadcast LEFT join with "
+    "a per-doc hit count — the corpus never shuffles its text, only "
+    "(doc_id, counts) pairs. The ratio is one exact-int division "
+    "(IEEE-identical in both engines) and band edges compare that "
+    "same double, so the histogram is value-checked, not approximate.",
+)
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        with_words(
+            raw.filter(F.col("source") == "src0").repartition(8, F.col("doc_id"))
+        )
+        .select(F.explode(F.array_distinct(shingles_col(k=8))).alias("shingle"))
+        .distinct()
+    )
+    cand = raw.filter(F.col("source") != "src0").repartition(F.col("doc_id"))
+    cand_sh = with_words(cand).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(k=8))).alias("sh")
+    )
+    hits = F.broadcast(bench_sh.withColumn("hit", F.lit(1)))
+    per_doc = (
+        cand_sh.join(hits, cand_sh.sh == hits.shingle, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_sh")
+    band = (
+        F.when(ratio == 0, "clean")
+        .when(ratio <= 0.25, "low")
+        .when(ratio <= 0.5, "mid")
+        .when(ratio <= 0.75, "high")
+        .otherwise("critical")
+    )
+    return (
+        cand.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .select("source", band.alias("overlap_band"))
+        .groupBy("source", "overlap_band")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source", "overlap_band")
+    )
