@@ -1253,6 +1253,89 @@ def q_txn_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _setup_orders_mc(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_mc: year-partitioned orders with ONE partition-bounded MoR
+    delete (1997 cheap orders) — exactly one year's files carry the
+    delete, every other year stays metadata-countable. A vacuous split
+    (all files dirty) is asserted against in tests/test_tablelayer.py."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_mc")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_mc", orders.schema, [years("o_orderdate")])
+    base = mgr.append("orders_mc", orders)
+    head = mgr.delete(
+        "orders_mc",
+        where=[
+            ("o_orderdate", ">=", "1997-01-01 00:00:00"),
+            ("o_orderdate", "<", "1998-01-01 00:00:00"),
+            ("o_totalprice", "<", 50000.0),
+        ],
+        mode="mor",
+    )
+    _READY[key] = {"base": base, "head": head}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_meta_count_mor",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE NOT (year(o_orderdate) = 1997 AND o_totalprice < 50000.0)
+    GROUP BY 1
+    """,
+    doc="Metadata count UNDER outstanding merge-on-read deletes — the "
+    "case q_meta_count's pure-manifest answer disclaims: per-year "
+    "counts over a table carrying a partition-bounded MoR delete, "
+    "computed as manifest record counts for every CLEAN file plus a "
+    "real post-delete scan of ONLY the delete-dirty files (here: the "
+    "1997 partition — the only-dirty-year split is asserted in "
+    "tests/test_tablelayer.py, so the metadata half is provably doing "
+    "the work for the other years). Cost is O(files) metadata + "
+    "O(dirty data) — at 100 TB with a GDPR erasure stream touching one "
+    "partition, the count never rescans the other 99.9% (the "
+    "exactness-with-deletes trick Iceberg's count(*) planning uses). "
+    "The oracle recomputes post-delete counts from raw parquet, so a "
+    "clean file misclassified as dirty (or a dirty file's deletes "
+    "skipped) breaks the hash.",
+)
+def q_meta_count_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_mc(spark, sf_dir)
+    m = mgr._load_manifest("orders_mc")
+    clean = [
+        e
+        for e in m["files"]
+        if not (e.get("deletes") or e.get("eq_deletes"))
+    ]
+    dirty = [e for e in m["files"] if e.get("deletes") or e.get("eq_deletes")]
+    # clean half: pure manifest arithmetic (no file opened)
+    meta_rows = [
+        (int(e["partition"]["o_orderdate_years"]), int(e["records"]))
+        for e in clean
+    ]
+    meta = spark.createDataFrame(
+        meta_rows, "o_year int, n long"
+    ).groupBy("o_year").agg(F.sum("n").alias("n"))
+    # dirty half: scan ONLY the delete-carrying files, post-delete view
+    scanned = (
+        mgr._read_files("orders_mc", m, dirty)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        meta.unionByName(scanned)
+        .groupBy("o_year")
+        .agg(F.sum("n").cast("bigint").alias("n_orders"))
+    )
+
+
 @register(
     "q_snapshot_expiry",
     oracle="""

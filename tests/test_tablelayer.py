@@ -507,3 +507,23 @@ def test_upsert_equality_epochs_are_single_commit_zero_rewrite(spark):
     )
     assert got.count() == n_users
     assert got.select("user_id").distinct().count() == n_users
+
+
+def test_meta_count_mor_split_is_meaningful(spark):
+    """q_meta_count_mor's claim rests on a non-vacuous split: exactly
+    the 1997 partition's files carry the delete, every other year's
+    counts come from manifest arithmetic alone."""
+    mgr, _snaps = tablelayer._setup_orders_mc(spark, SF_DIR)
+    m = mgr._load_manifest("orders_mc")
+    dirty = [e for e in m["files"] if e.get("deletes")]
+    clean = [e for e in m["files"] if not e.get("deletes")]
+    assert dirty and clean, "split must exercise BOTH halves"
+    assert {e["partition"]["o_orderdate_years"] for e in dirty} == {"1997"}
+    assert "1997" not in {
+        e["partition"]["o_orderdate_years"] for e in clean
+    }
+    # clean-half records must account for the non-1997 rows exactly
+    n_meta = sum(e["records"] for e in clean)
+    raw = load_table(spark, SF_DIR, "orders")
+    n_raw_other = raw.filter(F.year("o_orderdate") != 1997).count()
+    assert n_meta == n_raw_other
