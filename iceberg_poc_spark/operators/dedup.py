@@ -901,3 +901,88 @@ def q_dedup_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.md5(F.coalesce(F.col("kept_text"), F.lit(""))).alias("clean_md5"),
     )
+
+
+def _cluster_apply_oracle() -> str:
+    """Wrap the clusters closure as a CTE and pick each cluster's keeper
+    (longest text, ties to the smallest doc_id) — the relational twin of
+    q_dedup_cluster_apply."""
+    base = _clusters_oracle()
+    head, tail = base.rsplit("SELECT", 1)
+    return f"""{head}, comp AS (SELECT{tail}),
+    kc AS (
+        SELECT c.cluster_root, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_root
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC)
+                   AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL OR k.rn = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL OR k.rn = 1
+                    THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN kc k ON k.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@register(
+    "q_dedup_cluster_apply",
+    oracle=None,  # late-bound below (shares the clusters closure)
+    doc="APPLY the near-duplicate clusters — the step that actually "
+    "produces the deduped corpus after q_dedup_clusters labels the "
+    "components: within each cluster exactly ONE representative "
+    "survives (the longest document, ties to the smallest doc_id — "
+    "keep-best, not keep-first, because crawl near-dup clusters "
+    "usually contain one full page and N truncated copies), and every "
+    "unclustered document passes through. Reported per source as "
+    "docs/kept/chars — the before/after a dedup run ships to its "
+    "dashboard. Engine path: the label-propagation clusters join back "
+    "to the corpus, keepers picked by one max_by per cluster "
+    "(cluster count << corpus; the join is broadcast-sized at any "
+    "scale because only CLUSTERED docs carry labels). The oracle "
+    "recomputes the closure recursively and picks keepers with a "
+    "window — any membership or tie-break divergence breaks the hash.",
+)
+def q_dedup_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = q_dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dc = d.join(cl, "doc_id", "left")
+    keepers = (
+        dc.filter(F.col("cluster_root").isNotNull())
+        .groupBy("cluster_root")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("n_chars").alias("c"),
+                    (F.lit(0) - F.col("doc_id")).alias("t"),
+                ),
+            ).alias("keeper")
+        )
+    )
+    kept = F.col("cluster_root").isNull() | (F.col("doc_id") == F.col("keeper"))
+    return (
+        dc.join(F.broadcast(keepers), "cluster_root", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_qca = _registry.REGISTRY["q_dedup_cluster_apply"]
+_registry.REGISTRY["q_dedup_cluster_apply"] = _registry.Query(
+    name=_qca.name, fn=_qca.fn, oracle=_cluster_apply_oracle(), doc=_qca.doc
+)
