@@ -986,3 +986,122 @@ _qca = _registry.REGISTRY["q_dedup_cluster_apply"]
 _registry.REGISTRY["q_dedup_cluster_apply"] = _registry.Query(
     name=_qca.name, fn=_qca.fn, oracle=_cluster_apply_oracle(), doc=_qca.doc
 )
+
+
+# ------------------------------------------------- incremental (daily) dedup
+
+INC_RECRAWL_OFFSET = 1_000_000_000
+INC_BATCHDUP_OFFSET = 2_000_000_000
+_INC_IDX_READY: set[str] = set()
+
+
+def _inc_batch(d: DataFrame) -> DataFrame:
+    """Today's arrival batch, engineered from the corpus deterministically:
+    fresh docs (doc_id % 10 == 0, NOT in the corpus split) + re-crawls
+    (corpus docs re-arriving under NEW ids with the same text — the shape
+    a crawler actually produces) + an in-batch double of some fresh docs."""
+    fresh = d.filter(F.col("doc_id") % 10 == 0)
+    recrawl = d.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 9 == 1)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(INC_RECRAWL_OFFSET))
+    dup_in_batch = d.filter(F.col("doc_id") % 30 == 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(INC_BATCHDUP_OFFSET)
+    )
+    return (
+        fresh.unionByName(recrawl)
+        .unionByName(dup_in_batch)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id, source, md5(text) AS h
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000000, source, md5(text)
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 9 = 1
+        UNION ALL
+        SELECT doc_id + 2000000000, source, md5(text)
+        FROM documents WHERE doc_id % 30 = 10
+    ),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    marked AS (
+        SELECT b.source,
+               ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn,
+               (c.h IS NOT NULL) AS in_corpus
+        FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(SUM(CASE WHEN rn = 1 AND NOT in_corpus THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN rn = 1 AND in_corpus THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_corpus,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_batch
+    FROM marked GROUP BY 1
+    """,
+    doc="Incremental (daily-ingest) dedup — the shape a 100 TB pipeline "
+    "runs EVERY day, where re-deduping the whole corpus is off the "
+    "table: today's batch (fresh docs + re-crawled corpus content under "
+    "new ids + an in-batch double) is checked against a PERSISTED "
+    "corpus fingerprint index — md5 digests bucketed+sorted on the "
+    "digest (built once at ingest, maintained by appending each day's "
+    "survivors) — via a sort-merge left join that shuffles ONLY the "
+    "batch: the corpus index side reads bucket-aligned with ZERO "
+    "Exchange (asserted in tests/test_plans.py: 1 SortMergeJoin, 2 "
+    "Exchanges total — batch-side join alignment + final agg; the "
+    "in-batch keep-first window reuses the join's hash distribution). "
+    "Per-source triage counts (new / corpus-dup / batch-dup) are what "
+    "the ingest report actually shows. Digests are 16-byte md5 so the "
+    "network moves fingerprints, never documents.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.sources.bucketed import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"dincwh_{os.getpid()}_{key}")
+    db = f"dinc_{key}"
+    idx = f"{db}.corpus_digests"
+    if wh not in _INC_IDX_READY:
+        corpus_h = (
+            d.filter(F.col("doc_id") % 10 != 0)
+            .select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .distinct()
+        )
+        write_bucketed(corpus_h, "corpus_digests", "h", 16, db, wh)
+        _INC_IDX_READY.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    batch = _inc_batch(d)
+    joined = batch.join(
+        spark.table(idx).withColumn("in_corpus", F.lit(True)).hint("merge"),
+        "h",
+        "left",
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    marked = joined.withColumn("rn", F.row_number().over(w))
+    new_row = (F.col("rn") == 1) & F.col("in_corpus").isNull()
+    dupc_row = (F.col("rn") == 1) & F.col("in_corpus").isNotNull()
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_arrived"),
+        F.sum(new_row.cast("int")).cast("bigint").alias("n_new"),
+        F.sum(dupc_row.cast("int")).cast("bigint").alias("n_dup_corpus"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_batch"),
+    )

@@ -330,3 +330,16 @@ def test_dpp_runtime_partition_filter(spark):
     df = Q["q_join_dpp"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_dedup_incremental_shuffles_only_the_batch(spark):
+    """q_dedup_incremental: the corpus digest index is bucketed+sorted on
+    the digest, so the sort-merge left join gets NO Exchange on the index
+    side — the plan's only exchanges are the batch-side join alignment
+    and the final per-source aggregation, and the in-batch keep-first
+    window must REUSE the join's hash distribution (a Sort, not a third
+    Exchange)."""
+    plan = explain_str(Q["q_dedup_incremental"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
