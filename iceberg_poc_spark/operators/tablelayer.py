@@ -2000,3 +2000,353 @@ def q_compaction_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+BLM_SLICES = 8
+BLM_LOOKUP_IDS = [11, 23, 42]  # present at every sf; three distinct slices
+
+
+def _setup_docs_blm(spark: SparkSession, sf_dir: str) -> tuple:
+    """docs_blm: documents bloom-indexed on doc_id, landed as 8 appends
+    sliced by doc_id % 8 — every file's doc_id [min, max] spans nearly the
+    whole id range, so column STATS cannot prune a point lookup and the
+    table has no partition or bucket on doc_id either: the per-file Bloom
+    filter is the only thing standing between a point read and a full
+    scan (the honest setup; a clustered table would let stats do it)."""
+    from iceberg_poc_spark.tables.manager import (
+        BLOOM_BITS_PROP,
+        BLOOM_COLS_PROP,
+    )
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_blm")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents")
+    mgr.create_table("docs_blm", docs.schema, [])
+    mgr.set_properties(
+        "docs_blm", {BLOOM_COLS_PROP: "doc_id", BLOOM_BITS_PROP: "65536"}
+    )
+    for k in range(BLM_SLICES):
+        mgr.append("docs_blm", docs.filter(F.col("doc_id") % BLM_SLICES == k))
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_point_lookup_bloom",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in BLM_LOOKUP_IDS)})
+    """,
+    doc="Point lookup through a per-file Bloom index (≙ Iceberg's "
+    "write.parquet.bloom-filter-enabled.column.X / Puffin index blobs): "
+    "docs_blm is deliberately hostile to every other pruning path — "
+    "unpartitioned, unbucketed, and id-interleaved so each file's "
+    "doc_id min/max spans the whole range — yet manager.scan plans only "
+    "the files whose Bloom filter admits one of the three looked-up ids "
+    "(definite-absence skips the rest at the MANIFEST; files are never "
+    "opened). tests/test_tablelayer.py asserts planned <= files holding "
+    "the ids (+ fp slack) out of all data files, and that a lookup of an "
+    "absent id plans ZERO files. This is what makes 'fetch document N' "
+    "a handful-of-files read on a 100 TB corpus without burning the "
+    "partition spec on the lookup key; filter cost is 8 KiB per file in "
+    "the manifest, built by the writer (stand-in reads back only the "
+    "indexed column per staged file — see tables/manager.py "
+    "_write_files).",
+)
+def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_docs_blm(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "docs_blm", where=[("doc_id", "in", BLM_LOOKUP_IDS)]
+    )
+    return df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+CONS_BAD_MOD = 7  # doc_id % 7 == 3 rows get corrupted in the rejected batch
+
+
+def _setup_docs_cons(spark: SparkSession, sf_dir: str) -> tuple:
+    """docs_cons: CHECK-constrained documents table. Clean half lands;
+    a corrupted second half (negative n_chars, nulled lang on some rows)
+    is REJECTED atomically by the write-time gate — the setup insists the
+    rejection actually raises and that the head did not move — then the
+    clean second half lands. Final state must equal the raw corpus."""
+    from iceberg_poc_spark.tables.manager import (
+        CONSTRAINT_PROP_PREFIX,
+        ConstraintViolation,
+    )
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_cons")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents")
+    mgr.create_table("docs_cons", docs.schema, [])
+    mgr.set_properties(
+        "docs_cons",
+        {
+            CONSTRAINT_PROP_PREFIX + "len_nonneg": "n_chars >= 0",
+            CONSTRAINT_PROP_PREFIX + "lang_present": "lang IS NOT NULL",
+        },
+    )
+    mgr.append("docs_cons", docs.filter(F.col("doc_id") % 2 == 0))
+    v_before = mgr._current_version("docs_cons")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    bad_row = F.col("doc_id") % CONS_BAD_MOD == 3
+    corrupted = odd.select(
+        "doc_id",
+        "text",
+        F.when(bad_row, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(bad_row, -(F.col("n_chars") + 1))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    try:
+        mgr.append("docs_cons", corrupted)
+    except ConstraintViolation:
+        pass
+    else:  # pragma: no cover - gate regression must fail the query loudly
+        raise RuntimeError("constraint gate let a corrupted batch commit")
+    if mgr._current_version("docs_cons") != v_before:
+        raise RuntimeError("rejected batch moved the table head")
+    mgr.append("docs_cons", odd)
+    _READY[key] = {"v_before": v_before}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_write_constraints",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Write-time CHECK constraints (≙ Delta Lake table constraints / "
+    "the validate-before-commit half of Iceberg's WAP pattern, here "
+    "enforced in the writer itself): docs_cons carries "
+    "constraints.check.* properties (n_chars >= 0, lang IS NOT NULL); a "
+    "batch with corrupted rows is rejected ATOMICALLY — the setup "
+    "asserts the rejection raises and the snapshot head does not move, "
+    "and tests/test_tablelayer.py additionally asserts no orphan files "
+    "appear under data/ — then the clean batch lands. The final table "
+    "must equal the raw corpus exactly (oracle aggregates raw "
+    "documents): a gate that dropped rows, half-applied a batch, or "
+    "leaked the corrupted append would all diverge. Enforcement is one "
+    "map-side pass over the incoming batch (partial violation counts, "
+    "no shuffle, never a table scan) — O(batch) at any table size, the "
+    "only viable place for a quality gate at 100 TB ingest volume.",
+)
+def q_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_docs_cons(spark, sf_dir)
+    df = mgr.read("docs_cons")
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+PD_DUP_MOD = 5  # event_id % 5 == 0 rows get committed twice
+
+
+def _setup_ev_pd(spark: SparkSession, sf_dir: str) -> tuple:
+    """ev_pd: events committed once in full, then a partial batch
+    RE-COMMITTED (the double-delivery accident), leaving physically
+    identical duplicate rows. The repair is a POSITIONAL delete: an audit
+    read with (_file_name, _pos) coordinates picks every copy after the
+    first per event_id, and delete_positions retires exactly those rows
+    — the one delete class that can separate identical twins (a
+    predicate or key set would kill both copies)."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "ev_pd")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mgr.create_table("ev_pd", ev.schema, [])
+    mgr.append("ev_pd", ev)
+    mgr.append("ev_pd", ev.filter(F.col("event_id") % PD_DUP_MOD == 0))
+    n_dup = mgr.read("ev_pd").count()
+    rp = mgr.read_with_positions("ev_pd")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy("_file_name", "_pos")
+    extras = (
+        rp.select("event_id", "_file_name", "_pos")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("_file_name", "_pos")
+    )
+    snap_dup = mgr._current_version("ev_pd")
+    snap_fixed = mgr.delete_positions("ev_pd", extras)
+    _READY[key] = {
+        "n_dup": n_dup,
+        "snap_dup": snap_dup,
+        "snap_fixed": snap_fixed,
+    }
+    return mgr, _READY[key]
+
+
+@register(
+    "q_delete_mor_pos",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="POSITIONAL delete, merge-on-read (≙ Iceberg v2 position-delete "
+    "files — completing the v2 delete triad next to q_delete_mor's "
+    "predicate deletes and q_delete_mor_eq's equality deletes): a "
+    "double-delivered batch leaves physically IDENTICAL duplicate rows "
+    "that no predicate or key set can separate; an audit read exposing "
+    "(_file_name, _pos) coordinates (Spark _metadata hidden columns) "
+    "names every copy after the first, and manager.delete_positions "
+    "commits those coordinates as parquet delete files attached to "
+    "EXACTLY the named files — zero data files rewritten (path identity "
+    "asserted in tests/test_tablelayer.py, along with changelog "
+    "rendering, time travel to the dup state, rewrite_deletes folding, "
+    "and the snaptable DataSource honoring the positions). Reads "
+    "anti-join the broadcast (file,row) set for just the touched files. "
+    "The final state must equal the raw corpus exactly — the oracle "
+    "aggregates raw events. At 100 TB this is the surgical post-hoc "
+    "dedup tool: commit cost O(delete set), never a table pass.",
+)
+def q_delete_mor_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_ev_pd(spark, sf_dir)
+    df = mgr.read("ev_pd")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+DEF_NULL_MOD = 7  # post-add rows with o_orderkey % 7 == 0 carry a real NULL
+
+
+def _setup_orders_def(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_def: even-keyed orders land, then ADD COLUMN o_channel
+    DEFAULT 'LEGACY' (metadata-only), then odd-keyed orders land with
+    explicit channels — including genuine NULLs. Pre-add rows must read
+    the default; post-add rows must keep their values, NULLs intact
+    (presence decided by each file's recorded writer schema, never by
+    value coalescing)."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_def")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mgr.create_table("orders_def", orders.schema, [])
+    mgr.append("orders_def", orders.filter(F.col("o_orderkey") % 2 == 0))
+    mgr.add_column("orders_def", "o_channel", "string", default="LEGACY")
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.when(F.col("o_orderkey") % DEF_NULL_MOD == 0, F.lit(None)).otherwise(
+            F.lit("ONLINE")
+        ),
+    )
+    mgr.append("orders_def", odd)
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_schema_default",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+                WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE 'ONLINE' END AS o_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="ADD COLUMN ... DEFAULT — initial-default resolution (≙ Iceberg "
+    "v3 initial-default values / SQL DEFAULT clauses; deepens "
+    "q_schema_evolution's NULL-projection): the add is METADATA-ONLY "
+    "(no file rewritten), yet rows written before it read 'LEGACY' "
+    "while rows written after keep their explicit channels INCLUDING "
+    "genuine NULLs — the distinction value-coalescing cannot make; the "
+    "read path decides per data file from its recorded writer schema "
+    "(tables/manager.py _read_files), exactly how Iceberg decides by "
+    "field-id presence. The three-way group (LEGACY / ONLINE / NULL) "
+    "totals must match the oracle's relational reconstruction over raw "
+    "orders.",
+)
+def q_schema_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_def(spark, sf_dir)
+    df = mgr.read("orders_def")
+    return df.groupBy("o_channel").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+UM_BUMP = 100.0  # purchase rows get value + 100.0 via the MoR update
+
+
+def _setup_ev_um(spark: SparkSession, sf_dir: str) -> tuple:
+    """ev_um: events landed once, then a merge-on-read UPDATE bumps every
+    purchase row's value — positional delete of the old versions + new
+    data files with the updated copies, ONE commit, zero existing files
+    rewritten."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "ev_um")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mgr.create_table("ev_um", ev.schema, [])
+    snap_base = mgr.append("ev_um", ev)
+    snap_upd = mgr.update(
+        "ev_um",
+        {"value": F.col("value") + F.lit(UM_BUMP)},
+        [("event_type", "==", "purchase")],
+        mode="mor",
+    )
+    _READY[key] = {"snap_base": snap_base, "snap_upd": snap_upd}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_update_mor",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(CASE WHEN event_type = 'purchase' THEN value + 100.0
+                    ELSE value END) AS min_value,
+           MAX(CASE WHEN event_type = 'purchase' THEN value + 100.0
+                    ELSE value END) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Merge-on-read UPDATE (≙ Iceberg MERGE-ON-READ update mode: "
+    "position-delete file + replacement data files under ONE snapshot "
+    "— the counterpart to q_row_dml's copy-on-write): bumping every "
+    "purchase's value retires the old row versions by (file, row) "
+    "coordinate and lands only the updated copies as new files — zero "
+    "existing files rewritten (path identity + changelog delete/insert "
+    "pairing asserted in tests/test_tablelayer.py). Write cost is "
+    "O(matched rows); a CoW update of the same rows would rewrite "
+    "every affected file — the difference between kilobytes and "
+    "terabytes for a small update on a 100 TB table. MIN/MAX of "
+    "identically-computed doubles keeps the oracle comparison "
+    "bit-exact (no cross-engine float-sum ordering).",
+)
+def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_ev_um(spark, sf_dir)
+    df = mgr.read("ev_um")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

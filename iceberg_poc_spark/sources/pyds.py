@@ -104,6 +104,24 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # positional deletes FIRST, while row indices are still physical
+    # (predicate/equality filters below would shift them)
+    pos_dels = entry.get("pos_deletes", [])
+    if pos_dels:
+        import numpy as np
+
+        fn = os.path.basename(entry["path"])
+        dels = pa.concat_tables(
+            [
+                pq.read_table(os.path.join(table_dir, d["path"]))
+                for d in pos_dels
+            ]
+        )
+        sel = dels.filter(pc.equal(dels["_file_name"], fn))
+        kill = np.asarray(sel["_pos"].to_numpy(zero_copy_only=False))
+        if kill.size:
+            keep = ~np.isin(np.arange(tbl.num_rows, dtype=np.int64), kill)
+            tbl = tbl.filter(pa.array(keep))
     ops = {
         "==": pc.equal,
         ">=": pc.greater_equal,
@@ -174,7 +192,7 @@ def _read_file_as_batches(
     present columns cast up (widening promotion), renamed columns resolved
     via former_names, identity-partition columns restored from the hive
     partition values, evolved-in columns filled with NULL; outstanding
-    merge-on-read deletes (predicate and equality) applied."""
+    merge-on-read deletes (positional, predicate, equality) applied."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

@@ -147,6 +147,8 @@ def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
     for col, op, lit_v in where:
         if not _stats_may_match(entry, col, op, lit_v):
             return False
+    if not _bloom_may_match(entry, where):
+        return False
     for col, op, lit_v in where:
         for t in spec:
             if t.source != col or not t.order_preserving:
@@ -218,6 +220,98 @@ def _collect_column_stats(md) -> dict[str, list]:
     return {
         k: [mins[k], maxs[k]] for k in mins if k not in dropped
     }
+
+
+# ------------------------------------------------------- bloom file index
+# Per-file Bloom filters on designated columns (≙ Iceberg's
+# ``write.parquet.bloom-filter-enabled.column.X`` / Puffin index blobs):
+# point lookups on a NON-partition, NON-clustered column prune files at the
+# manifest — the capability that makes "fetch document 123456789" a
+# handful-of-files read on a 100 TB table instead of a full scan. Enabled
+# via table properties (see ``ParquetTableManager`` BLOOM_* constants);
+# every write path computes the filter per data file and stores it
+# self-described in the manifest entry: {"m": bits, "k": hashes, "b": b64}.
+
+# ------------------------------------------------------ check constraints
+# Write-time data-quality gate (≙ Delta Lake CHECK constraints / the
+# Iceberg "validation before commit" pattern): table properties
+# ``constraints.check.<name> = <boolean SQL expr>`` are enforced on every
+# INGEST path (append / overwrite / dynamic partition overwrite / upsert)
+# — a batch with any row where a check is not TRUE (false OR null) is
+# rejected atomically: nothing is staged, no snapshot is created, the
+# table is byte-identical. Enforcement is one map-side pass over the
+# incoming BATCH (a global partial-agg of violation counts — no shuffle,
+# never a table scan), so the gate costs O(batch) at any table size.
+CONSTRAINT_PROP_PREFIX = "constraints.check."
+
+
+class ConstraintViolation(ValueError):
+    """An ingest batch failed a ``constraints.check.*`` table property."""
+
+
+BLOOM_COLS_PROP = "index.bloom.columns"  # comma-separated column names
+BLOOM_BITS_PROP = "index.bloom.bits"  # filter size in bits (default 65536)
+BLOOM_HASHES_PROP = "index.bloom.hashes"  # hash count k (default 6)
+BLOOM_DEFAULT_BITS = 65536
+BLOOM_DEFAULT_HASHES = 6
+
+
+def _parse_dtype(dtype: str) -> DataType:
+    """DDL type string -> DataType (via a throwaway single-field struct)."""
+    return StructType().add("x", dtype).fields[0].dataType
+
+
+def _bloom_positions(v: Any, m_bits: int, k: int) -> list[int]:
+    """k bit positions for a value: md5 over (seed || normalized-str),
+    first 8 digest bytes mod m. Deterministic across processes (no
+    PYTHONHASHSEED dependence) so a filter written by one job is readable
+    by every later scan."""
+    import hashlib as _hl
+
+    b = str(_norm_stat(v)).encode("utf-8")
+    return [
+        int.from_bytes(_hl.md5(bytes([i]) + b).digest()[:8], "big") % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_build(values, m_bits: int, k: int) -> str:
+    import base64
+
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v, m_bits, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_may_contain(bl: dict, v: Any) -> bool:
+    import base64
+
+    bits = base64.b64decode(bl["b"])
+    return all(
+        (bits[p >> 3] >> (p & 7)) & 1
+        for p in _bloom_positions(v, int(bl["m"]), int(bl["k"]))
+    )
+
+
+def _bloom_may_match(entry: dict, where: list) -> bool:
+    """File-skip test against per-file Bloom filters: definite-absence on
+    equality/membership predicates prunes the file. Conservative — only a
+    negative filter answer (never-inserted) skips; range ops pass."""
+    for col, op, lit_v in where:
+        bl = (entry.get("bloom") or {}).get(col)
+        if not bl:
+            continue
+        if op == "==":
+            if not _bloom_may_contain(bl, lit_v):
+                return False
+        elif op == "in":
+            if not any(_bloom_may_contain(bl, v) for v in lit_v):
+                return False
+    return True
 
 
 def _tz_free_lit(v: Any) -> Column:
@@ -574,9 +668,19 @@ class ParquetTableManager:
         m["parent"] = m["version"]
         return self._commit(name, m)
 
-    def add_column(self, name: str, col: str, dtype: str) -> int:
+    def add_column(
+        self, name: str, col: str, dtype: str, default: Any = None
+    ) -> int:
         """Schema evolution: append an optional column. Existing data files
-        are untouched; reads project NULL for them (Iceberg semantics)."""
+        are untouched; reads project NULL for them (Iceberg semantics).
+
+        ``default`` sets an INITIAL DEFAULT (≙ Iceberg v3
+        initial-default / SQL ``ADD COLUMN ... DEFAULT``): rows written
+        BEFORE this commit read the default instead of NULL, while rows
+        written after keep their explicit values — including genuine
+        NULLs (presence is decided per data file by its recorded writer
+        schema, never by value coalescing). Metadata-only either way: no
+        file is rewritten, old files resolve the default at read time."""
         m = self._load_manifest(name)
         schema = StructType.fromJson(m["schema"])
         if col in schema.fieldNames():
@@ -585,7 +689,13 @@ class ParquetTableManager:
             # old data files still hold this name — a new column under it
             # would resurrect their values through the rename-coalesce read
             raise ValueError(f"{col!r} is a former name of a renamed column")
-        schema = schema.add(col, dtype, True)
+        if default is not None:
+            schema = schema.add(
+                StructField(col, _parse_dtype(dtype), True,
+                            {"initial_default": _norm_stat(default)})
+            )
+        else:
+            schema = schema.add(col, dtype, True)
         m["schema"] = json.loads(schema.json())
         m["operation"] = "add-column"
         m["parent"] = m["version"]
@@ -760,6 +870,7 @@ class ParquetTableManager:
         undone by it)."""
         staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
         part_cols = [t.field_name for t in spec]
+        data_cols = list(df.columns)  # writer schema, recorded per entry
         out = df
         for t in spec:
             if t.kind != "identity":
@@ -777,6 +888,27 @@ class ParquetTableManager:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(staging)
+
+        # bloom index config (properties of the table's main head; see
+        # module-level BLOOM_* docs). On a real cluster the writing TASK
+        # computes the filter inline while streaming rows out (exactly
+        # what Iceberg's parquet bloom writer does); the stand-in reads
+        # back ONLY the indexed columns of each staged file — a
+        # column-pruned, per-file pass, same asymptotics as the stats
+        # footer walk below.
+        try:
+            props = self.properties(name)
+        except (FileNotFoundError, KeyError):
+            props = {}
+        bloom_cols = [
+            c.strip()
+            for c in props.get(BLOOM_COLS_PROP, "").split(",")
+            if c.strip()
+        ]
+        bloom_bits = max(
+            64, int(props.get(BLOOM_BITS_PROP, BLOOM_DEFAULT_BITS)) // 8 * 8
+        )
+        bloom_k = int(props.get(BLOOM_HASHES_PROP, BLOOM_DEFAULT_HASHES))
 
         entries: list[dict] = []
         data_root = os.path.join(self._dir(name), "data")
@@ -799,21 +931,76 @@ class ParquetTableManager:
                 import pyarrow.parquet as pq
 
                 md = pq.ParquetFile(dst).metadata
-                entries.append(
-                    {
-                        "path": os.path.relpath(dst, self._dir(name)),
-                        "partition": pvals,
-                        "records": md.num_rows,
-                        "bytes": os.path.getsize(dst),
-                        "stats": _collect_column_stats(md),
+                entry = {
+                    "path": os.path.relpath(dst, self._dir(name)),
+                    "partition": pvals,
+                    "records": md.num_rows,
+                    "bytes": os.path.getsize(dst),
+                    "stats": _collect_column_stats(md),
+                    # writer schema: which table columns this file
+                    # physically holds — what decides initial-default
+                    # resolution (absent column -> default; present
+                    # column -> its values, NULLs included)
+                    "cols": data_cols,
+                }
+                present = [
+                    c for c in bloom_cols if c in md.schema.to_arrow_schema().names
+                ]
+                if present:
+                    tbl = pq.read_table(dst, columns=present)
+                    entry["bloom"] = {
+                        c: {
+                            "m": bloom_bits,
+                            "k": bloom_k,
+                            "b": _bloom_build(
+                                tbl.column(c).to_pylist(), bloom_bits, bloom_k
+                            ),
+                        }
+                        for c in present
                     }
-                )
+                entries.append(entry)
         import shutil
 
         # remove only THIS call's staging dir — concurrent writers stage
         # under sibling uuids in _staging/ at the same time
         shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    def _enforce_constraints(self, name: str, df: DataFrame) -> None:
+        """Reject the batch if any ``constraints.check.*`` property is not
+        TRUE for every row (null-hostile on purpose: a data-quality gate
+        that lets NULL slide is not a gate). One pass, map-side partial
+        counts, raises :class:`ConstraintViolation` with per-check
+        violation counts; the caller has staged nothing yet, so rejection
+        leaves no snapshot and no orphan files."""
+        try:
+            props = self.properties(name)
+        except (FileNotFoundError, KeyError):
+            return
+        checks = {
+            k[len(CONSTRAINT_PROP_PREFIX):]: v
+            for k, v in props.items()
+            if k.startswith(CONSTRAINT_PROP_PREFIX)
+        }
+        if not checks:
+            return
+        counts = df.select(
+            *[
+                F.sum(
+                    F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
+                ).alias(cname)
+                for cname, expr in checks.items()
+            ]
+        ).first()
+        bad = {c: counts[c] for c in checks if counts[c]}
+        if bad:
+            detail = ", ".join(
+                f"{c!r} ({checks[c]}): {n} row(s)" for c, n in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"ingest into {name!r} rejected — check constraint(s) "
+                f"violated: {detail}"
+            )
 
     def append(self, name: str, df: DataFrame, ref: str = "main") -> int:
         """Atomic multi-file append: all files of this call become visible
@@ -833,6 +1020,7 @@ class ParquetTableManager:
                 for c in schema_cols
             ]
         )
+        self._enforce_constraints(name, aligned)
         new_files = self._write_files(name, aligned, spec)
         m["files"] = m["files"] + new_files
         m["operation"] = "append"
@@ -1012,6 +1200,7 @@ class ParquetTableManager:
                 for c in schema_cols
             ]
         )
+        self._enforce_constraints(name, aligned)
         new_files = self._write_files(name, aligned, spec)
         touched = {tuple(sorted(e["partition"].items())) for e in new_files}
         base_files_in_touched = {
@@ -1044,6 +1233,7 @@ class ParquetTableManager:
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         m = self._load_manifest(name)
+        self._enforce_constraints(name, df)
         new_files = self._write_files(name, df, self._spec(m))
         m["files"] = new_files
         m["operation"] = "overwrite"
@@ -1272,6 +1462,103 @@ class ParquetTableManager:
         _sh.rmtree(staging, ignore_errors=True)
         return del_entries
 
+    def read_with_positions(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Snapshot read carrying ``_file_name`` / ``_pos`` coordinate
+        columns — what an audit query selects from to build the
+        ``positions`` input of :meth:`delete_positions` (outstanding MoR
+        deletes are already applied, so coordinates always name live
+        rows)."""
+        m = self._load_manifest(name, self._resolve(name, snapshot_id, ref, tag))
+        return self._read_files(name, m, m["files"], with_positions=True)
+
+    def delete_positions(self, name: str, positions: DataFrame) -> int:
+        """POSITIONAL delete, merge-on-read (≙ Iceberg v2 position-delete
+        files — the third delete class next to predicate and equality
+        MoR). ``positions`` carries (``_file_name``, ``_pos``): physical
+        data-file name + 0-based row ordinal, the coordinates
+        :meth:`read_with_positions` emits. The pairs are written as
+        parquet delete file(s) under ``deletes/`` and attached to EXACTLY
+        the named files' manifest entries — no stats guesswork, perfect
+        attachment — and every read anti-joins the (file, row) set for
+        just those files. No data file is rewritten; commit cost is
+        O(delete set).
+
+        This is the only delete class that can remove ONE of two
+        physically identical rows (predicate and equality deletes name
+        values, which both copies share) — i.e. the surgical tool for
+        post-hoc dedup of an already-committed corpus. Later appends are
+        naturally unaffected (new files have new names); renames/drops of
+        columns don't unbind it (positions are name-agnostic).
+        :meth:`rewrite_deletes` folds it in; :meth:`expire_snapshots`
+        GCs the delete files once unreferenced."""
+        if sorted(positions.columns) != ["_file_name", "_pos"]:
+            raise ValueError(
+                f"positions needs exactly (_file_name, _pos); got "
+                f"{positions.columns}"
+            )
+        m = self._load_manifest(name)
+        by_fn = {os.path.basename(e["path"]): e for e in m["files"]}
+        dpos = positions.distinct()
+        touched = [r["_file_name"] for r in dpos.select("_file_name").distinct().collect()]
+        unknown = [fn for fn in touched if fn not in by_fn]
+        if unknown:
+            raise ValueError(
+                f"positions reference files not in the current snapshot: "
+                f"{unknown[:3]}{'...' if len(unknown) > 3 else ''}"
+            )
+        if not touched:
+            return m["version"]  # empty delete set: no-op
+        del_entries = self._write_pos_delete_files(name, dpos)
+        m["files"] = self._attach_pos_deletes(m["files"], touched, del_entries)
+        m["operation"] = "delete-mor"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def _write_pos_delete_files(self, name: str, dpos: DataFrame) -> list[dict]:
+        """Persist a deduplicated (file, row) coordinate set as parquet
+        position-delete file(s) under ``deletes/``."""
+        del_dir = os.path.join(self._dir(name), "deletes")
+        staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
+        dpos.write.mode("overwrite").option("compression", "zstd").parquet(
+            staging
+        )
+        os.makedirs(del_dir, exist_ok=True)
+        del_entries: list[dict] = []
+        import shutil as _sh
+
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            dst = os.path.join(del_dir, f"posdel-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(staging, fn), dst)
+            del_entries.append(
+                {
+                    "path": os.path.relpath(dst, self._dir(name)),
+                    "bytes": os.path.getsize(dst),
+                }
+            )
+        _sh.rmtree(staging, ignore_errors=True)
+        return del_entries
+
+    @staticmethod
+    def _attach_pos_deletes(
+        files: list[dict], touched: list[str], del_entries: list[dict]
+    ) -> list[dict]:
+        out_files = []
+        touched_set = set(touched)
+        for e in files:
+            if os.path.basename(e["path"]) in touched_set:
+                e = dict(e)
+                e["pos_deletes"] = [*e.get("pos_deletes", []), *del_entries]
+            out_files.append(e)
+        return out_files
+
     def upsert_equality(
         self, name: str, df: DataFrame, keys: list[str], ref: str = "main"
     ) -> int:
@@ -1308,6 +1595,7 @@ class ParquetTableManager:
                 for c in schema_cols
             ]
         )
+        self._enforce_constraints(name, aligned)
         types = {f.name: f.dataType for f in schema.fields}
         dkeys = aligned.select(
             *[F.col(c).cast(types[c]).alias(c) for c in keys]
@@ -1382,14 +1670,18 @@ class ParquetTableManager:
         points at them). No-op if nothing carries deletes."""
         m = self._load_manifest(name)
         dirty = [
-            e for e in m["files"] if e.get("deletes") or e.get("eq_deletes")
+            e
+            for e in m["files"]
+            if e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes")
         ]
         if not dirty:
             return m["version"]
         clean = [
             e
             for e in m["files"]
-            if not (e.get("deletes") or e.get("eq_deletes"))
+            if not (
+                e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes")
+            )
         ]
         df = self._read_files(name, m, dirty)
         new_files = self._write_files(name, df, self._spec(m))
@@ -1403,16 +1695,53 @@ class ParquetTableManager:
         name: str,
         set_exprs: dict[str, Column],
         where: list[tuple[str, str, Any]],
+        mode: str = "cow",
     ) -> int:
-        """Row-level UPDATE, copy-on-write over possibly-affected files:
-        matching rows get ``set_exprs`` applied, others are rewritten
-        verbatim; provably-untouched files are not rewritten."""
+        """Row-level UPDATE. ``mode="cow"`` (default), copy-on-write over
+        possibly-affected files: matching rows get ``set_exprs`` applied,
+        others are rewritten verbatim; provably-untouched files are not
+        rewritten.
+
+        ``mode="mor"``: merge-on-read (≙ Iceberg's MERGE-ON-READ update:
+        position-delete file + replacement data files under ONE
+        snapshot). The matched rows' (file, row) coordinates become a
+        positional delete retiring the OLD versions in place, and the
+        updated copies land as new data files — NO existing file is
+        rewritten, write cost is O(matched rows), not O(affected files).
+        The frequent-small-update shape at 100 TB: a CoW update of 1k
+        rows spread over 1k large files rewrites TBs; the MoR update
+        writes kilobytes. Reads pay the coordinate anti-join until
+        :meth:`rewrite_deletes` folds it."""
         m = self._load_manifest(name)
         affected, untouched = self._split_files(m, where)
         if not affected:
             return m["version"]
-        df = self._read_files(name, m, affected)
         hit = F.coalesce(_predicate(where), F.lit(False))
+        if mode == "mor":
+            df = self._read_files(name, m, affected, with_positions=True)
+            matched = df.filter(hit)
+            dpos = matched.select("_file_name", "_pos").distinct()
+            touched = [
+                r["_file_name"]
+                for r in dpos.select("_file_name").distinct().collect()
+            ]
+            if not touched:
+                return m["version"]  # predicate matched no rows: no-op
+            updated = matched.drop("_file_name", "_pos")
+            for col, expr in set_exprs.items():
+                updated = updated.withColumn(col, expr)
+            new_files = self._write_files(name, updated, self._spec(m))
+            del_entries = self._write_pos_delete_files(name, dpos)
+            m["files"] = (
+                self._attach_pos_deletes(m["files"], touched, del_entries)
+                + new_files
+            )
+            m["operation"] = "update-mor"
+            m["parent"] = m["version"]
+            return self._commit(name, m)
+        if mode != "cow":
+            raise ValueError(f"unknown update mode {mode!r}")
+        df = self._read_files(name, m, affected)
         for col, expr in set_exprs.items():
             df = df.withColumn(col, F.when(hit, expr).otherwise(F.col(col)))
         new_files = self._write_files(name, df, self._spec(m))
@@ -1493,8 +1822,21 @@ class ParquetTableManager:
         return self._commit(name, m)
 
     # ---------------------------------------------------------------- reads
-    def _read_files(self, name: str, manifest: dict, files: list[dict]) -> DataFrame:
+    def _read_files(
+        self,
+        name: str,
+        manifest: dict,
+        files: list[dict],
+        with_positions: bool = False,
+    ) -> DataFrame:
         """Plan a read over manifest-listed files.
+
+        ``with_positions=True`` appends ``_file_name`` / ``_pos`` columns
+        (physical data file name + 0-based row ordinal, from Spark's
+        ``_metadata`` hidden columns) — the coordinates
+        :meth:`delete_positions` consumes. They reflect the PHYSICAL file
+        layout, so they are stable across reads and unaffected by the
+        delete filters applied below.
 
         Files are grouped by their hive partition layout (the key set of
         their manifest partition values) so partition-spec evolution works:
@@ -1515,13 +1857,20 @@ class ParquetTableManager:
         Merge-on-read deletes: a file entry may carry ``deletes`` — the
         predicate list(s) of :meth:`delete` commits made in ``mor`` mode
         — and/or ``eq_deletes`` — parquet key-set delete files of
-        equality-delete commits. Files are additionally grouped by their
-        delete sets; each group's read applies NOT(predicate) per
-        predicate delete and a null-safe broadcast anti-join per
-        equality-delete column set, so readers see the post-delete state
-        without any file having been rewritten."""
+        equality-delete commits — and/or ``pos_deletes`` — parquet
+        (file, row-ordinal) coordinate files of positional-delete
+        commits. Files are additionally grouped by their delete sets;
+        each group's read applies NOT(predicate) per predicate delete, a
+        null-safe broadcast anti-join per equality-delete column set,
+        and a broadcast (file, row) anti-join per positional delete, so
+        readers see the post-delete state without any file having been
+        rewritten."""
         schema = StructType.fromJson(manifest["schema"])
         if not files:
+            if with_positions:
+                schema = schema.add("_file_name", StringType()).add(
+                    "_pos", "long"
+                )
             return self.spark.createDataFrame([], schema)
         names = {f.name for f in schema.fields}
         former = {
@@ -1532,16 +1881,42 @@ class ParquetTableManager:
             ]
             for f in schema.fields
         }
+        # initial-default columns (Iceberg v3 semantics): a file whose
+        # recorded writer schema lacks the column reads the default for
+        # every row; files that HAVE it keep their values, genuine NULLs
+        # included. Legacy entries without a recorded writer schema are
+        # treated as holding every column (NULL-preserving).
+        dflt = {
+            f.name: (f.metadata["initial_default"], f.dataType)
+            for f in schema.fields
+            if "initial_default" in (f.metadata or {})
+        }
+        # a renamed column's files recorded the OLD name in their writer
+        # schema — presence must resolve through every historical name
+        dflt_names = {
+            f.name: {f.name, *f.metadata.get("former_names", [])}
+            for f in schema.fields
+            if f.name in dflt
+        }
         groups: dict[tuple, list[dict]] = {}
         for e in files:
             dkey = json.dumps(e.get("deletes", []), sort_keys=True)
             ekey = json.dumps(e.get("eq_deletes", []), sort_keys=True)
+            pkey = json.dumps(e.get("pos_deletes", []), sort_keys=True)
+            ecols = e.get("cols")
+            absent = tuple(
+                sorted(
+                    c
+                    for c in dflt
+                    if ecols is not None and not (dflt_names[c] & set(ecols))
+                )
+            )
             groups.setdefault(
-                (tuple(sorted(e["partition"])), dkey, ekey), []
+                (tuple(sorted(e["partition"])), dkey, ekey, pkey, absent), []
             ).append(e)
 
         parts: list[DataFrame] = []
-        for (layout, dkey, ekey), entries in groups.items():
+        for (layout, dkey, ekey, pkey, absent), entries in groups.items():
             hidden = [k for k in layout if k not in names]
             read_schema = StructType(
                 [
@@ -1562,15 +1937,31 @@ class ParquetTableManager:
                 .schema(read_schema)
                 .parquet(*[os.path.join(self._dir(name), e["path"]) for e in entries])
             )
-            proj = df.select(
-                *[
-                    F.coalesce(F.col(f.name), *[F.col(n) for n in former[f.name]])
-                    .cast(_nested_nullable(f.dataType))
-                    .alias(f.name)
-                    if former[f.name]
-                    else F.col(f.name).cast(_nested_nullable(f.dataType))
-                    for f in schema.fields
+            pos_dels = json.loads(pkey)
+            meta_cols = (
+                [
+                    F.col("_metadata.file_name").alias("_file_name"),
+                    F.col("_metadata.row_index").alias("_pos"),
                 ]
+                if (with_positions or pos_dels)
+                else []
+            )
+            def _field_expr(f: StructField) -> Column:
+                if f.name in absent:
+                    v, dt = dflt[f.name]
+                    return F.lit(v).cast(_nested_nullable(dt)).alias(f.name)
+                if former[f.name]:
+                    return (
+                        F.coalesce(
+                            F.col(f.name), *[F.col(n) for n in former[f.name]]
+                        )
+                        .cast(_nested_nullable(f.dataType))
+                        .alias(f.name)
+                    )
+                return F.col(f.name).cast(_nested_nullable(f.dataType))
+
+            proj = df.select(
+                *[_field_expr(f) for f in schema.fields], *meta_cols
             )
             for dw in json.loads(dkey):
                 pred = _predicate([tuple(w) for w in dw])
@@ -1599,6 +1990,27 @@ class ParquetTableManager:
                     on=_null_safe_eq(proj, dels, list(cols)),
                     how="left_anti",
                 )
+            # positional deletes: anti-join on the physical (file, row)
+            # coordinate — applies to exactly the named rows, which is
+            # what lets one of two IDENTICAL rows be removed (a shape no
+            # predicate or key set can express). The delete set is
+            # (file_name, pos) pairs — broadcast-small next to the data.
+            if pos_dels:
+                pd_df = (
+                    self.spark.read.parquet(
+                        *[
+                            os.path.join(self._dir(name), d["path"])
+                            for d in pos_dels
+                        ]
+                    )
+                    .select("_file_name", "_pos")
+                    .distinct()
+                )
+                proj = proj.join(
+                    F.broadcast(pd_df), on=["_file_name", "_pos"], how="left_anti"
+                )
+            if meta_cols and not with_positions:
+                proj = proj.drop("_file_name", "_pos")
             parts.append(proj)
         out = parts[0]
         for p in parts[1:]:
@@ -2063,6 +2475,28 @@ class ParquetTableManager:
                         how="left_semi",
                     )
                     dels = hit if dels is None else dels.unionByName(hit)
+                # positional deletes: parent-visible rows of the file at
+                # the newly-deleted (file, row) coordinates
+                old_p = len(pe.get("pos_deletes", []))
+                new_pos = e.get("pos_deletes", [])[old_p:]
+                if new_pos:
+                    pk = (
+                        self.spark.read.parquet(
+                            *[
+                                os.path.join(self._dir(name), d["path"])
+                                for d in new_pos
+                            ]
+                        )
+                        .select("_file_name", "_pos")
+                        .distinct()
+                    )
+                    base = self._read_files(
+                        name, pm, [pe], with_positions=True
+                    )
+                    hit = base.join(
+                        F.broadcast(pk), on=["_file_name", "_pos"], how="left_semi"
+                    ).drop("_file_name", "_pos")
+                    dels = hit if dels is None else dels.unionByName(hit)
             if ins is not None and dels is not None:
                 ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
             for df, tag in ((ins, "insert"), (dels, "delete")):
@@ -2114,10 +2548,12 @@ class ParquetTableManager:
         ]
         def _paths(entry: dict) -> list[str]:
             # a manifest entry references its data file AND any
-            # equality-delete files attached to it — both are live
-            return [entry["path"]] + [
-                d["path"] for d in entry.get("eq_deletes", [])
-            ]
+            # equality-/position-delete files attached to it — all live
+            return (
+                [entry["path"]]
+                + [d["path"] for d in entry.get("eq_deletes", [])]
+                + [d["path"] for d in entry.get("pos_deletes", [])]
+            )
 
         live: set[str] = set()
         for v in keep:

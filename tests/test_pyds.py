@@ -189,3 +189,31 @@ def test_datasource_rolls_pending_txn_forward(mgr, spark):
     assert seq
     got = sorted(r[1] for r in _rows(_load(spark, mgr, "p")))
     assert got == ["B2", "a", "c"]
+
+
+def test_pushdown_prunes_through_bloom_index(mgr, spark):
+    """The connector's pushFilters goes through the same _may_match as
+    manager.scan — so a bloom-indexed column prunes files at PLAN time
+    through the DataSource too (value interleaved across appends: stats
+    cannot prune, only the per-file Bloom filter can)."""
+    from iceberg_poc_spark.tables.manager import BLOOM_COLS_PROP
+
+    mgr.create_table("tb", EVENTS_SCHEMA, [])
+    mgr.set_properties("tb", {BLOOM_COLS_PROP: "value"})
+    ev = make_events(spark, 120)
+    for k in range(4):  # value = i*10; slice i%4 spans the full range
+        mgr.append("tb", ev.filter((F.col("value") / 10) % 4 == k))
+    reader = SnapTableReader(
+        {"warehouse": mgr.warehouse, "table": "tb"}, EVENTS_SCHEMA
+    )
+    total = len(reader._files)
+    assert total >= 4
+    reader.pushFilters([EqualTo(("value",), 250)])  # i=25 -> one slice
+    assert 1 <= len(reader._files) <= 2
+    got = _load(spark, mgr, "tb").filter(F.col("value") == 250)
+    assert got.count() == 1
+    miss = SnapTableReader(
+        {"warehouse": mgr.warehouse, "table": "tb"}, EVENTS_SCHEMA
+    )
+    miss.pushFilters([EqualTo(("value",), 255)])  # never written
+    assert len(miss._files) == 0

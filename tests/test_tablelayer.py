@@ -527,3 +527,215 @@ def test_meta_count_mor_split_is_meaningful(spark):
     raw = load_table(spark, SF_DIR, "orders")
     n_raw_other = raw.filter(F.year("o_orderdate") != 1997).count()
     assert n_meta == n_raw_other
+
+
+def test_bloom_index_prunes_point_lookups(spark):
+    """Per-file Bloom index: the 3-id lookup plans only the files whose
+    filter admits an id (no partition/bucket/stats help exists on
+    docs_blm by construction); an absent id plans zero files; planned
+    files never lose a matching row."""
+    mgr, _snaps = tablelayer._setup_docs_blm(spark, SF_DIR)
+    df, planned, total = mgr.scan(
+        "docs_blm", where=[("doc_id", "in", tablelayer.BLM_LOOKUP_IDS)]
+    )
+    assert total >= tablelayer.BLM_SLICES
+    # each id lives in exactly one slice-file (+ tiny fp slack)
+    assert planned <= len(tablelayer.BLM_LOOKUP_IDS) + 1
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == sorted(tablelayer.BLM_LOOKUP_IDS)
+    # definite absence: never-inserted key -> zero files planned
+    _df, p_miss, _t = mgr.scan("docs_blm", where=[("doc_id", "==", 10**12)])
+    assert p_miss == 0
+    # stats alone could NOT have pruned: each file spans ~the full range
+    m = mgr._load_manifest("docs_blm")
+    lo = min(e["stats"]["doc_id"][0] for e in m["files"])
+    hi = max(e["stats"]["doc_id"][1] for e in m["files"])
+    for e in m["files"]:
+        s = e["stats"]["doc_id"]
+        assert s[0] <= lo + tablelayer.BLM_SLICES
+        assert s[1] >= hi - tablelayer.BLM_SLICES
+        assert "doc_id" in e.get("bloom", {})
+
+
+def test_constraint_rejection_is_atomic_and_orphan_free(spark):
+    """A rejected batch must leave NO trace: head unmoved (asserted in
+    the setup itself), no new snapshot, and no orphan parquet under
+    data/ beyond what the committed manifests reference."""
+    import os
+
+    mgr, snaps = tablelayer._setup_docs_cons(spark, SF_DIR)
+    m = mgr._load_manifest("docs_cons")
+    # final state holds every raw row exactly once
+    assert (
+        mgr.read("docs_cons").count()
+        == load_table(spark, SF_DIR, "documents").count()
+    )
+    # every file on disk is referenced by the current manifest or an
+    # ancestor (no stranded files from the rejected append)
+    referenced = set()
+    for v in mgr._ancestors("docs_cons", m["version"]):
+        mv = mgr._load_manifest("docs_cons", v)
+        referenced |= {e["path"] for e in mv["files"]}
+        referenced |= {
+            d["path"] for e in mv["files"] for d in e.get("deletes", [])
+        }
+    droot = mgr._dir("docs_cons")
+    on_disk = set()
+    for root, _dirs, files in os.walk(os.path.join(droot, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), droot))
+    assert on_disk <= referenced
+    # violation counts are per-check and precise
+    from iceberg_poc_spark.tables.manager import ConstraintViolation
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    poisoned = docs.withColumn("n_chars", F.lit(-1))
+    try:
+        mgr.append("docs_cons", poisoned)
+        raise AssertionError("poisoned batch committed")
+    except ConstraintViolation as e:
+        assert "len_nonneg" in str(e) and "5 row(s)" in str(e)
+
+
+def test_positional_delete_surgical_and_zero_rewrite(spark):
+    """Positional deletes: identical-twin rows are separated (exactly one
+    copy survives), no data file is rewritten by the delete commit, the
+    changelog renders exactly the duplicate rows as deletes, time travel
+    still shows the dup state, and rewrite_deletes folds it all in."""
+    mgr, snaps = tablelayer._setup_ev_pd(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    n_raw = ev.count()
+    n_extra = ev.filter(
+        F.col("event_id") % tablelayer.PD_DUP_MOD == 0
+    ).count()
+    # dup state existed, fixed state is exactly the raw corpus
+    assert snaps["n_dup"] == n_raw + n_extra
+    fixed = mgr.read("ev_pd")
+    assert fixed.count() == n_raw
+    assert fixed.select("event_id").distinct().count() == n_raw
+    # zero rewrite: the delete commit kept every data file path
+    m_dup = mgr._load_manifest("ev_pd", snaps["snap_dup"])
+    m_fix = mgr._load_manifest("ev_pd", snaps["snap_fixed"])
+    assert {e["path"] for e in m_dup["files"]} == {
+        e["path"] for e in m_fix["files"]
+    }
+    assert any(e.get("pos_deletes") for e in m_fix["files"])
+    # time travel: the dup snapshot still shows the duplicates
+    assert mgr.read("ev_pd", snapshot_id=snaps["snap_dup"]).count() == (
+        n_raw + n_extra
+    )
+    # changelog of the fix commit: exactly the n_extra dup rows, as deletes
+    cl = mgr.changelog("ev_pd", snaps["snap_dup"], snaps["snap_fixed"])
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": n_extra}
+    deleted_ids = {r["event_id"] for r in cl.select("event_id").collect()}
+    assert all(i % tablelayer.PD_DUP_MOD == 0 for i in deleted_ids)
+    # rewrite_deletes folds: same rows, no pos_deletes left
+    mgr.rewrite_deletes("ev_pd")
+    m2 = mgr._load_manifest("ev_pd")
+    assert not any(e.get("pos_deletes") for e in m2["files"])
+    assert mgr.read("ev_pd").count() == n_raw
+
+
+def test_initial_default_is_metadata_only_and_presence_based(spark):
+    """ADD COLUMN ... DEFAULT: the add rewrites nothing (file path
+    identity across the commit), pre-add files read the default,
+    post-add files keep genuine NULLs — and a rename of the defaulted
+    column keeps the default resolving."""
+    mgr, _snaps = tablelayer._setup_orders_def(spark, SF_DIR)
+    # metadata-only: every pre-add data file survives the add + the
+    # later append (the add itself added no files either)
+    versions = sorted(
+        mgr._ancestors("orders_def", mgr._current_version("orders_def"))
+    )
+    m_first_append = mgr._load_manifest("orders_def", versions[1])
+    m_head = mgr._load_manifest("orders_def")
+    pre_paths = {e["path"] for e in m_first_append["files"]}
+    assert pre_paths <= {e["path"] for e in m_head["files"]}
+    # presence-based: pre-add files lack the column in their recorded
+    # writer schema; post-add files carry it
+    pre = [e for e in m_head["files"] if e["path"] in pre_paths]
+    post = [e for e in m_head["files"] if e["path"] not in pre_paths]
+    assert post and all("o_channel" in e["cols"] for e in post)
+    assert all("o_channel" not in e["cols"] for e in pre)
+    # rename keeps the default bound (metadata travels with the field)
+    mgr.rename_column("orders_def", "o_channel", "o_chan")
+    got = {
+        r["o_chan"]
+        for r in mgr.read("orders_def").select("o_chan").distinct().collect()
+    }
+    assert got == {"LEGACY", "ONLINE", None}
+    mgr.rename_column("orders_def", "o_chan", "o_channel")
+
+
+def test_update_mor_zero_rewrite_and_changelog_pairs(spark):
+    """MoR update: the commit keeps every pre-existing data file
+    (positional delete + new files only), reads show updated values, and
+    the changelog renders exactly one delete+insert pair per matched
+    row."""
+    mgr, snaps = tablelayer._setup_ev_um(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    n_raw = ev.count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    m_base = mgr._load_manifest("ev_um", snaps["snap_base"])
+    m_upd = mgr._load_manifest("ev_um", snaps["snap_upd"])
+    base_paths = {e["path"] for e in m_base["files"]}
+    upd_paths = {e["path"] for e in m_upd["files"]}
+    assert base_paths <= upd_paths  # nothing rewritten or removed
+    assert len(upd_paths) > len(base_paths)  # updated copies landed
+    assert any(
+        e.get("pos_deletes") for e in m_upd["files"] if e["path"] in base_paths
+    )
+    got = mgr.read("ev_um")
+    assert got.count() == n_raw
+    # every purchase row carries the bump exactly once
+    joined = (
+        got.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("value").alias("v_new"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "value"
+            ),
+            "event_id",
+        )
+    )
+    assert joined.count() == n_purch
+    assert (
+        joined.filter(
+            F.abs(F.col("v_new") - F.col("value") - tablelayer.UM_BUMP) > 1e-9
+        ).count()
+        == 0
+    )
+    cl = mgr.changelog("ev_um", snaps["snap_base"], snaps["snap_upd"])
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": n_purch, "insert": n_purch}
+
+
+def test_bloom_index_recomputed_by_compaction(spark, tmp_path):
+    """Every write path recomputes the Bloom index from table properties
+    — a compaction's rewritten files carry fresh filters and point
+    lookups keep pruning afterwards."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+    from iceberg_poc_spark.tables.manager import BLOOM_COLS_PROP
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mgr.create_table("blm_cmp", docs.schema, [])
+    mgr.set_properties("blm_cmp", {BLOOM_COLS_PROP: "doc_id"})
+    for k in range(4):
+        mgr.append("blm_cmp", docs.filter(F.col("doc_id") % 4 == k))
+    mgr.compact("blm_cmp")  # full rewrite into target-size files
+    m = mgr._load_manifest("blm_cmp")
+    assert m["operation"] in ("replace", "rewrite-data-files")
+    assert all("doc_id" in e.get("bloom", {}) for e in m["files"])
+    df, planned, total = mgr.scan("blm_cmp", where=[("doc_id", "==", 10**12)])
+    assert planned == 0 and total >= 1
