@@ -2350,3 +2350,66 @@ def q_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def _setup_docs_cw(spark: SparkSession, sf_dir: str) -> tuple:
+    """docs_cw: the table is POPULATED entirely through the connector's
+    write path — two df.write.format('snaptable') appends (each one
+    atomic snapshot staged by executor tasks and committed by the
+    driver), one of them racing nothing but still exercising the CAS
+    rebase — then read back through the manager."""
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_cw")
+    if key in _READY:
+        return mgr, _READY[key]
+    register_snaptable(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    mgr.create_table("docs_cw", docs.schema, [])
+    for half in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == half)
+            .write.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "docs_cw")
+            .mode("append")
+            .save()
+        )
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_connector_write",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="The WRITE half of the connector face (≙ Iceberg's DataSourceV2 "
+    "batch write; completes q_scan_pyds' read half): docs_cw is "
+    "populated ONLY through df.write.format('snaptable') — executor "
+    "tasks stream Arrow batches into invisible staged parquet, the "
+    "driver commit() collects stats, builds any configured Bloom "
+    "indexes, enforces CHECK constraints over the still-invisible "
+    "batch, and CAS-publishes ONE snapshot per save() (two appends "
+    "here = two snapshots; atomic-abort staging cleanup and "
+    "constraint rejection on this path are asserted in "
+    "tests/test_pyds.py). Read back through manager.read, the table "
+    "must equal the raw corpus exactly. With this, every access path "
+    "of the table layer — manager API, SQL views, DataSource read, "
+    "DataSource write — goes through the same snapshot-commit "
+    "machinery.",
+)
+def q_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_docs_cw(spark, sf_dir)
+    df = mgr.read("docs_cw")
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )

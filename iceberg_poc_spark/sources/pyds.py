@@ -31,6 +31,7 @@ from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -40,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -331,6 +333,193 @@ class SnapTableStreamReader(DataSourceStreamReader):
         pass
 
 
+class _StagedFiles(WriterCommitMessage):
+    """Commit message: the parquet files one task staged."""
+
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class SnapTableWriter(DataSourceArrowWriter):
+    """``df.write.format("snaptable").mode("append"|"overwrite")`` — the
+    WRITE half of the connector face (≙ Iceberg's DataSourceV2 batch
+    write): executor tasks stream their Arrow batches into staged parquet
+    files (invisible under ``_staging/``), and the driver-side
+    ``commit()`` turns the staged set into ONE atomic snapshot — stats
+    collected per file, Bloom indexes built per the table's
+    ``index.bloom.*`` properties, CHECK constraints enforced over the
+    staged batch before anything becomes visible, and the manifest CAS'd
+    exactly like :meth:`ParquetTableManager.append`. A failed job
+    ``abort()``s by deleting the staging dir; readers never see a partial
+    write.
+
+    Scope: unpartitioned tables (the Python DataSource API exposes no
+    engine-side transform routing; a hidden-partitioned fan-out write
+    would be per-row Python — the slow path. Partitioned ingest goes
+    through ``manager.append``, which routes partitions with a JVM-side
+    repartition)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        manifest, table_dir = _resolve_manifest(options)
+        if manifest["spec"]:
+            raise ValueError(
+                "snaptable write supports unpartitioned tables; use "
+                "manager.append for hidden-partitioned ingest (JVM-side "
+                "partition routing)"
+            )
+        import uuid as _uuid
+
+        self._table_dir = table_dir
+        self._warehouse = options["warehouse"]
+        self._table = options["table"]
+        self._overwrite = overwrite
+        self._cols = [f["name"] for f in manifest["schema"]["fields"]]
+        self._staging = os.path.join(
+            table_dir, "_staging", f"dsw-{_uuid.uuid4().hex}"
+        )
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"{_uuid.uuid4().hex}.parquet")
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    path, batch.schema, compression="zstd"
+                )
+            writer.write_batch(batch)
+        if writer is None:
+            return _StagedFiles([])  # empty task: nothing staged
+        writer.close()
+        return _StagedFiles([path])
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+    def commit(self, messages) -> None:
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from iceberg_poc_spark.tables.manager import (
+            BLOOM_COLS_PROP,
+            BLOOM_DEFAULT_BITS,
+            BLOOM_DEFAULT_HASHES,
+            BLOOM_HASHES_PROP,
+            BLOOM_BITS_PROP,
+            CONSTRAINT_PROP_PREFIX,
+            ConstraintViolation,
+            _bloom_build,
+            _collect_column_stats,
+        )
+
+        staged = [p for msg in messages if msg for p in msg.files]
+        # the commit callback runs in a Python worker with no Spark
+        # session; manifest ops below are pure JSON/OS, and the CHECK
+        # gate evaluates over the staged parquet with DuckDB (constraint
+        # expressions stay in the SQL subset both engines share — the
+        # same discipline the oracle twins already impose)
+        mgr = ParquetTableManager(None, self._warehouse)
+        props = mgr.properties(self._table)
+        checks = {
+            k[len(CONSTRAINT_PROP_PREFIX):]: v
+            for k, v in props.items()
+            if k.startswith(CONSTRAINT_PROP_PREFIX)
+        }
+        if staged and checks:
+            import duckdb
+
+            plist = "[" + ", ".join(f"'{p}'" for p in staged) + "]"
+            bad = {}
+            for cname, expr in checks.items():
+                n = duckdb.sql(
+                    f"SELECT CAST(COUNT(*) AS BIGINT) FROM "
+                    f"read_parquet({plist}) "
+                    f"WHERE ({expr}) IS DISTINCT FROM TRUE"
+                ).fetchone()[0]
+                if n:
+                    bad[cname] = n
+            if bad:
+                self._cleanup()
+                detail = ", ".join(
+                    f"{c!r} ({checks[c]}): {n} row(s)"
+                    for c, n in sorted(bad.items())
+                )
+                raise ConstraintViolation(
+                    f"ingest into {self._table!r} rejected — check "
+                    f"constraint(s) violated: {detail}"
+                )
+        bloom_cols = [
+            c.strip()
+            for c in props.get(BLOOM_COLS_PROP, "").split(",")
+            if c.strip()
+        ]
+        bloom_bits = max(
+            64, int(props.get(BLOOM_BITS_PROP, BLOOM_DEFAULT_BITS)) // 8 * 8
+        )
+        bloom_k = int(props.get(BLOOM_HASHES_PROP, BLOOM_DEFAULT_HASHES))
+        data_root = os.path.join(self._table_dir, "data")
+        os.makedirs(data_root, exist_ok=True)
+        entries: list[dict] = []
+        for src in staged:
+            dst = os.path.join(data_root, f"{_uuid.uuid4().hex}.parquet")
+            os.replace(src, dst)
+            md = pq.ParquetFile(dst).metadata
+            entry = {
+                "path": os.path.relpath(dst, self._table_dir),
+                "partition": {},
+                "records": md.num_rows,
+                "bytes": os.path.getsize(dst),
+                "stats": _collect_column_stats(md),
+                "cols": list(self._cols),
+            }
+            present = [
+                c for c in bloom_cols if c in md.schema.to_arrow_schema().names
+            ]
+            if present:
+                tbl = pq.read_table(dst, columns=present)
+                entry["bloom"] = {
+                    c: {
+                        "m": bloom_bits,
+                        "k": bloom_k,
+                        "b": _bloom_build(
+                            tbl.column(c).to_pylist(), bloom_bits, bloom_k
+                        ),
+                    }
+                    for c in present
+                }
+            entries.append(entry)
+        self._cleanup()
+        m = mgr._load_manifest(self._table)
+        if self._overwrite:
+            m["files"] = entries
+            m["operation"] = "overwrite"
+            m["parent"] = m["version"]
+            mgr._commit(self._table, m)
+            return
+        m["files"] = m["files"] + entries
+        m["operation"] = "append"
+        m["parent"] = m["version"]
+
+        def rebase(cur_m: dict) -> dict:
+            out = dict(cur_m)
+            out["files"] = cur_m["files"] + entries
+            out["operation"] = "append"
+            out["parent"] = cur_m["version"]
+            return out
+
+        mgr._commit(self._table, m, rebase=rebase)
+
+
 class SnapTableDataSource(DataSource):
     """``spark.read.format("snaptable").option("warehouse", w)
     .option("table", t)[.option("snapshot", id) | .option("ref", name)
@@ -366,6 +555,9 @@ class SnapTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapTableStreamReader:
         return SnapTableStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapTableWriter:
+        return SnapTableWriter(self.options, schema, overwrite)
 
 
 def register_snaptable(spark) -> None:

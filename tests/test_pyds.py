@@ -217,3 +217,72 @@ def test_pushdown_prunes_through_bloom_index(mgr, spark):
     )
     miss.pushFilters([EqualTo(("value",), 255)])  # never written
     assert len(miss._files) == 0
+
+
+def test_connector_write_appends_atomic_snapshots(mgr, spark):
+    """df.write.format('snaptable'): each save() is one snapshot; an
+    overwrite replaces the table; a constraint-violating batch aborts
+    with the staging dir cleaned and the table byte-identical; a
+    partitioned table is rejected with a clear error."""
+    import os
+
+    from iceberg_poc_spark.tables.manager import (
+        BLOOM_COLS_PROP,
+        CONSTRAINT_PROP_PREFIX,
+    )
+
+    ev = make_events(spark, 60)
+    mgr.create_table("w", EVENTS_SCHEMA, [])
+    mgr.set_properties(
+        "w",
+        {
+            CONSTRAINT_PROP_PREFIX + "val_pos": "value >= 0",
+            BLOOM_COLS_PROP: "value",
+        },
+    )
+
+    def save(df, mode="append"):
+        (
+            df.write.format("snaptable")
+            .option("warehouse", mgr.warehouse)
+            .option("table", "w")
+            .mode(mode)
+            .save()
+        )
+
+    save(ev.filter(F.col("value") < 300))
+    save(ev.filter(F.col("value") >= 300))
+    assert mgr.read("w").count() == 60
+    # one snapshot per save (plus create + set-properties)
+    ops = [r["operation"] for r in mgr.snapshots("w").collect()]
+    assert ops.count("append") == 2
+    # connector-written files carry stats AND the configured bloom index
+    m = mgr._load_manifest("w")
+    assert all("value" in e["stats"] for e in m["files"])
+    assert all("value" in e.get("bloom", {}) for e in m["files"])
+    _df, planned, total = mgr.scan("w", where=[("value", "==", 10**15)])
+    assert planned == 0 and total >= 2
+    # constraint rejection: atomic, orphan-free
+    v_before = mgr._current_version("w")
+    bad = make_events(spark, 5).withColumn("value", F.lit(-7).cast("long"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="val_pos"):
+        save(bad)
+    assert mgr._current_version("w") == v_before
+    assert mgr.read("w").count() == 60
+    staging = os.path.join(mgr.warehouse, "w", "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+    # overwrite mode replaces the table in one snapshot
+    save(ev.filter(F.col("value") < 100), mode="overwrite")
+    assert mgr.read("w").count() == 10
+    # partitioned tables are rejected on this path
+    mgr.create_table("wp", EVENTS_SCHEMA, [identity("tenant_id")])
+    with _pytest.raises(Exception, match="unpartitioned"):
+        (
+            ev.write.format("snaptable")
+            .option("warehouse", mgr.warehouse)
+            .option("table", "wp")
+            .mode("append")
+            .save()
+        )
