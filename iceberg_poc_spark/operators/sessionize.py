@@ -893,3 +893,72 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "live_sliding", output_mode="complete")
     return spark.table("live_sliding").withColumn("n", F.col("n").cast("bigint"))
+
+
+def _setup_events_sink(spark: SparkSession, sf_dir: str):
+    """events_sink: the NATIVE streaming table sink, once per process per
+    sf_dir: readStream over events parquet -> writeStream.format(
+    'snaptable') -> one atomic snapshot per micro-batch, each commit
+    recording its epoch id in the table properties (the idempotence
+    marker a replayed epoch is skipped by)."""
+    import os
+
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.sources import table_path
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+    from iceberg_poc_spark.streaming.pipelines import load_events_stream
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_sink")
+    if key in _READY:
+        return mgr
+    register_snaptable(spark)
+    stream = load_events_stream(spark, table_path(sf_dir, "events"))
+    mgr.create_table("events_sink", stream.schema, [])
+    q = (
+        stream.writeStream.format("snaptable")
+        .option("warehouse", wh)
+        .option("table", "events_sink")
+        .option("checkpointLocation", os.path.join(wh, "_ckpt_events_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_stream_connector_sink",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           strftime(MAX(ts), '{_FMT_DUCK}.%f') AS last_ts
+    FROM events
+    GROUP BY 1
+    """,
+    doc="LIVE streaming through the NATIVE connector sink behind the "
+    "differential gate (≙ Iceberg's streaming write; completes "
+    "q_stream_live_to_table, whose sink is a foreachBatch wrapper): "
+    "writeStream.format('snaptable') drains the events stream under "
+    "Trigger.AvailableNow, executor tasks staging Arrow batches and the "
+    "driver committing ONE snapshot per micro-batch with the epoch id "
+    "recorded in the SAME commit — so a crash-restart replaying an "
+    "epoch is detected from the table itself and skipped (exactly-once "
+    "TABLE state from at-least-once delivery; restart-resume and "
+    "replay-skip are separately proven in tests/test_pyds.py). The "
+    "table read back through manager.read must match the oracle's "
+    "aggregate over raw events at microsecond ts fidelity. With this, "
+    "the connector face is symmetric: batch read, batch write, changes "
+    "stream, and streaming sink all cross the same snapshot-commit "
+    "machinery.",
+)
+def q_stream_connector_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_events_sink(spark, sf_dir)
+    df = mgr.read("events_sink")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.max("ts"), _FMT_SPARK + ".SSSSSS").alias("last_ts"),
+    )

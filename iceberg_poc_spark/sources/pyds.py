@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -333,6 +334,12 @@ class SnapTableStreamReader(DataSourceStreamReader):
         pass
 
 
+# table property recording the last streaming epoch committed through the
+# native sink — the idempotence marker that makes micro-batch replays
+# (crash-restart under the same checkpoint) exactly-once in TABLE state
+STREAM_EPOCH_PROP = "streaming.last-epoch"
+
+
 class _StagedFiles(WriterCommitMessage):
     """Commit message: the parquet files one task staged."""
 
@@ -406,6 +413,14 @@ class SnapTableWriter(DataSourceArrowWriter):
         self._cleanup()
 
     def commit(self, messages) -> None:
+        staged = [p for msg in messages if msg for p in msg.files]
+        self._publish(staged)
+
+    def _publish(self, staged: list[str], epoch: int | None = None) -> None:
+        """Validate, move, and atomically commit the staged files as one
+        snapshot. ``epoch`` (streaming) is recorded in the table
+        properties inside the SAME commit — the idempotence marker a
+        replayed micro-batch is skipped by."""
         import uuid as _uuid
 
         import pyarrow.parquet as pq
@@ -421,8 +436,6 @@ class SnapTableWriter(DataSourceArrowWriter):
             _bloom_build,
             _collect_column_stats,
         )
-
-        staged = [p for msg in messages if msg for p in msg.files]
         # the commit callback runs in a Python worker with no Spark
         # session; manifest ops below are pure JSON/OS, and the CHECK
         # gate evaluates over the staged parquet with DuckDB (constraint
@@ -499,12 +512,21 @@ class SnapTableWriter(DataSourceArrowWriter):
                 }
             entries.append(entry)
         self._cleanup()
+
+        def stamp(man: dict) -> dict:
+            if epoch is not None:
+                man["properties"] = {
+                    **man.get("properties", {}),
+                    STREAM_EPOCH_PROP: str(epoch),
+                }
+            return man
+
         m = mgr._load_manifest(self._table)
         if self._overwrite:
             m["files"] = entries
             m["operation"] = "overwrite"
             m["parent"] = m["version"]
-            mgr._commit(self._table, m)
+            mgr._commit(self._table, stamp(m))
             return
         m["files"] = m["files"] + entries
         m["operation"] = "append"
@@ -515,9 +537,37 @@ class SnapTableWriter(DataSourceArrowWriter):
             out["files"] = cur_m["files"] + entries
             out["operation"] = "append"
             out["parent"] = cur_m["version"]
-            return out
+            return stamp(out)
 
-        mgr._commit(self._table, m, rebase=rebase)
+        mgr._commit(self._table, stamp(m), rebase=rebase)
+
+
+class SnapTableStreamWriter(SnapTableWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("snaptable")`` — the NATIVE streaming sink
+    (≙ Iceberg's streaming write): every micro-batch lands as ONE atomic
+    snapshot, and the committing snapshot records its epoch id in the
+    table properties, so a replayed micro-batch (crash-restart under the
+    same checkpoint re-running epoch N) is detected and skipped — at
+    least-once delivery from the engine becomes exactly-once TABLE
+    state, the same guarantee the foreachBatch sink
+    (streaming/pipelines.run_to_table) gets from the checkpoint, but
+    carried by the table itself. One streaming writer per table (the
+    epoch marker is table-scoped), matching the single-writer discipline
+    streaming table sinks assume."""
+
+    def commit(self, messages, batchId: int) -> None:
+        from iceberg_poc_spark.tables.manager import ParquetTableManager
+
+        mgr = ParquetTableManager(None, self._warehouse)
+        last = mgr.properties(self._table).get(STREAM_EPOCH_PROP)
+        if last is not None and int(last) >= batchId:
+            self._cleanup()  # replayed epoch: already committed, skip
+            return
+        staged = [p for msg in messages if msg for p in msg.files]
+        self._publish(staged, epoch=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup()
 
 
 class SnapTableDataSource(DataSource):
@@ -558,6 +608,11 @@ class SnapTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapTableWriter:
         return SnapTableWriter(self.options, schema, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> SnapTableStreamWriter:
+        return SnapTableStreamWriter(self.options, schema, overwrite)
 
 
 def register_snaptable(spark) -> None:

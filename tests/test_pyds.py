@@ -286,3 +286,60 @@ def test_connector_write_appends_atomic_snapshots(mgr, spark):
             .mode("append")
             .save()
         )
+
+
+def test_stream_writer_exactly_once_across_restarts(mgr, spark, tmp_path):
+    """writeStream.format('snaptable'): each micro-batch is one
+    snapshot; a restart under the same checkpoint with nothing new
+    commits nothing; new files land as the next epoch only; a forced
+    REPLAY of an already-recorded epoch is skipped from the table's own
+    epoch marker (no checkpoint needed to dedup it)."""
+    import os
+
+    from iceberg_poc_spark.sources.pyds import (
+        STREAM_EPOCH_PROP,
+        SnapTableStreamWriter,
+        _StagedFiles,
+    )
+
+    ev = make_events(spark, 40)
+    mgr.create_table("sw", EVENTS_SCHEMA, [])
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ck")
+    ev.filter(F.col("value") < 200).write.parquet(str(src / "a"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.format("snaptable")
+            .option("warehouse", mgr.warehouse)
+            .option("table", "sw")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = mgr.read("sw").count()
+    assert n1 == 20
+    snaps1 = mgr.snapshots("sw").count()
+    drain()  # restart, nothing new: no commit
+    assert mgr.snapshots("sw").count() == snaps1
+    ev.filter(F.col("value") >= 200).write.parquet(str(src / "b"))
+    drain()
+    got = mgr.read("sw")
+    assert got.count() == 40
+    assert got.select("value").distinct().count() == 40
+    last = int(mgr.properties("sw")[STREAM_EPOCH_PROP])
+    # forced replay of an already-committed epoch: skipped, staging clean
+    w = SnapTableStreamWriter(
+        {"warehouse": mgr.warehouse, "table": "sw"}, EVENTS_SCHEMA, False
+    )
+    stale = str(tmp_path / "stale.parquet")
+    ev.limit(3).toPandas().to_parquet(stale)
+    w.commit([_StagedFiles([stale])], last)  # same epoch -> no-op
+    assert mgr.read("sw").count() == 40
+    assert int(mgr.properties("sw")[STREAM_EPOCH_PROP]) == last
