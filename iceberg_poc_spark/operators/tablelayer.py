@@ -2413,3 +2413,116 @@ def q_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+SW_LO, SW_HI = 400, 700  # n_chars range scan that clustering must prune
+
+
+def _setup_docs_sw(spark: SparkSession, sf_dir: str) -> tuple:
+    """docs_sw: declared clustering — write.sort-order=n_chars +
+    write.distribution-mode=range — so the very first append lands
+    range-disjoint, stats-tight files with NO compaction pass."""
+    from iceberg_poc_spark.tables.manager import (
+        DISTRIBUTION_PROP,
+        SORT_ORDER_PROP,
+    )
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_sw")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mgr.create_table("docs_sw", docs.schema, [])
+    mgr.set_properties(
+        "docs_sw",
+        {SORT_ORDER_PROP: "n_chars", DISTRIBUTION_PROP: "range"},
+    )
+    mgr.append("docs_sw", docs)
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_sorted_write",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars BETWEEN {SW_LO} AND {SW_HI}
+    GROUP BY 1
+    """,
+    doc="Declared write clustering (≙ Iceberg table properties "
+    "write.sort-order + write.distribution-mode=range; the INGEST-time "
+    "counterpart to q_zorder_prune's compaction-time clustering): with "
+    "the properties set, every append range-repartitions on n_chars and "
+    "sorts within tasks, so each data file covers a DISJOINT n_chars "
+    "range from the very first commit — and a range scan on this "
+    "non-partition column prunes most files at the manifest with no "
+    "compaction ever run (planned<total asserted in "
+    "tests/test_tablelayer.py, plus per-file range disjointness). At "
+    "100 TB this is the difference between clustering paid "
+    "incrementally at write time and a petabyte rewrite later; the "
+    "residual row filter still applies, so the oracle's BETWEEN "
+    "aggregate must match exactly.",
+)
+def q_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_docs_sw(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "docs_sw",
+        where=[("n_chars", ">=", SW_LO), ("n_chars", "<=", SW_HI)],
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_meta_count_pos",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+    """,
+    doc="Metadata-EXACT count under outstanding POSITIONAL deletes — the "
+    "arithmetic q_meta_count_mor cannot do for its predicate/equality "
+    "deletes (those need a scan of the dirty files to know how many "
+    "rows they kill): a position-delete file names exact (file, row) "
+    "coordinates, so each file's live count is records minus its "
+    "attached coordinate count — pure manifest + delete-file metadata, "
+    "ZERO data files opened (the delete files are O(delete set), "
+    "kilobytes). Computed at the PINNED post-delete snapshot of ev_pd "
+    "(time-traveled metadata: the later rewrite_deletes in pytest "
+    "doesn't perturb it), and the double-delivery dups retired by "
+    "q_delete_mor_pos's repair mean the exact count must equal the raw "
+    "corpus — same total as the oracle's COUNT(*). This is precisely "
+    "why Iceberg's count(*) planning stays metadata-only under "
+    "position deletes but degrades to a scan under equality deletes.",
+)
+def q_meta_count_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow.parquet as pq
+
+    mgr, snaps = _setup_ev_pd(spark, sf_dir)
+    m = mgr._load_manifest("ev_pd", snaps["snap_fixed"])
+    cache: dict[str, list] = {}
+    total = 0
+    for e in m["files"]:
+        fn = os.path.basename(e["path"])
+        coords: set = set()
+        for d in e.get("pos_deletes", []):
+            rows = cache.get(d["path"])
+            if rows is None:
+                rows = pq.read_table(
+                    os.path.join(mgr._dir("ev_pd"), d["path"])
+                ).to_pylist()
+                cache[d["path"]] = rows
+            coords |= {
+                (r["_file_name"], r["_pos"])
+                for r in rows
+                if r["_file_name"] == fn
+            }
+        total += int(e["records"]) - len(coords)
+    return spark.createDataFrame([(total,)], "n_events BIGINT")

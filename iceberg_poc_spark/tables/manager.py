@@ -244,6 +244,13 @@ def _collect_column_stats(md) -> dict[str, list]:
 # never a table scan), so the gate costs O(batch) at any table size.
 CONSTRAINT_PROP_PREFIX = "constraints.check."
 
+# declared write clustering (≙ Iceberg write.sort-order /
+# write.distribution-mode): see ParquetTableManager._write_files
+SORT_ORDER_PROP = "write.sort-order"
+DISTRIBUTION_PROP = "write.distribution-mode"
+RANGE_PARTITIONS_PROP = "write.range-partitions"  # explicit range buckets
+RANGE_PARTITIONS_DEFAULT = 8
+
 
 class ConstraintViolation(ValueError):
     """An ingest batch failed a ``constraints.check.*`` table property."""
@@ -867,10 +874,37 @@ class ParquetTableManager:
         inside each task before writing — compaction passes its sort/
         z-order keys here so the clustering survives the partition
         co-location shuffle below (sorting before that shuffle would be
-        undone by it)."""
+        undone by it).
+
+        Declared clustering (≙ Iceberg's ``write.sort-order`` +
+        ``write.distribution-mode=range`` table properties): when the
+        table carries ``write.sort-order`` and no explicit sort is
+        passed, every write sorts within tasks by those columns; with
+        ``write.distribution-mode=range`` an UNPARTITIONED table is
+        additionally range-repartitioned on them first, so each data
+        file covers a disjoint value range and manifest min/max stats
+        prune range scans on a NON-partition column from the first
+        append on — no compaction pass needed."""
         staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
         part_cols = [t.field_name for t in spec]
         data_cols = list(df.columns)  # writer schema, recorded per entry
+        try:
+            props = self.properties(name)
+        except (FileNotFoundError, KeyError):
+            props = {}
+        range_dist = False
+        if sort_within is None:
+            order_cols = [
+                c.strip()
+                for c in props.get(SORT_ORDER_PROP, "").split(",")
+                if c.strip() and c.strip() in data_cols
+            ]
+            if order_cols:
+                sort_within = [F.col(c) for c in order_cols]
+                range_dist = (
+                    props.get(DISTRIBUTION_PROP, "") == "range"
+                    and not part_cols
+                )
         out = df
         for t in spec:
             if t.kind != "identity":
@@ -880,6 +914,16 @@ class ParquetTableManager:
             # partition per append instead of one per (task x partition) —
             # the small-files guard that matters under frequent appends.
             out = out.repartition(*[F.col(c) for c in part_cols])
+        elif range_dist:
+            # explicit bucket count: AQE would coalesce a small range
+            # shuffle into one partition and erase the file-level
+            # disjointness the clustering exists for; at scale this knob
+            # tracks target file size (≙ Iceberg's advisory partition
+            # size under range distribution)
+            n_range = int(
+                props.get(RANGE_PARTITIONS_PROP, RANGE_PARTITIONS_DEFAULT)
+            )
+            out = out.repartitionByRange(n_range, *sort_within)
         if sort_within:
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in part_cols], *sort_within
@@ -896,10 +940,6 @@ class ParquetTableManager:
         # back ONLY the indexed columns of each staged file — a
         # column-pruned, per-file pass, same asymptotics as the stats
         # footer walk below.
-        try:
-            props = self.properties(name)
-        except (FileNotFoundError, KeyError):
-            props = {}
         bloom_cols = [
             c.strip()
             for c in props.get(BLOOM_COLS_PROP, "").split(",")

@@ -739,3 +739,29 @@ def test_bloom_index_recomputed_by_compaction(spark, tmp_path):
     assert all("doc_id" in e.get("bloom", {}) for e in m["files"])
     df, planned, total = mgr.scan("blm_cmp", where=[("doc_id", "==", 10**12)])
     assert planned == 0 and total >= 1
+
+
+def test_sorted_write_yields_disjoint_stats_tight_files(spark):
+    """Declared clustering: files from one append cover DISJOINT
+    n_chars ranges (no overlap between any two files' [min,max]) and a
+    range scan prunes files without any compaction having run."""
+    mgr, _snaps = tablelayer._setup_docs_sw(spark, SF_DIR)
+    m = mgr._load_manifest("docs_sw")
+    ranges = sorted(
+        tuple(e["stats"]["n_chars"]) for e in m["files"]
+    )
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {ranges}"
+    _df, planned, total = mgr.scan(
+        "docs_sw",
+        where=[
+            ("n_chars", ">=", tablelayer.SW_LO),
+            ("n_chars", "<=", tablelayer.SW_HI),
+        ],
+    )
+    assert planned < total
+    # only one snapshot carries data: clustering came from the WRITE,
+    # not a later rewrite
+    ops = [r["operation"] for r in mgr.snapshots("docs_sw").collect()]
+    assert "replace" not in ops and "rewrite-data-files" not in ops
