@@ -962,3 +962,116 @@ def q_stream_connector_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.date_format(F.max("ts"), _FMT_SPARK + ".SSSSSS").alias("last_ts"),
     )
+
+
+def _setup_table_pipeline(spark: SparkSession, sf_dir: str):
+    """events_bronze -> events_silver: the INCREMENTAL table-to-table
+    streaming pipeline (medallion bronze->silver), once per process per
+    sf_dir. Bronze lands as three append snapshots; drain #1 streams the
+    table's CHANGES (readStream.format('snaptable')) through a filter +
+    derive into the silver snaptable sink; then a LATE fourth append
+    hits bronze and drain #2 resumes from the SAME checkpoint — only the
+    delta flows (offsets are snapshot versions), and the sink's
+    epoch-in-commit marker keeps silver exactly-once across the
+    restart."""
+    import os
+
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_silver")
+    if key in _READY:
+        return mgr, _READY[key]
+    register_snaptable(spark)
+    events = load_table(spark, sf_dir, "events")
+    mgr.create_table("events_bronze", events.schema, [])
+    v0 = mgr._current_version("events_bronze")
+    for chunk in (0, 1, 2):
+        mgr.append(
+            "events_bronze",
+            events.where(F.pmod("event_id", F.lit(4)) == chunk),
+        )
+
+    silver_schema = (
+        events.withColumn("day", F.to_date("ts")).where("value > 50").schema
+    )
+    mgr.create_table("events_silver", silver_schema, [])
+    ckpt = os.path.join(wh, "_ckpt_events_silver")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "events_bronze")
+            .option("from_snapshot", v0)
+            .load()
+            .where("value > 50")
+            .withColumn("day", F.to_date("ts"))
+            .writeStream.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "events_silver")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    mid = {
+        "silver_rows_after_first_drain": mgr.read("events_silver").count(),
+        "silver_version_after_first_drain": mgr._current_version(
+            "events_silver"
+        ),
+    }
+    # the late arrival: a fourth bronze append AFTER the pipeline already
+    # drained once — drain #2 resumes from the checkpointed snapshot
+    # offset and ships only this delta
+    mgr.append(
+        "events_bronze", events.where(F.pmod("event_id", F.lit(4)) == 3)
+    )
+    drain()
+    _READY[key] = mid
+    return mgr, mid
+
+
+@register(
+    "q_stream_table_pipeline",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(CAST(ts AS DATE)) AS last_day
+    FROM events
+    WHERE value > 50
+    GROUP BY 1
+    """,
+    doc="INCREMENTAL table-to-table streaming pipeline — the medallion "
+    "bronze->silver shape every 100 TB lakehouse runs continuously, "
+    "with the connector on BOTH ends: events land in a bronze snaptable "
+    "as three append snapshots, readStream.format('snaptable') streams "
+    "the table's changes (snapshot versions ARE the offsets) through a "
+    "filter + date derivation, and writeStream.format('snaptable') "
+    "commits silver one atomic epoch-marked snapshot per micro-batch. "
+    "Then a LATE fourth append hits bronze and the pipeline re-drains "
+    "from the SAME checkpoint — only the delta flows (no bronze rescan; "
+    "asserted in tests/test_streaming.py along with exactly-once "
+    "event_id uniqueness in silver). The final silver aggregate must "
+    "match the oracle's filtered aggregate over raw events, so a "
+    "dropped delta, a replayed epoch, or timestamp drift through the "
+    "two Arrow crossings breaks the hash. Completes the connector "
+    "story: q_stream_connector_sink proved file->table; this proves "
+    "table->table with checkpoint-resume — the composable unit "
+    "incremental DAGs (silver->gold) are built from.",
+)
+def q_stream_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _mid = _setup_table_pipeline(spark, sf_dir)
+    return (
+        mgr.read("events_silver")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("day").alias("last_day"),
+        )
+    )

@@ -393,3 +393,30 @@ def test_stream_cdc_upsert_sink_converges_to_batch_state(spark, tmp_path):
     ).drop("rn")
     mgr.upsert_equality("users_live", last_batch, ["user_id"])
     assert sorted(map(tuple, mgr.read("users_live").collect())) == want
+
+
+def test_table_pipeline_incremental_and_exactly_once(spark):
+    """Bronze->silver table-to-table pipeline: drain #2 (after the late
+    fourth bronze append) resumes from the checkpoint and ships ONLY the
+    delta — silver grows by exactly the filtered fourth chunk, in new
+    snapshots, with no event_id ever landing twice."""
+    from iceberg_poc_spark.operators.sessionize import _setup_table_pipeline
+
+    mgr, mid = _setup_table_pipeline(spark, SF_DIR)
+    events = batch_events(spark)
+    n_first = events.where(
+        (F.pmod("event_id", F.lit(4)) != 3) & (F.col("value") > 50)
+    ).count()
+    n_late = events.where(
+        (F.pmod("event_id", F.lit(4)) == 3) & (F.col("value") > 50)
+    ).count()
+    assert mid["silver_rows_after_first_drain"] == n_first
+    silver = mgr.read("events_silver")
+    assert silver.count() == n_first + n_late
+    # delta arrived in NEW snapshots (checkpoint-resume appended, never
+    # rewrote), and exactly-once: no duplicate event_ids anywhere
+    assert (
+        mgr._current_version("events_silver")
+        > mid["silver_version_after_first_drain"]
+    )
+    assert silver.select("event_id").distinct().count() == silver.count()
