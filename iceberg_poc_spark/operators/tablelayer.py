@@ -2526,3 +2526,143 @@ def q_meta_count_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         total += int(e["records"]) - len(coords)
     return spark.createDataFrame([(total,)], "n_events BIGINT")
+
+
+def _setup_docs_nn(spark: SparkSession, sf_dir: str):
+    """docs_nn: the incremental-enrichment table — documents land in two
+    waves, the first only PARTIALLY enriched (lang_conf NULL where
+    doc_id % 7 >= 5), the second fully enriched. Each wave's files carry
+    exact per-column null counts in the manifest, so the 'what still
+    needs enriching' scan prunes every fully-enriched file without
+    opening it."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_nn")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wave1 = docs.where(F.pmod("doc_id", F.lit(2)) == 0).withColumn(
+        "lang_conf",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) < 5, F.col("n_chars") / F.lit(1000.0)
+        ),
+    )
+    wave2 = docs.where(F.pmod("doc_id", F.lit(2)) == 1).withColumn(
+        "lang_conf", F.col("n_chars") / F.lit(2000.0)
+    )
+    mgr.create_table("docs_nn", wave1.schema, [])
+    mgr.append("docs_nn", wave1)
+    mgr.append("docs_nn", wave2)
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_scan_null_pruned",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 7 >= 5
+    GROUP BY 1
+    """,
+    doc="IS NULL file pruning from manifest null counts (≙ Iceberg's "
+    "``null_value_counts`` manifest field feeding its evaluator's "
+    "notNull/isNull residuals): the incremental-enrichment query every "
+    "100 TB pipeline runs between passes — 'which rows still lack "
+    "lang_conf?' — against a table where one ingest wave is partially "
+    "enriched and another fully. Every write records exact per-column "
+    "null counts per file, so the IS NULL scan plans ONLY the "
+    "partially-enriched wave's files; the fully-enriched wave is "
+    "skipped at the manifest, zero data files opened (planned<total "
+    "and the planned-set's null counts asserted in "
+    "tests/test_tablelayer.py, along with the dual prunes: IS NOT NULL "
+    "skipping all-null files and comparison predicates skipping "
+    "all-null columns that carry no min/max at all). The oracle "
+    "re-derives the null rows from the enrichment rule, so a file "
+    "wrongly pruned (or a null count drifting from the data) breaks "
+    "the hash.",
+)
+def q_scan_null_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _s = _setup_docs_nn(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "docs_nn", where=[("lang_conf", "isnull", None)]
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_meta_profile",
+    oracle="""
+    WITH conf AS (
+        SELECT CASE WHEN doc_id % 2 = 0
+                    THEN CASE WHEN doc_id % 7 < 5
+                              THEN n_chars / 1000.0 END
+                    ELSE n_chars / 2000.0 END AS lang_conf
+        FROM documents
+    )
+    SELECT 'doc_id' AS col_name,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_v,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(MIN(n_chars) AS VARCHAR),
+           CAST(MAX(n_chars) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lang_conf', CAST(MIN(lang_conf) AS VARCHAR),
+           CAST(MAX(lang_conf) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(lang_conf) AS BIGINT)
+    FROM conf
+    """,
+    doc="Metadata-only column profile (≙ Iceberg's per-column manifest "
+    "stats surfaced as a table — lower_bounds/upper_bounds/"
+    "null_value_counts in the files metadata table): global MIN/MAX/"
+    "null-count for every column of the enrichment table, folded "
+    "ENTIRELY from the manifest's per-file stats — zero data files "
+    "opened, cost O(files) at any table size. This is the profile a "
+    "query planner (or a data-quality monitor) consults before touching "
+    "a 100 TB table: value ranges for CBO selectivity, null densities "
+    "for enrichment-progress tracking. The oracle recomputes all three "
+    "from the raw rows, so a single file whose parquet footer stats "
+    "drifted from its data — or a fold that lost a file — breaks the "
+    "hash. MIN/MAX strings compare the manifest's normalized stat "
+    "values (shortest-repr doubles, raw ints/strings) against DuckDB's "
+    "VARCHAR casts: bit-exact because MIN/MAX are order-independent "
+    "and both engines print shortest round-trip representations.",
+)
+def q_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _s = _setup_docs_nn(spark, sf_dir)
+    m = mgr._load_manifest("docs_nn")
+    files = m["files"]
+    rows = []
+    for col in ["doc_id", "lang", "n_chars", "lang_conf"]:
+        stats = [e["stats"][col] for e in files if col in e.get("stats", {})]
+        nulls = [e["nulls"][col] for e in files if col in e.get("nulls", {})]
+        # every file must carry the column's bounds and null count for
+        # the fold to be exact; a file whose footer lacked them would
+        # force a scan (raise, not assert: must survive python -O)
+        if len(stats) != len(files) or len(nulls) != len(files):
+            raise ValueError(f"incomplete manifest stats for {col}")
+        rows.append(
+            (
+                col,
+                str(min(s[0] for s in stats)),
+                str(max(s[1] for s in stats)),
+                int(sum(nulls)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col_name STRING, min_v STRING, max_v STRING, n_nulls BIGINT"
+    )

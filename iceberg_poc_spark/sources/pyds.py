@@ -40,6 +40,8 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -253,6 +255,13 @@ class SnapTableReader(DataSourceReader):
         exact evaluation."""
         where = []
         for f in filters:
+            if isinstance(f, (IsNull, IsNotNull)) and len(f.attribute) == 1:
+                where.append((
+                    f.attribute[0],
+                    "isnull" if isinstance(f, IsNull) else "notnull",
+                    None,
+                ))
+                continue
             op = _OPS.get(type(f))
             if op is not None and len(f.attribute) == 1:
                 where.append((f.attribute[0], op, f.value))

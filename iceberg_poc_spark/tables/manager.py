@@ -97,9 +97,20 @@ def _norm_stat(v: Any) -> Any:
 
 
 def _stats_may_match(entry: dict, col: str, op: str, lit_v: Any) -> bool:
-    """File-skip test against the manifest's per-file column min/max (the
-    Iceberg column-stats pruning analogue). Conservative on any type
-    mismatch or missing stats."""
+    """File-skip test against the manifest's per-file column min/max and
+    null counts (the Iceberg column-stats / ``null_value_counts`` pruning
+    analogue). Conservative on any type mismatch or missing stats."""
+    nc = (entry.get("nulls") or {}).get(col)
+    if op == "isnull":
+        # a file with ZERO nulls in the column cannot satisfy IS NULL —
+        # the prune that makes "find un-enriched rows" skip every
+        # fully-enriched file at the manifest
+        return nc is None or nc > 0
+    if op == "notnull":
+        return nc is None or nc < entry.get("records", float("inf"))
+    if nc is not None and nc == entry.get("records"):
+        # every value is NULL: no comparison/membership predicate matches
+        return False
     s = (entry.get("stats") or {}).get(col)
     if not s:
         return True
@@ -150,6 +161,8 @@ def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
     if not _bloom_may_match(entry, where):
         return False
     for col, op, lit_v in where:
+        if op in ("isnull", "notnull"):
+            continue  # NULL never maps through a partition transform
         for t in spec:
             if t.source != col or not t.order_preserving:
                 continue
@@ -220,6 +233,29 @@ def _collect_column_stats(md) -> dict[str, list]:
     return {
         k: [mins[k], maxs[k]] for k in mins if k not in dropped
     }
+
+
+def _collect_null_counts(md) -> dict[str, int]:
+    """Per-file null counts for top-level columns, folded over row groups
+    (≙ Iceberg's manifest ``null_value_counts``): drives IS NULL /
+    IS NOT NULL file pruning and lets all-null files skip comparison
+    predicates even though they carry no min/max. Columns missing a
+    null count in ANY row group are omitted (conservative)."""
+    counts: dict[str, int] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            st = c.statistics
+            if st is None or st.null_count is None:
+                dropped.add(name)
+                continue
+            counts[name] = counts.get(name, 0) + int(st.null_count)
+    return {k: v for k, v in counts.items() if k not in dropped}
 
 
 # ------------------------------------------------------- bloom file index
@@ -366,7 +402,11 @@ def _predicate(where: list) -> Column | None:
     pred = None
     for col, op, lit_v in where:
         c = F.col(col)
-        if op == "in":
+        if op == "isnull":
+            p = c.isNull()
+        elif op == "notnull":
+            p = c.isNotNull()
+        elif op == "in":
             p = c.isin(list(lit_v))
         else:
             v = _tz_free_lit(lit_v)
@@ -977,6 +1017,7 @@ class ParquetTableManager:
                     "records": md.num_rows,
                     "bytes": os.path.getsize(dst),
                     "stats": _collect_column_stats(md),
+                    "nulls": _collect_null_counts(md),
                     # writer schema: which table columns this file
                     # physically holds — what decides initial-default
                     # resolution (absent column -> default; present
@@ -2308,8 +2349,12 @@ class ParquetTableManager:
         ``newScan().filter().planTasks()`` analogue (reference #5).
 
         ``where`` is a list of (column, op, literal) with op in
-        {==, >=, <=, >, <, in} (for ``in`` the literal is a list of
-        members); predicates on partition-transform source
+        {==, >=, <=, >, <, in, isnull, notnull} (for ``in`` the literal
+        is a list of members; for isnull/notnull it is ignored — pass
+        None). Null-predicate pruning runs on the manifest's per-file
+        null counts: IS NULL skips zero-null files, IS NOT NULL skips
+        all-null files, and an all-null column fails every comparison
+        even without min/max stats. Predicates on partition-transform source
         columns prune files by their manifest partition values, and ALL
         predicates are still applied row-level as residuals. Equality and
         membership predicates additionally prune through BUCKET

@@ -343,3 +343,31 @@ def test_stream_writer_exactly_once_across_restarts(mgr, spark, tmp_path):
     w.commit([_StagedFiles([stale])], last)  # same epoch -> no-op
     assert mgr.read("sw").count() == 40
     assert int(mgr.properties("sw")[STREAM_EPOCH_PROP]) == last
+
+
+def test_pushdown_prunes_null_predicates(mgr, spark):
+    """Spark's pushed IsNull/IsNotNull shrink the planned file set from
+    the manifest's per-file null counts."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    mgr.create_table("t", EVENTS_SCHEMA)
+    ev = make_events(spark, 60)
+    vcol = F.col("value")
+    mgr.append("t", ev.withColumn(
+        "value", F.when(F.col("tenant_id") % 3 == 0, vcol)
+    ).coalesce(1))  # mixed nulls
+    mgr.append("t", ev.coalesce(1))  # zero nulls
+    r = SnapTableReader(
+        {"warehouse": mgr.warehouse, "table": "t"}, EVENTS_SCHEMA
+    )
+    assert len(r.partitions()) == 2
+    r.pushFilters([IsNull(("value",))])
+    assert len(r.partitions()) == 1
+    r2 = SnapTableReader(
+        {"warehouse": mgr.warehouse, "table": "t"}, EVENTS_SCHEMA
+    )
+    r2.pushFilters([IsNotNull(("value",))])
+    assert len(r2.partitions()) == 2  # both files hold non-null rows
+    # end-to-end through the registered source
+    got = _load(spark, mgr, "t").filter(F.col("value").isNull())
+    assert _rows(got) == _rows(mgr.read("t").filter(F.col("value").isNull()))

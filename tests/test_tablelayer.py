@@ -765,3 +765,56 @@ def test_sorted_write_yields_disjoint_stats_tight_files(spark):
     # not a later rewrite
     ops = [r["operation"] for r in mgr.snapshots("docs_sw").collect()]
     assert "replace" not in ops and "rewrite-data-files" not in ops
+
+
+def test_null_count_pruning_all_three_shapes(spark, tmp_path):
+    """Manifest null counts drive all three prunes: IS NULL skips
+    zero-null files, IS NOT NULL skips all-null files, and a comparison
+    on an all-null column (no min/max stats at all) skips the file."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, F.col("id") * 1.0).alias("v"),
+    )
+    mgr.create_table("t", base.schema, [])
+    mgr.append("t", base.coalesce(1))  # mixed: 25 non-null, 75 null
+    mgr.append("t", spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).coalesce(1))  # fully enriched: zero nulls
+    mgr.append("t", spark.range(200, 300).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    ).coalesce(1))  # all null: parquet writes no min/max for v
+    m = mgr._load_manifest("t")
+    assert sorted(e["nulls"]["v"] for e in m["files"]) == [0, 75, 100]
+
+    df, planned, total = mgr.scan("t", where=[("v", "isnull", None)])
+    assert total == 3 and planned == 2  # zero-null file skipped
+    assert df.count() == 75 + 100
+
+    df, planned, _ = mgr.scan("t", where=[("v", "notnull", None)])
+    assert planned == 2  # all-null file skipped
+    assert df.count() == 25 + 100
+
+    # comparison on the all-null file: pruned by null count alone
+    # (its parquet footer has NO min/max for v, so stats can't do it)
+    all_null = [e for e in m["files"] if e["nulls"]["v"] == 100][0]
+    assert "v" not in all_null.get("stats", {})
+    df, planned, _ = mgr.scan("t", where=[("v", ">=", 0.0)])
+    assert planned == 2
+    assert df.count() == 25 + 100
+
+
+def test_null_pruning_query_plans_only_partial_wave(spark):
+    """q_scan_null_pruned's IS NULL scan plans ONLY files that actually
+    contain nulls — the fully-enriched wave never gets opened."""
+    mgr, _s = tablelayer._setup_docs_nn(spark, SF_DIR)
+    m = mgr._load_manifest("docs_nn")
+    with_nulls = [e for e in m["files"] if e["nulls"]["lang_conf"] > 0]
+    assert 0 < len(with_nulls) < len(m["files"])
+    _df, planned, total = mgr.scan(
+        "docs_nn", where=[("lang_conf", "isnull", None)]
+    )
+    assert total == len(m["files"])
+    assert planned == len(with_nulls)
