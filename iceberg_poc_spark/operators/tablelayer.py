@@ -1049,6 +1049,122 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _setup_txn_rb(spark: SparkSession, sf_dir: str) -> tuple:
+    """fact_rb + dim_rb: base load, a BAD multi-table txn delta
+    (1-URGENT/1997 under shifted keys) committed and then UNDONE with
+    rollback_transaction — one rollback CAS per member table, published
+    as a rollback txn record with the same crash repair as forward
+    applies — then a GOOD delta (2-HIGH/1996) committed and kept. Final
+    state must be base + good delta only."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "fact_rb")
+    if key in _READY:
+        return mgr, _READY[key]
+    from iceberg_poc_spark.tables import years
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    mgr.create_table("fact_rb", orders.schema, [years("o_orderdate")])
+    mgr.create_table("dim_rb", cust.schema, [])
+    mgr.append("fact_rb", orders)
+    mgr.append("dim_rb", cust)
+
+    def deltas(prio: str, year: int, tag: str):
+        src = orders.filter(
+            (F.col("o_orderpriority") == prio)
+            & (F.year("o_orderdate") == year)
+        )
+        d_orders = src.select(
+            (F.col("o_orderkey") + TXN_KEY_OFFSET).alias("o_orderkey"),
+            (F.col("o_custkey") + TXN_CUST_OFFSET).alias("o_custkey"),
+            "o_orderpriority",
+            "o_totalprice",
+            "o_orderdate",
+        )
+        d_cust = src.select(
+            (F.col("o_custkey") + TXN_CUST_OFFSET).alias("c_custkey"),
+            F.concat(
+                F.lit(tag), (F.col("o_custkey") % 3).cast("string")
+            ).alias("c_mktsegment"),
+        ).distinct()
+        return d_orders, d_cust
+
+    bad_o, bad_c = deltas("1-URGENT", 1997, "BAD-")
+    txn = mgr.transaction()
+    txn.append("fact_rb", bad_o)
+    txn.append("dim_rb", bad_c)
+    txn.commit()
+    mgr.rollback_transaction(txn.txn_id)
+    good_o, good_c = deltas("2-HIGH", 1996, "KEEP-")
+    txn2 = mgr.transaction()
+    txn2.append("fact_rb", good_o)
+    txn2.append("dim_rb", good_c)
+    heads = txn2.commit()
+    _READY[key] = {"heads": heads}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_txn_rollback",
+    oracle=f"""
+    WITH src AS (
+        SELECT * FROM orders
+        WHERE o_orderpriority = '2-HIGH' AND year(o_orderdate) = 1996
+    ),
+    f AS (
+        SELECT o_custkey, o_totalprice, o_orderdate FROM orders
+        UNION ALL
+        SELECT o_custkey + {TXN_CUST_OFFSET}, o_totalprice, o_orderdate
+        FROM src
+    ),
+    d AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        UNION ALL
+        SELECT DISTINCT o_custkey + {TXN_CUST_OFFSET},
+               'KEEP-' || CAST(o_custkey % 3 AS VARCHAR)
+        FROM src
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(year(f.o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(f.o_totalprice), 2) AS revenue
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Catalog-level multi-table ROLLBACK (the undo q_txn_multi_table "
+    "lacks — ≙ what Iceberg's per-table rollback_to_snapshot cannot give "
+    "a multi-table commit): a bad backfill txn lands on fact_rb+dim_rb, "
+    "then rollback_transaction(txn_id) publishes ONE rollback txn record "
+    "(the atomic undo point) and CASes every member table back to its "
+    "pre-txn head — all or none, crash-repaired forward by the next "
+    "reader of any member table (crash-injection + refuses-after-"
+    "foreign-commit pytests in tests/test_table_manager.py). A second, "
+    "good txn then lands and stays. The oracle reproduces base + good "
+    "delta relationally: any BAD- row surviving, or any KEEP- row lost, "
+    "hash-mismatches. The rollback is metadata-only — O(tables) CASes, "
+    "zero data files moved — the only cost model that works at 100 TB.",
+)
+def q_txn_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _ = _setup_txn_rb(spark, sf_dir)
+    f = mgr.read("fact_rb")
+    d = mgr.read("dim_rb")
+    return (
+        f.join(F.broadcast(d), f.o_custkey == d.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 UPSERT_B1 = "2024-01-11 00:00:00"
 UPSERT_B2 = "2024-01-21 00:00:00"
 
@@ -1133,6 +1249,88 @@ def q_upsert_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+CD_BOUNDS = [f"2024-01-{d:02d} 00:00:00" for d in (6, 11, 16, 21, 26)]
+
+
+def _setup_users_cd(spark: SparkSession, sf_dir: str) -> tuple:
+    """users_cd: SIX stacked CDC upsert epochs (5-day event slices, each
+    the latest row per user in its slice), then ONE compact_deletes pass
+    — the stacked per-epoch equality-delete files merge into a single
+    delete file per data file, zero data files touched."""
+    from pyspark.sql import Window
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "users_cd")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    mgr.create_table("users_cd", ev.drop("event_id").schema, [])
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bs = [F.lit(b).cast("timestamp_ntz") for b in CD_BOUNDS]
+    slices = (
+        [ev.filter(F.col("ts") < bs[0])]
+        + [
+            ev.filter((F.col("ts") >= bs[i]) & (F.col("ts") < bs[i + 1]))
+            for i in range(len(bs) - 1)
+        ]
+        + [ev.filter(F.col("ts") >= bs[-1])]
+    )
+    for batch in slices:
+        last = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "event_id")
+        )
+        mgr.upsert_equality("users_cd", last, ["user_id"])
+    mgr.compact_deletes("users_cd")
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_compact_deletes",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, event_type, value FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_type AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           MAX(value) AS max_last_value,
+           MIN(value) AS min_last_value
+    FROM last GROUP BY 1
+    """,
+    doc="Equality-delete KEY-SET compaction (≙ the delete-file half of "
+    "Iceberg's rewrite_position_delete_files — the light alternative to "
+    "rewrite_deletes' full data rewrite): six stacked upsert epochs "
+    "leave up to six delete files attached to the oldest data files; "
+    "compact_deletes unions each distinct stack into ONE delete file "
+    "per key-column set and re-attaches it — zero data files moved, one "
+    "metadata commit, and the read-side anti-join goes back to a single "
+    "broadcast input per file regardless of epoch count (stack "
+    "max==1 + unchanged values + superseded-file expiry asserted in "
+    "tests/test_table_manager.py; the read-tax curve vs outstanding "
+    "epochs is measured in BENCH_MOR.json). The post-compaction read "
+    "must still collapse to exactly the last event per user, which the "
+    "oracle computes with one window over raw events. At 100 TB CDC "
+    "cadence this is what keeps thousand-epoch MoR tables readable "
+    "without ever paying the full rewrite.",
+)
+def q_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_users_cd(spark, sf_dir)
+    df = mgr.read("users_cd")
+    return df.groupBy(F.col("event_type").alias("last_type")).agg(
+        F.count("*").alias("n_users"),
+        F.max("value").alias("max_last_value"),
+        F.min("value").alias("min_last_value"),
     )
 
 
@@ -2412,6 +2610,86 @@ def q_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+CWP_CUTOFF = "2024-01-20 00:00:00"  # days-partition scan bound
+
+
+def _setup_events_cwp(spark: SparkSession, sf_dir: str) -> tuple:
+    """events_cwp: hidden-partitioned by days(ts), populated ONLY through
+    the connector write path — each append's input wrapped by
+    route_partitions (spec transforms computed JVM-side + repartition),
+    the writer group-splitting pre-routed Arrow batches into one staged
+    hive subdir per day."""
+    from iceberg_poc_spark.sources.pyds import (
+        register_snaptable,
+        route_partitions,
+    )
+    from iceberg_poc_spark.tables import days
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_cwp")
+    if key in _READY:
+        return mgr, _READY[key]
+    register_snaptable(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mgr.create_table("events_cwp", ev.schema, [days("ts")])
+    for half in (0, 1):
+        (
+            route_partitions(
+                ev.filter(F.col("event_id") % 2 == half), wh, "events_cwp"
+            )
+            .write.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "events_cwp")
+            .mode("append")
+            .save()
+        )
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_connector_write_partitioned",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '{CWP_CUTOFF}'
+    GROUP BY 1
+    """,
+    doc="PARTITIONED connector writes (closes the r6 surface gap at "
+    "sources/pyds.py — ≙ the hand-rolled per-record partition routing in "
+    "aig/AIGEventsTableCreator.java:385-394, done declaratively): "
+    "events_cwp is hidden-partitioned by days(ts) and populated ONLY "
+    "through df.write.format('snaptable') with route_partitions-wrapped "
+    "input — the transform columns are computed by Catalyst (exact "
+    "xxhash64 bucket hashes, no Python reimplementation) and the "
+    "repartition makes each task partition-pure, so the writer's Arrow "
+    "group-split is a no-op select, one staged hive subdir per day. "
+    "commit() records per-file partition values byte-identical to "
+    "manager.append's (routing/pruning/read-back parity asserted in "
+    "tests/test_pyds.py), so this days-bounded scan prunes pre-cutoff "
+    "files at the manifest exactly as if the manager had written them. "
+    "The oracle aggregates raw parquet over the same bound.",
+)
+def q_connector_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    mgr, _snaps = _setup_events_cwp(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "events_cwp",
+        where=[("ts", ">=", dt.datetime.fromisoformat(CWP_CUTOFF))],
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
 
 

@@ -62,6 +62,57 @@ _OPS = {
     LessThanOrEqual: "<=",
 }
 
+# Spark's ExternalCatalogUtils.escapePathName char set: partition values
+# written through the connector must produce byte-identical hive dir names
+# (and therefore byte-identical manifest partition strings) to the ones
+# manager.append gets from Spark's own partitionBy — pruning and identity
+# restore compare those strings directly.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_part_str(v) -> str:
+    """Stringify + escape one partition value the way Spark's hive-layout
+    writer does (None -> __HIVE_DEFAULT_PARTITION__, control/special chars
+    %-escaped)."""
+    import datetime as dt
+
+    if v is None:
+        return HIVE_NULL_PART
+    if isinstance(v, dt.datetime):
+        s = v.isoformat(sep=" ")
+    else:
+        s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+
+
+def route_partitions(df, warehouse: str, table: str):
+    """Prepare a DataFrame for a PARTITIONED ``df.write.format("snaptable")``:
+    derive the table spec's hidden-partition columns with the SAME JVM-side
+    expressions ``manager.append`` uses (so bucket = ``pmod(xxhash64(c), n)``
+    exactly — no Python hash reimplementation), then repartition on them so
+    each task is partition-pure and writes one file per partition value.
+
+    The Python DataSource API gives the writer no engine-side transform
+    routing hook; this helper moves the routing into the plan, where
+    Catalyst executes it — the writer only SPLITS pre-routed Arrow batches
+    (vectorized group-by, no per-row Python). ≙ the hand-rolled per-record
+    partition routing at ``aig/AIGEventsTableCreator.java:385-394``, done
+    declaratively."""
+    mgr = ParquetTableManager(None, warehouse)
+    spec = mgr._spec(mgr._load_manifest(table))
+    out = df
+    for t in spec:
+        if t.kind != "identity":
+            out = out.withColumn(t.field_name, t.expr())
+    if spec:
+        from pyspark.sql import functions as F
+
+        out = out.repartition(*[F.col(t.field_name) for t in spec])
+    return out
+
 
 def _mgr(options) -> tuple[ParquetTableManager, str]:
     warehouse = options.get("warehouse")
@@ -190,14 +241,74 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
     return tbl
 
 
+def _plan_row_groups(pf, where: list) -> list[int]:
+    """Row-group indices of ``pf`` that MAY satisfy every pushed
+    predicate, from footer min/max/null-count statistics alone — the
+    executor-side twin of the manifest's per-file pruning, one level
+    finer (≙ Iceberg's vectorized parquet reader consulting row-group
+    stats). Conservative: missing column / missing stats / any doubt →
+    keep. Only called for files with NO positional deletes attached
+    (skipping a row group shifts physical row ordinals, which positional
+    delete application depends on)."""
+    schema_names = set(pf.schema_arrow.names)
+    keep = []
+    for i in range(pf.metadata.num_row_groups):
+        rg = pf.metadata.row_group(i)
+        cols = {
+            rg.column(j).path_in_schema: rg.column(j)
+            for j in range(rg.num_columns)
+        }
+        ok = True
+        for col, op, v in where:
+            if col not in schema_names or col not in cols:
+                continue
+            cm = cols[col]
+            st = cm.statistics
+            if st is None:
+                continue
+            if op == "isnull":
+                if st.has_null_count and st.null_count == 0:
+                    ok = False
+                    break
+                continue
+            if op == "notnull":
+                if st.has_null_count and st.null_count == rg.num_rows:
+                    ok = False
+                    break
+                continue
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            try:
+                miss = {
+                    "==": v < lo or v > hi,
+                    ">=": hi < v,
+                    ">": hi <= v,
+                    "<=": lo > v,
+                    "<": lo >= v,
+                }.get(op, False)
+            except TypeError:
+                continue  # incomparable literal/stat types: keep
+            if miss:
+                ok = False
+            if not ok:
+                break
+        if ok:
+            keep.append(i)
+    return keep
+
+
 def _read_file_as_batches(
-    entry: dict, table_dir: str, schema_json: dict
+    entry: dict, table_dir: str, schema_json: dict, where: list | None = None
 ) -> Iterator["pa.RecordBatch"]:  # noqa: F821
     """Read ONE manifest file entry aligned to the current table schema:
     present columns cast up (widening promotion), renamed columns resolved
     via former_names, identity-partition columns restored from the hive
     partition values, evolved-in columns filled with NULL; outstanding
-    merge-on-read deletes (positional, predicate, equality) applied."""
+    merge-on-read deletes (positional, predicate, equality) applied.
+    ``where`` (Spark's pushed residual predicates) prunes ROW GROUPS from
+    footer stats before any data page is decoded — Spark re-applies every
+    filter row-level, so this only has to be conservative, never exact."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -214,7 +325,17 @@ def _read_file_as_batches(
         ),
         timestamp_utc=False,
     )
-    tbl = pq.read_table(os.path.join(table_dir, entry["path"]))
+    pf = pq.ParquetFile(os.path.join(table_dir, entry["path"]))
+    if where and not entry.get("pos_deletes"):
+        rgs = _plan_row_groups(pf, where)
+        if len(rgs) == pf.metadata.num_row_groups:
+            tbl = pf.read()
+        elif rgs:
+            tbl = pf.read_row_groups(rgs)
+        else:
+            tbl = pf.schema_arrow.empty_table()
+    else:
+        tbl = pf.read()
     n = tbl.num_rows
     cols = []
     for f, afield in zip(schema.fields, target):
@@ -270,15 +391,25 @@ class SnapTableReader(DataSourceReader):
             self._files = [
                 e for e in self._files if _may_match(spec, e, where)
             ]
+            # the same triples ride into each InputPartition for
+            # executor-side ROW-GROUP pruning from footer stats — a
+            # stats-sorted file decodes only the groups that can match
+            self._where = where
         return filters
 
+    _where: list = []
+
     def partitions(self):
-        return [InputPartition((e, self._table_dir, self._schema_json))
-                for e in self._files]
+        return [
+            InputPartition(
+                (e, self._table_dir, self._schema_json, self._where)
+            )
+            for e in self._files
+        ]
 
     def read(self, partition):
-        entry, table_dir, schema_json = partition.value
-        yield from _read_file_as_batches(entry, table_dir, schema_json)
+        entry, table_dir, schema_json, where = partition.value
+        yield from _read_file_as_batches(entry, table_dir, schema_json, where)
 
 
 class SnapTableStreamReader(DataSourceStreamReader):
@@ -369,20 +500,23 @@ class SnapTableWriter(DataSourceArrowWriter):
     ``abort()``s by deleting the staging dir; readers never see a partial
     write.
 
-    Scope: unpartitioned tables (the Python DataSource API exposes no
-    engine-side transform routing; a hidden-partitioned fan-out write
-    would be per-row Python — the slow path. Partitioned ingest goes
-    through ``manager.append``, which routes partitions with a JVM-side
-    repartition)."""
+    Hidden-partitioned tables are supported through PRE-ROUTED input:
+    the caller applies :func:`route_partitions` (which derives the spec's
+    transform columns with the same JVM-side expressions
+    ``manager.append`` uses and repartitions on them), and each task then
+    group-splits its Arrow batches by the routing columns — one staged
+    hive subdir per partition value, vectorized Arrow throughout, never
+    per-row Python. Identity partition source columns are moved into the
+    path (exactly what Spark's ``partitionBy`` does), so file contents,
+    manifest partition strings, stats, and null counts are
+    byte-compatible with ``manager.append``'s (parity asserted in
+    ``tests/test_pyds.py``). One caveat shared with the manager path's
+    physical layout: CHECK constraints referencing an identity PARTITION
+    column are unenforceable on this path (the staged files no longer
+    hold the column) and raise at commit rather than silently passing."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         manifest, table_dir = _resolve_manifest(options)
-        if manifest["spec"]:
-            raise ValueError(
-                "snaptable write supports unpartitioned tables; use "
-                "manager.append for hidden-partitioned ingest (JVM-side "
-                "partition routing)"
-            )
         import uuid as _uuid
 
         self._table_dir = table_dir
@@ -390,6 +524,22 @@ class SnapTableWriter(DataSourceArrowWriter):
         self._table = options["table"]
         self._overwrite = overwrite
         self._cols = [f["name"] for f in manifest["schema"]["fields"]]
+        spec = ParquetTableManager._spec(None, {"spec": manifest["spec"]})
+        self._route_cols = [t.field_name for t in spec]
+        missing = [c for c in self._route_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"snaptable write into hidden-partitioned table "
+                f"{self._table!r} requires the routing column(s) {missing} "
+                "in the input — wrap the DataFrame with "
+                "iceberg_poc_spark.sources.pyds.route_partitions(df, "
+                "warehouse, table) before .write"
+            )
+        # the physical file drops ALL routing columns: derived transform
+        # columns are not table schema, and identity sources live in the
+        # hive path (Spark partitionBy semantics; the read path restores
+        # them from the manifest partition values)
+        self._file_cols = [c for c in self._cols if c not in self._route_cols]
         self._staging = os.path.join(
             table_dir, "_staging", f"dsw-{_uuid.uuid4().hex}"
         )
@@ -397,21 +547,71 @@ class SnapTableWriter(DataSourceArrowWriter):
     def write(self, iterator):
         import uuid as _uuid
 
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         os.makedirs(self._staging, exist_ok=True)
-        path = os.path.join(self._staging, f"{_uuid.uuid4().hex}.parquet")
-        writer = None
-        for batch in iterator:
+        if not self._route_cols:
+            path = os.path.join(self._staging, f"{_uuid.uuid4().hex}.parquet")
+            writer = None
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        path, batch.schema, compression="zstd"
+                    )
+                writer.write_batch(batch)
             if writer is None:
-                writer = pq.ParquetWriter(
-                    path, batch.schema, compression="zstd"
+                return _StagedFiles([])  # empty task: nothing staged
+            writer.close()
+            return _StagedFiles([path])
+        # partitioned: split each batch by the pre-routed partition tuple.
+        # After route_partitions' repartition a task is partition-pure, so
+        # the group-by finds ONE tuple and the split is a no-op select —
+        # the general path still handles mixed tasks (a caller who skipped
+        # the repartition) correctly, just with more files.
+        writers: dict[str, Any] = {}
+        files: list[str] = []
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            keys = (
+                tbl.select(self._route_cols)
+                .group_by(self._route_cols)
+                .aggregate([])
+                .to_pylist()
+            )
+            data = tbl.select(self._file_cols)
+            for krow in keys:
+                if len(keys) == 1:
+                    part = data
+                else:
+                    mask = None
+                    for c in self._route_cols:
+                        m = (
+                            pc.is_null(tbl[c])
+                            if krow[c] is None
+                            else pc.fill_null(pc.equal(tbl[c], krow[c]), False)
+                        )
+                        mask = m if mask is None else pc.and_(mask, m)
+                    part = data.filter(mask)
+                sub = os.path.join(
+                    *[
+                        f"{c}={_hive_part_str(krow[c])}"
+                        for c in self._route_cols
+                    ]
                 )
-            writer.write_batch(batch)
-        if writer is None:
-            return _StagedFiles([])  # empty task: nothing staged
-        writer.close()
-        return _StagedFiles([path])
+                w = writers.get(sub)
+                if w is None:
+                    d = os.path.join(self._staging, sub)
+                    os.makedirs(d, exist_ok=True)
+                    path = os.path.join(d, f"{_uuid.uuid4().hex}.parquet")
+                    w = pq.ParquetWriter(path, part.schema, compression="zstd")
+                    writers[sub] = w
+                    files.append(path)
+                w.write_table(part)
+        for w in writers.values():
+            w.close()
+        return _StagedFiles(files)
 
     def _cleanup(self) -> None:
         import shutil
@@ -444,6 +644,7 @@ class SnapTableWriter(DataSourceArrowWriter):
             ConstraintViolation,
             _bloom_build,
             _collect_column_stats,
+            _collect_null_counts,
         )
         # the commit callback runs in a Python worker with no Spark
         # session; manifest ops below are pure JSON/OS, and the CHECK
@@ -492,16 +693,41 @@ class SnapTableWriter(DataSourceArrowWriter):
         data_root = os.path.join(self._table_dir, "data")
         os.makedirs(data_root, exist_ok=True)
         entries: list[dict] = []
+        staging_roots: set[str] = set()
         for src in staged:
-            dst = os.path.join(data_root, f"{_uuid.uuid4().hex}.parquet")
+            # partition values from the staged hive subpath (k=v dirs
+            # below the dsw-* staging root) — the same parse
+            # manager._write_files applies to Spark's partitionBy output,
+            # so manifest partition strings agree. Anchored on the dsw-*
+            # marker, NOT self._staging: under streaming the executor-side
+            # writer instance (which staged) and the driver-side one
+            # (which commits) are distinct deserializations with distinct
+            # staging uuids.
+            parts = os.path.normpath(os.path.dirname(src)).split(os.sep)
+            i = max(
+                (ix for ix, s in enumerate(parts) if s.startswith("dsw-")),
+                default=len(parts) - 1,
+            )
+            staging_roots.add(os.sep + os.path.join(*parts[: i + 1]))
+            segs = parts[i + 1:]
+            pvals: dict[str, Any] = {}
+            for seg in segs:
+                k, _, v = seg.partition("=")
+                pvals[k] = v
+            dst_dir = (
+                os.path.join(data_root, *segs) if segs else data_root
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{_uuid.uuid4().hex}.parquet")
             os.replace(src, dst)
             md = pq.ParquetFile(dst).metadata
             entry = {
                 "path": os.path.relpath(dst, self._table_dir),
-                "partition": {},
+                "partition": pvals,
                 "records": md.num_rows,
                 "bytes": os.path.getsize(dst),
                 "stats": _collect_column_stats(md),
+                "nulls": _collect_null_counts(md),
                 "cols": list(self._cols),
             }
             present = [
@@ -521,6 +747,10 @@ class SnapTableWriter(DataSourceArrowWriter):
                 }
             entries.append(entry)
         self._cleanup()
+        import shutil
+
+        for root in staging_roots:  # executor-side staging dirs (streaming)
+            shutil.rmtree(root, ignore_errors=True)
 
         def stamp(man: dict) -> dict:
             if epoch is not None:

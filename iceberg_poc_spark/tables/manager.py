@@ -651,6 +651,12 @@ class ParquetTableManager:
         import time as _time
 
         manifest["committed_at"] = _time.time()
+        # txn stamps belong ONLY to snapshots _apply_txn/_apply_upsert
+        # hand-link; call sites here build manifests by mutating the
+        # loaded head dict, which would otherwise inherit the parent's
+        # stamp and make a plain append impersonate a txn member (breaks
+        # rollback_transaction's has-the-table-advanced guard)
+        manifest.pop("txn", None)
         while True:
             seq, cur = self._ref_head(name, ref)
             if (
@@ -659,6 +665,7 @@ class ParquetTableManager:
                 and cur != manifest["parent"]
             ):
                 manifest = rebase(self._load_manifest(name, cur))
+                manifest.pop("txn", None)
             version = self._alloc_version(name, manifest)
             seq_path = os.path.join(
                 self._heads_dir(name, ref), f"seq-{seq + 1:09d}"
@@ -1181,13 +1188,42 @@ class ParquetTableManager:
             out: dict[str, int] = {}
             for idx, entry in enumerate(record["entries"]):
                 name, ref = entry["table"], entry.get("ref", "main")
-                added = entry["added"]
+                added = entry.get("added", [])
                 marker = self._txn_marker(seq, idx, name)
                 if not os.path.exists(marker):
                     if entry.get("op") == "upsert":
                         self._apply_upsert(
                             name, ref, {**entry, "txn": seq}
                         )
+                    elif entry.get("op") == "rollback":
+                        # txn-scoped rollback: CAS the head to a rollback
+                        # manifest of the pre-txn snapshot's file set.
+                        # Idempotent via the head's own txn stamp, so a
+                        # crashed rollback replays cleanly.
+                        import time as _time
+
+                        while True:
+                            seq_head, cur = self._ref_head(name, ref)
+                            cm = self._load_manifest(name, cur)
+                            if (
+                                cm.get("txn") == seq
+                                and cm["operation"] == "rollback"
+                            ):
+                                break  # a concurrent repairer applied it
+                            nm = dict(self._load_manifest(name, entry["to"]))
+                            nm["operation"] = "rollback"
+                            nm["parent"] = cur
+                            nm["txn"] = seq
+                            nm["committed_at"] = _time.time()
+                            version = self._alloc_version(name, nm)
+                            if self._link_pointer(
+                                os.path.join(
+                                    self._heads_dir(name, ref),
+                                    f"seq-{seq_head + 1:09d}",
+                                ),
+                                str(version),
+                            ):
+                                break
                     else:
                         added_paths = {e["path"] for e in added}
                         while True:
@@ -1218,6 +1254,13 @@ class ParquetTableManager:
                                 break
                     self._link_pointer(marker, "done")
                 out[name] = self._ref_head(name, ref)[1]
+            # durable applied-record (name contains "." so pending-repair
+            # scans skip it): what rollback_transaction resolves a txn id
+            # against after the live record below is pruned
+            self._link_pointer(
+                os.path.join(self._txns_dir(), f"{seq}.applied"),
+                json.dumps(record, sort_keys=True),
+            )
             # fully applied: prune the record + markers (pending scans on
             # every head resolution stay O(outstanding), not O(history))
             for idx, entry in enumerate(record["entries"]):
@@ -1232,6 +1275,66 @@ class ParquetTableManager:
             return out
         finally:
             self._in_txn_repair = prev
+
+    def rollback_transaction(self, txn_id: str) -> dict[str, int]:
+        """Catalog-level undo of an APPLIED multi-table transaction: roll
+        every member table back to its pre-txn head — all of them or none
+        (≙ what Iceberg's per-table ``rollback_to_snapshot`` cannot give a
+        multi-table commit). The rollback is itself a transaction: ONE
+        exclusive-create of a rollback txn record is the commit point,
+        then idempotent per-table head CASes with the same crash repair
+        as forward applies (a reader touching any member table rolls the
+        whole rollback forward — crash-injection pytest in
+        tests/test_table_manager.py).
+
+        Safety: refuses if any member table's head has advanced past the
+        transaction's snapshots (rolling back would silently drop the
+        later commits). Returns {table: head version after rollback}."""
+        ap = os.path.join(self._txns_dir(), f"{txn_id}.applied")
+        try:
+            with open(ap) as f:
+                record = json.loads(f.read())
+        except FileNotFoundError:
+            raise ValueError(
+                f"transaction {txn_id!r} has no applied record (not "
+                "committed, or already rolled back)"
+            ) from None
+        entries: list[dict] = []
+        seen: set[tuple[str, str]] = set()
+        for e in record["entries"]:
+            name, ref = e["table"], e.get("ref", "main")
+            if (name, ref) in seen:
+                continue  # one rollback per table covers all its entries
+            seen.add((name, ref))
+            _seq, head = self._ref_head(name, ref)
+            # walk the ancestry: the head must still be a snapshot of
+            # THIS txn (possibly the last of several); the parent of the
+            # txn's earliest snapshot is the pre-txn state
+            v: int | None = head
+            m = self._load_manifest(name, v)
+            if m.get("txn") != txn_id:
+                raise ValueError(
+                    f"table {name!r} advanced past transaction {txn_id!r} "
+                    f"(head {head} is not a txn snapshot); rolling back "
+                    "would drop later commits"
+                )
+            while v is not None:
+                m = self._load_manifest(name, v)
+                if m.get("txn") != txn_id:
+                    break
+                pre_txn, v = m.get("parent"), m.get("parent")
+            entries.append(
+                {"table": name, "ref": ref, "op": "rollback", "to": pre_txn}
+            )
+        seq = self._publish_txn(entries)
+        out = self._apply_txn(seq, {"entries": entries})
+        # consume the applied record: a second rollback of the same txn
+        # is an error, not a no-op re-roll
+        try:
+            os.remove(ap)
+        except FileNotFoundError:
+            pass
+        return out
 
     def _repair_txns(self, name: str) -> None:
         """Roll forward any published-but-unapplied transaction touching
@@ -1768,6 +1871,80 @@ class ParquetTableManager:
         new_files = self._write_files(name, df, self._spec(m))
         m["files"] = clean + new_files
         m["operation"] = "rewrite-deletes"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
+    def compact_deletes(self, name: str) -> int:
+        """Merge STACKED merge-on-read delete files without touching any
+        data file (≙ Iceberg's delete-file compaction half of
+        rewrite_position_delete_files — the light alternative to
+        :meth:`rewrite_deletes`' full materialization): every distinct
+        delete STACK (the exact eq/pos delete-file list a group of data
+        files carries — one stack per epoch-prefix, so O(epochs) stacks,
+        not O(files)) is unioned into ONE delete file per key-column set
+        (plus one positional file) and the member entries re-attached to
+        the merged file(s). Row-visible state is unchanged (oracle-pinned
+        by q_upsert_equality + pytest); read-side anti-join inputs drop
+        from O(epochs) delete files per data file to O(1), which is what
+        keeps the MoR read tax flat under thousands of stacked CDC epochs
+        (measured in BENCH_MOR.json). Superseded delete files become
+        unreferenced and are reaped by :meth:`expire_snapshots`. No-op
+        (current version returned, no commit) when nothing is stacked."""
+        m = self._load_manifest(name)
+        stacks: dict[tuple[str, str], list[int]] = {}
+        for i, e in enumerate(m["files"]):
+            if (
+                len(e.get("eq_deletes", [])) > 1
+                or len(e.get("pos_deletes", [])) > 1
+            ):
+                ek = json.dumps(e.get("eq_deletes", []), sort_keys=True)
+                pk = json.dumps(e.get("pos_deletes", []), sort_keys=True)
+                stacks.setdefault((ek, pk), []).append(i)
+        if not stacks:
+            return m["version"]
+        files = [dict(e) for e in m["files"]]
+        for (ek, pk), idxs in stacks.items():
+            eq_stack, pos_stack = json.loads(ek), json.loads(pk)
+            eq_by_cols: dict[tuple, list[dict]] = {}
+            for d in eq_stack:
+                eq_by_cols.setdefault(tuple(d["cols"]), []).append(d)
+            merged_eq: list[dict] = []
+            for cols, ds in eq_by_cols.items():
+                if len(ds) == 1:
+                    merged_eq.extend(ds)  # already a single file: keep
+                    continue
+                keys = self.spark.read.parquet(
+                    *[os.path.join(self._dir(name), d["path"]) for d in ds]
+                ).distinct()
+                # one merged file: the key set is epoch-batch-sized — tiny
+                # next to the data files it guards
+                merged_eq.extend(
+                    self._write_eq_delete_files(
+                        name, keys.coalesce(1), list(cols)
+                    )
+                )
+            merged_pos = pos_stack
+            if len(pos_stack) > 1:
+                dpos = (
+                    self.spark.read.parquet(
+                        *[
+                            os.path.join(self._dir(name), d["path"])
+                            for d in pos_stack
+                        ]
+                    )
+                    .select("_file_name", "_pos")
+                    .distinct()
+                )
+                merged_pos = self._write_pos_delete_files(
+                    name, dpos.coalesce(1)
+                )
+            for i in idxs:
+                if eq_stack:
+                    files[i]["eq_deletes"] = merged_eq
+                if pos_stack:
+                    files[i]["pos_deletes"] = merged_pos
+        m["files"] = files
+        m["operation"] = "compact-deletes"
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -2513,8 +2690,8 @@ class ParquetTableManager:
         parts: list[DataFrame] = []
         for m in reversed(chain):  # commit order
             op = m["operation"]
-            if op in ("replace", "rewrite-deletes", "rollback"):
-                continue
+            if op in ("replace", "rewrite-deletes", "compact-deletes", "rollback"):
+                continue  # row-equivalent by construction: no changes
             pm = self._load_manifest(name, m["parent"])
             parent_files = {e["path"]: e for e in pm["files"]}
             child_files = {e["path"]: e for e in m["files"]}
@@ -2891,6 +3068,7 @@ class Transaction:
             raise ValueError("nothing staged")
         self._done = True
         seq = self.mgr._publish_txn(self._staged)
+        self.txn_id = seq  # handle for rollback_transaction
         return self.mgr._apply_txn(seq, {"entries": self._staged})
 
 

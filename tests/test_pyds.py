@@ -276,9 +276,13 @@ def test_connector_write_appends_atomic_snapshots(mgr, spark):
     # overwrite mode replaces the table in one snapshot
     save(ev.filter(F.col("value") < 100), mode="overwrite")
     assert mgr.read("w").count() == 10
-    # partitioned tables are rejected on this path
-    mgr.create_table("wp", EVENTS_SCHEMA, [identity("tenant_id")])
-    with _pytest.raises(Exception, match="unpartitioned"):
+    # a partitioned table without pre-routed input is rejected with a
+    # pointer to route_partitions (identity routing column IS present
+    # here, so use a transform whose derived column can't be)
+    from iceberg_poc_spark.tables import days
+
+    mgr.create_table("wp", EVENTS_SCHEMA, [days("ts")])
+    with _pytest.raises(Exception, match="route_partitions"):
         (
             ev.write.format("snaptable")
             .option("warehouse", mgr.warehouse)
@@ -286,6 +290,118 @@ def test_connector_write_appends_atomic_snapshots(mgr, spark):
             .mode("append")
             .save()
         )
+
+
+def test_row_group_pruning_on_stats_sorted_file(tmp_path, spark):
+    """Pushed predicates prune ROW GROUPS from footer stats inside the
+    executor read: a stats-sorted file decodes only the groups that can
+    match; a file carrying positional deletes reads whole (row-group
+    skipping would shift the physical ordinals the delete names)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_poc_spark.sources.pyds import (
+        _plan_row_groups,
+        _read_file_as_batches,
+    )
+
+    t = pa.table(
+        {"k": list(range(100)), "v": [f"s{i:03d}" for i in range(100)]}
+    )
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(t, p, row_group_size=10)
+    pf = pq.ParquetFile(p)
+    assert pf.metadata.num_row_groups == 10
+    assert _plan_row_groups(pf, [("k", ">=", 85)]) == [8, 9]
+    assert _plan_row_groups(pf, [("k", "==", 5)]) == [0]
+    assert _plan_row_groups(pf, [("k", "<", 0)]) == []
+    assert _plan_row_groups(pf, [("v", "==", "s055")]) == [5]
+    assert _plan_row_groups(pf, [("k", "notnull", None)]) == list(range(10))
+    assert _plan_row_groups(pf, [("k", "isnull", None)]) == []
+    # unknown column / incomparable literal: conservative keep-all
+    assert _plan_row_groups(pf, [("zz", "==", 1)]) == list(range(10))
+    assert _plan_row_groups(pf, [("k", ">=", "oops")]) == list(range(10))
+    schema_json = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    ).jsonValue()
+    entry = {"path": "rg.parquet", "partition": {}}
+    rows = sum(
+        b.num_rows
+        for b in _read_file_as_batches(
+            entry, str(tmp_path), schema_json, [("k", ">=", 85)]
+        )
+    )
+    assert rows == 20  # only the last two groups were decoded
+    # positional delete attached: full read, delete applied, no pruning
+    dpath = str(tmp_path / "posdel.parquet")
+    pq.write_table(
+        pa.table({"_file_name": ["rg.parquet"], "_pos": [99]}), dpath
+    )
+    entry_pos = {
+        **entry,
+        "pos_deletes": [{"path": "posdel.parquet"}],
+    }
+    rows = sum(
+        b.num_rows
+        for b in _read_file_as_batches(
+            entry_pos, str(tmp_path), schema_json, [("k", ">=", 85)]
+        )
+    )
+    assert rows == 99  # all 100 read (ordinals intact), row 99 deleted
+
+
+def test_connector_write_partitioned_parity(mgr, spark):
+    """Partitioned connector writes: input pre-routed by
+    route_partitions (transforms computed JVM-side, incl. the exact
+    xxhash64 bucket hash), the writer group-splits Arrow batches per
+    partition tuple. Per-partition file routing, manifest partition
+    strings, read-back (incl. identity restore from the hive path), and
+    manifest pruning must all EQUAL manager.append's for the same data."""
+    from iceberg_poc_spark.sources.pyds import route_partitions
+    from iceberg_poc_spark.tables import bucket, days
+
+    ev = make_events(spark, 96, tenants=3)
+    spec = [identity("tenant_id"), days("ts"), bucket("service_id", 4)]
+    mgr.create_table("pa", EVENTS_SCHEMA, spec)  # via manager.append
+    mgr.create_table("pb", EVENTS_SCHEMA, spec)  # via the connector
+    mgr.append("pa", ev)
+    (
+        route_partitions(ev, mgr.warehouse, "pb")
+        .write.format("snaptable")
+        .option("warehouse", mgr.warehouse)
+        .option("table", "pb")
+        .mode("append")
+        .save()
+    )
+    ma, mb = mgr._load_manifest("pa"), mgr._load_manifest("pb")
+
+    def routing(m):
+        out = {}
+        for e in m["files"]:
+            k = tuple(sorted(e["partition"].items()))
+            out[k] = out.get(k, 0) + e["records"]
+        return out
+
+    assert routing(mb) == routing(ma)  # identical per-partition routing
+    assert len(mb["files"]) == len(ma["files"])  # one file per partition
+    # physical files dropped the routing columns, like partitionBy does
+    assert all(
+        set(e["stats"]) <= {"ts", "service_id", "value"} for e in mb["files"]
+    )
+    # read-back equality through BOTH faces
+    assert _rows(mgr.read("pb")) == _rows(mgr.read("pa"))
+    assert _rows(_load(spark, mgr, "pb")) == _rows(mgr.read("pa"))
+    # pruning parity on every transform axis: identity, days, bucket
+    for where in (
+        [("tenant_id", "==", 1)],
+        [("ts", ">=", dt.datetime(2024, 1, 3))],
+        [("service_id", "==", "svc1")],
+    ):
+        _, pa_n, ta = mgr.scan("pa", where=where)
+        _, pb_n, tb = mgr.scan("pb", where=where)
+        assert (pb_n, tb) == (pa_n, ta)
+        assert pb_n < tb  # the predicate actually pruned files
 
 
 def test_stream_writer_exactly_once_across_restarts(mgr, spark, tmp_path):

@@ -1016,9 +1016,100 @@ def test_txn_multi_table_atomic_commit(mgr, spark):
     assert set(heads) == {"fact", "dim"}
     assert mgr.read("fact").count() == 150
     assert mgr.read("dim").count() == 7
-    assert os.listdir(mgr._txns_dir()) == []
+    # pending record + markers pruned; only the durable .applied record
+    # (rollback_transaction's handle) remains
+    left = os.listdir(mgr._txns_dir())
+    assert [fn for fn in left if "." not in fn[4:]] == []
+    assert left == [f"{txn.txn_id}.applied"]
     with pytest.raises(ValueError, match="already committed"):
         txn.commit()
+
+
+def test_txn_rollback_multi_table(mgr, spark):
+    """rollback_transaction: every member table returns to its pre-txn
+    state (VALUES, not just counts) in one atomic rollback txn; a second
+    rollback of the same id is an error; the rollback is metadata-only
+    (no data file of the base snapshot moved)."""
+    _mk_txn_tables(spark, mgr)
+    base_fact_paths = {e["path"] for e in mgr._load_manifest("fact")["files"]}
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") % 2 + 5).alias("d")
+        ),
+    )
+    txn.append(
+        "dim", spark.createDataFrame([(5, "seg5")], "d long, s string")
+    )
+    txn.commit()
+    assert mgr.read("fact").count() == 150 and mgr.read("dim").count() == 6
+    heads = mgr.rollback_transaction(txn.txn_id)
+    assert set(heads) == {"fact", "dim"}
+    assert sorted(r.k for r in mgr.read("fact").collect()) == list(range(100))
+    assert sorted(r.s for r in mgr.read("dim").collect()) == [
+        f"seg{i}" for i in range(5)
+    ]
+    m = mgr._load_manifest("fact")
+    assert m["operation"] == "rollback"
+    assert {e["path"] for e in m["files"]} == base_fact_paths
+    with pytest.raises(ValueError, match="no applied record"):
+        mgr.rollback_transaction(txn.txn_id)
+
+
+def test_txn_rollback_refuses_after_foreign_commit(mgr, spark):
+    """A member table that advanced past the txn blocks the WHOLE
+    rollback — neither table moves (dropping the later commit silently
+    would be data loss)."""
+    _mk_txn_tables(spark, mgr)
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 110).select(F.col("id").alias("k"), F.lit(0).alias("d")),
+    )
+    txn.append(
+        "dim", spark.createDataFrame([(5, "seg5")], "d long, s string")
+    )
+    txn.commit()
+    mgr.append("dim", spark.createDataFrame([(9, "seg9")], "d long, s string"))
+    with pytest.raises(ValueError, match="advanced past"):
+        mgr.rollback_transaction(txn.txn_id)
+    assert mgr.read("fact").count() == 110
+    assert mgr.read("dim").count() == 7
+
+
+def test_txn_rollback_crash_after_publish_repairs_forward(mgr, spark):
+    """Crash between the rollback-record publish and its apply: the next
+    reader of EITHER table completes the rollback on BOTH (no
+    fact-rolled/dim-not window survives a crash)."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    _mk_txn_tables(spark, mgr)
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 110).select(F.col("id").alias("k"), F.lit(0).alias("d")),
+    )
+    txn.append(
+        "dim", spark.createDataFrame([(5, "seg5")], "d long, s string")
+    )
+    txn.commit()
+    orig = ParquetTableManager._apply_txn
+    ParquetTableManager._apply_txn = lambda self, seq, record: (
+        _ for _ in ()
+    ).throw(RuntimeError("crash after rollback publish"))
+    try:
+        with pytest.raises(RuntimeError, match="crash after rollback"):
+            mgr.rollback_transaction(txn.txn_id)
+    finally:
+        ParquetTableManager._apply_txn = orig
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    assert fresh.read("fact").count() == 100  # repair rolled fact back...
+    m_dim = fresh._load_manifest("dim")
+    assert m_dim["operation"] == "rollback", (
+        "reading fact must have completed the dim half of the rollback"
+    )
+    assert fresh.read("dim").count() == 5
 
 
 def test_txn_crash_after_publish_no_partial_visibility(mgr, spark):
@@ -1081,6 +1172,66 @@ def test_txn_crash_before_publish_invisible(mgr, spark):
     fresh = ParquetTableManager(spark, mgr.warehouse)
     assert fresh.read("fact").count() == 100
     assert fresh._load_manifest("fact")["operation"] == "append"
+
+
+def test_compact_deletes_flattens_stacked_eq_epochs(mgr, spark):
+    """Stacked upsert epochs leave one eq-delete file per epoch on the
+    oldest data files; compact_deletes merges each stack to ONE file per
+    key-column set with IDENTICAL row-visible VALUES, is a no-op when
+    nothing is stacked, and the superseded delete files are reaped by
+    expire_snapshots once unreferenced."""
+    import os
+
+    base = spark.createDataFrame(
+        [(i, f"v0-{i}") for i in range(40)], "k long, v string"
+    ).coalesce(1)
+    mgr.create_table("cd", base.schema, [])
+    mgr.append("cd", base)
+    for epoch in range(1, 9):
+        batch = spark.createDataFrame(
+            [(k, f"v{epoch}-{k}") for k in range(epoch, epoch + 6)],
+            "k long, v string",
+        ).coalesce(1)
+        mgr.upsert_equality("cd", batch, ["k"])
+    before = sorted(tuple(map(str, r)) for r in mgr.read("cd").collect())
+    m = mgr._load_manifest("cd")
+    assert max(len(e.get("eq_deletes", [])) for e in m["files"]) == 8
+    v = mgr.compact_deletes("cd")
+    m2 = mgr._load_manifest("cd")
+    assert m2["operation"] == "compact-deletes"
+    assert max(len(e.get("eq_deletes", [])) for e in m2["files"]) == 1
+    # data files untouched — metadata-only compaction
+    assert {e["path"] for e in m2["files"]} == {e["path"] for e in m["files"]}
+    assert sorted(tuple(map(str, r)) for r in mgr.read("cd").collect()) == before
+    # idempotent no-op once flat: no new commit
+    assert mgr.compact_deletes("cd") == v
+    deldir = os.path.join(mgr._dir("cd"), "deletes")
+    n_before = len(os.listdir(deldir))
+    mgr.expire_snapshots("cd", keep_last=1)
+    assert len(os.listdir(deldir)) < n_before
+
+
+def test_compact_deletes_merges_positional_stacks(mgr, spark):
+    """Stacked positional deletes merge to one coordinate file per data
+    file; visible rows unchanged."""
+    base = spark.range(30).select(F.col("id").alias("k")).coalesce(1)
+    mgr.create_table("cp", base.schema, [])
+    mgr.append("cp", base)
+    for lo in (0, 5, 10):
+        pos = (
+            mgr.read_with_positions("cp")
+            .filter((F.col("k") >= lo) & (F.col("k") < lo + 3))
+            .select("_file_name", "_pos")
+        )
+        mgr.delete_positions("cp", pos)
+    before = sorted(r.k for r in mgr.read("cp").collect())
+    m = mgr._load_manifest("cp")
+    assert max(len(e.get("pos_deletes", [])) for e in m["files"]) == 3
+    mgr.compact_deletes("cp")
+    m2 = mgr._load_manifest("cp")
+    assert max(len(e.get("pos_deletes", [])) for e in m2["files"]) == 1
+    assert sorted(r.k for r in mgr.read("cp").collect()) == before
+    assert before == [3, 4, 8, 9, *range(13, 30)]
 
 
 def test_txn_apply_is_idempotent_under_concurrent_repair(mgr, spark):
