@@ -324,7 +324,43 @@ def _ann_multiprobe_scan(spark: SparkSession, sf_dir: str):
     )
     probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
     df, planned, total = mgr.scan("emb_ivf", where=[("cell", "in", probe)])
-    return df, planned, total, qemb
+    return df, planned, total, qemb, ranked, mgr
+
+
+ANN_MASS_BUDGET = 0.5  # probed fraction of corpus RECORDS (not cells)
+
+
+def _ann_mass_budget_scan(spark: SparkSession, sf_dir: str):
+    """MASS-budgeted multi-probe over the same anchor-IVF index: cells
+    are admitted in descending query-anchor-cosine order WHILE the
+    cumulative manifest record count stays under ANN_MASS_BUDGET of the
+    corpus (always at least the best cell). A fixed CELL-count budget
+    (q_sim_ann_multiprobe's ANN_MP_PROBE) stops bounding the scan the
+    moment cell occupancy skews — on a 10x near-duplicate-clustered
+    corpus the best 24/48 cells hold ~75% of all rows
+    (tests/test_ann_recall.py) — while the record-count budget holds the
+    scan fraction BY CONSTRUCTION under any skew, and the heavy cells it
+    admits first are exactly where a clustered query's neighbors live
+    (measured: recall@5 1.0 at ~54% scan on the skewed 10x corpus). The
+    cell sizes come from the manifest — the budgeting decision is
+    metadata-only, no data touched until the pruned scan."""
+    _df, _planned, _total, qemb, ranked, mgr = _ann_multiprobe_scan(
+        spark, sf_dir
+    )
+    m = mgr._load_manifest("emb_ivf")
+    occ: dict[int, int] = {}
+    for e in m["files"]:
+        c = int(e["partition"]["cell"])
+        occ[c] = occ.get(c, 0) + e["records"]
+    n = sum(occ.values())
+    probe, cum = [], 0
+    for aid, _sim in ranked:
+        if cum >= ANN_MASS_BUDGET * n:
+            break
+        probe.append(aid)
+        cum += occ.get(aid, 0)
+    df, planned, total = mgr.scan("emb_ivf", where=[("cell", "in", probe)])
+    return df, planned, total, qemb, probe
 
 
 @register(
@@ -390,7 +426,92 @@ def _ann_multiprobe_scan(spark: SparkSession, sf_dir: str):
     f"of the corpus.",
 )
 def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _planned, _total, qemb = _ann_multiprobe_scan(spark, sf_dir)
+    df, _planned, _total, qemb, _ranked, _mgr = _ann_multiprobe_scan(
+        spark, sf_dir
+    )
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        df.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(IVF_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "q_sim_ann_mass_budget",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(COUNT(*) // {ANN_MP_CELLS} AS BIGINT) AS stride,
+               COUNT(*) * {ANN_MASS_BUDGET} AS budget
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT CAST(vec_id // stride AS INT) AS aid, embedding AS aemb
+        FROM embeddings, params
+        WHERE vec_id % stride = 0 AND vec_id < stride * {ANN_MP_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, a.aid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    assign AS (
+        SELECT vec_id, embedding, aid AS cell FROM scored WHERE rn = 1
+    ),
+    counts AS (SELECT cell, COUNT(*) AS cnt FROM assign GROUP BY cell),
+    q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    ranked AS (
+        SELECT a.aid, c.cnt,
+               SUM(c.cnt) OVER (
+                   ORDER BY list_cosine_similarity(CAST(a.aemb AS DOUBLE[]),
+                                                   CAST(q.qemb AS DOUBLE[]))
+                            DESC, a.aid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before
+        FROM anchors a JOIN counts c ON c.cell = a.aid
+        CROSS JOIN q
+    ),
+    probe AS (
+        SELECT aid FROM ranked, params WHERE COALESCE(cum_before, 0) < budget
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM assign c
+    JOIN probe p ON c.cell = p.aid
+    CROSS JOIN q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, c.vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+    doc=f"MASS-budgeted multi-probe ANN (the skew-proof probe policy "
+    f"q_sim_ann_multiprobe's fixed cell count lacks): cells are admitted "
+    f"in descending query-anchor-cosine order while the cumulative "
+    f"manifest RECORD count stays under {ANN_MASS_BUDGET:.0%} of the "
+    f"corpus — the budgeting decision is metadata-only (per-cell sizes "
+    f"read from the manifest, nothing opened until the pruned scan). "
+    f"Under cell-occupancy skew — the 10x near-duplicate-clustered "
+    f"corpus in tests/test_ann_recall.py, busiest cell >20x the uniform "
+    f"share — a fixed 24/48-cell probe balloons to ~75% of rows scanned, "
+    f"while the record budget holds ~50% BY CONSTRUCTION with recall@5 "
+    f"~1.0 (the heavy cells admitted first are where a clustered "
+    f"query's neighbors live). The oracle reproduces the anchor "
+    f"selection, argmax assignment, per-cell counts, cumulative-budget "
+    f"window, and final top-k relationally. At 100 TB this is the "
+    f"difference between a latency SLO that survives data drift and one "
+    f"that silently decays as the corpus clusters.",
+)
+def q_sim_ann_mass_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _planned, _total, qemb, _probe = _ann_mass_budget_scan(spark, sf_dir)
     qlit = F.array(*[F.lit(v) for v in qemb])
     sim = cosine_similarity(F.col("embedding"), qlit)
     return (

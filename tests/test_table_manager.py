@@ -1057,6 +1057,34 @@ def test_txn_rollback_multi_table(mgr, spark):
         mgr.rollback_transaction(txn.txn_id)
 
 
+def test_txn_ids_never_reused_after_prune(mgr, spark):
+    """A fully-applied txn prunes its pending record but leaves
+    <seq>.applied behind; the NEXT txn must allocate a FRESH id (reuse
+    would alias it onto the old applied record, sending a later
+    rollback_transaction to the wrong tables — the exact in-suite bug
+    the oracle-parity sweep caught)."""
+    _mk_txn_tables(spark, mgr)
+
+    def one_txn(lo):
+        t = mgr.transaction()
+        t.append(
+            "fact",
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), F.lit(0).alias("d")
+            ),
+        )
+        t.commit()
+        return t
+
+    t1 = one_txn(100)
+    t2 = one_txn(200)
+    assert t1.txn_id != t2.txn_id
+    # rolling back t2 must remove ONLY t2's rows
+    mgr.rollback_transaction(t2.txn_id)
+    ks = sorted(r.k for r in mgr.read("fact").collect())
+    assert ks == list(range(105))
+
+
 def test_txn_rollback_refuses_after_foreign_commit(mgr, spark):
     """A member table that advanced past the txn blocks the WHOLE
     rollback — neither table moves (dropping the later commit silently
@@ -1174,12 +1202,16 @@ def test_txn_crash_before_publish_invisible(mgr, spark):
     assert fresh._load_manifest("fact")["operation"] == "append"
 
 
-def test_compact_deletes_flattens_stacked_eq_epochs(mgr, spark):
+def test_compact_deletes_folds_stacks_into_global_seq_deletes(mgr, spark):
     """Stacked upsert epochs leave one eq-delete file per epoch on the
-    oldest data files; compact_deletes merges each stack to ONE file per
-    key-column set with IDENTICAL row-visible VALUES, is a no-op when
-    nothing is stacked, and the superseded delete files are reaped by
-    expire_snapshots once unreferenced."""
+    oldest data files; compact_deletes folds ALL stacks into ONE
+    sequence-scoped global delete file per key-column set (per-key MAX
+    seq) with IDENTICAL row-visible VALUES, stamps every entry's birth
+    seq, is a no-op when nothing is stacked, and the superseded delete
+    files are reaped by expire_snapshots once unreferenced. Epochs
+    landed AFTER a compaction stack per-entry again and FOLD INTO the
+    existing global file on the next pass; rewrite_deletes clears the
+    global state entirely."""
     import os
 
     base = spark.createDataFrame(
@@ -1199,7 +1231,11 @@ def test_compact_deletes_flattens_stacked_eq_epochs(mgr, spark):
     v = mgr.compact_deletes("cd")
     m2 = mgr._load_manifest("cd")
     assert m2["operation"] == "compact-deletes"
-    assert max(len(e.get("eq_deletes", [])) for e in m2["files"]) == 1
+    # every per-entry stack folded away; ONE global file for the one
+    # key-column set; every entry carries its birth seq
+    assert max(len(e.get("eq_deletes", [])) for e in m2["files"]) == 0
+    assert [tuple(g["cols"]) for g in m2["global_eq_deletes"]] == [("k",)]
+    assert all("seq" in e for e in m2["files"])
     # data files untouched — metadata-only compaction
     assert {e["path"] for e in m2["files"]} == {e["path"] for e in m["files"]}
     assert sorted(tuple(map(str, r)) for r in mgr.read("cd").collect()) == before
@@ -1209,6 +1245,35 @@ def test_compact_deletes_flattens_stacked_eq_epochs(mgr, spark):
     n_before = len(os.listdir(deldir))
     mgr.expire_snapshots("cd", keep_last=1)
     assert len(os.listdir(deldir)) < n_before
+    # a post-compaction epoch: per-entry stack again, values correct,
+    # and the next compaction folds it into the SAME global file
+    batch = spark.createDataFrame(
+        [(k, f"late-{k}") for k in range(0, 4)], "k long, v string"
+    ).coalesce(1)
+    mgr.upsert_equality("cd", batch, ["k"])
+    want = {
+        **{i: f"v0-{i}" for i in range(40)},
+    }
+    for epoch in range(1, 9):
+        for k in range(epoch, epoch + 6):
+            want[k] = f"v{epoch}-{k}"
+    for k in range(0, 4):
+        want[k] = f"late-{k}"
+    got = {r.k: r.v for r in mgr.read("cd").collect()}
+    assert got == want
+    mgr.compact_deletes("cd")
+    m3 = mgr._load_manifest("cd")
+    assert max(len(e.get("eq_deletes", [])) for e in m3["files"]) == 0
+    assert len(m3["global_eq_deletes"]) == 1
+    assert {r.k: r.v for r in mgr.read("cd").collect()} == want
+    # global deletes also block unsafe schema evolution, like stacks do
+    with pytest.raises(ValueError, match="global equality"):
+        mgr.drop_column("cd", "k")
+    # rewrite_deletes materializes and clears the global state
+    mgr.rewrite_deletes("cd")
+    m4 = mgr._load_manifest("cd")
+    assert "global_eq_deletes" not in m4
+    assert {r.k: r.v for r in mgr.read("cd").collect()} == want
 
 
 def test_compact_deletes_merges_positional_stacks(mgr, spark):

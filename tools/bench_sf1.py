@@ -91,6 +91,12 @@ X100_SET = [
 ]
 
 
+# always scale-trended regardless of current cost ranking: the ANN probe
+# paths, whose 10x behavior (index build + recall under re-keyed growth)
+# is asserted in tests/test_ann_recall.py and trended here
+ALWAYS = ["q_sim_ann_multiprobe", "q_sim_ann_mass_budget"]
+
+
 def headline_set() -> list[str]:
     env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
     if env:
@@ -99,10 +105,11 @@ def headline_set() -> list[str]:
         return X100_SET
     if os.path.exists("BENCH_FULL.json"):
         q = json.load(open("BENCH_FULL.json"))["queries"]
-        return sorted((n for n in q if q[n] >= 0), key=lambda n: -q[n])[
+        top = sorted((n for n in q if q[n] >= 0), key=lambda n: -q[n])[
             :N_HEADLINE
         ]
-    return HEADLINE
+        return top + [n for n in ALWAYS if n not in top]
+    return HEADLINE + ALWAYS
 
 
 def build_corpus(spark, dst: str) -> None:
