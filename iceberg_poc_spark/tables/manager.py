@@ -2268,6 +2268,10 @@ class ParquetTableManager:
         rewritten."""
         schema = StructType.fromJson(manifest["schema"])
         gdels = manifest.get("global_eq_deletes", [])
+        if gdels and not any("seq" in e for e in files):
+            # only unstamped (post-compaction) files planned: younger than
+            # every folded delete — skip the global anti-joins entirely
+            gdels = []
         if not files:
             if with_positions:
                 schema = schema.add("_file_name", StringType()).add(
