@@ -470,7 +470,10 @@ class SnapTableStreamReader(DataSourceStreamReader):
         v: Any = ev
         while v is not None and v != sv:
             m = mgr._load_manifest(table, v)
-            if m["operation"] not in ("append", "create"):
+            # compact-deletes adds NO data files (it rewrites delete
+            # metadata only), so a maintenance pass mid-stream is safe to
+            # walk through — a CDC stream must survive table maintenance
+            if m["operation"] not in ("append", "create", "compact-deletes"):
                 raise ValueError(
                     f"snapshot {v} is {m['operation']!r}: the snaptable "
                     "stream replays appends only (Iceberg semantics)"

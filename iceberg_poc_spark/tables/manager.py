@@ -2805,7 +2805,10 @@ class ParquetTableManager:
         v: int | None = to_v
         while v is not None and v != from_snapshot:
             m = self._load_manifest(name, v)
-            if m["operation"] not in ("append",):
+            # compact-deletes is row-equivalent and adds no data files:
+            # incremental reads walk straight through it (maintenance
+            # must not break downstream incremental consumers)
+            if m["operation"] not in ("append", "compact-deletes"):
                 raise ValueError(
                     f"snapshot {v} is {m['operation']!r}: incremental read "
                     "only spans append snapshots (Iceberg semantics)"
@@ -2957,13 +2960,21 @@ class ParquetTableManager:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
 
-    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict[str, int]:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 1,
+        orphan_ttl_s: float | None = None,
+    ) -> dict[str, int]:
         """Retire all but the last ``keep_last`` snapshots and delete data
         files no surviving snapshot references (≙ Iceberg
         ``expire_snapshots`` + ``remove_orphan_files`` — the maintenance
         loop that stops metadata and storage growing without bound under
         streaming appends + compaction). Time travel remains valid only
-        for surviving snapshots."""
+        for surviving snapshots. ``orphan_ttl_s`` additionally removes
+        crashed writers' staging dirs whose newest write is older than
+        the ttl (≙ remove_orphan_files' ``older_than`` guard: never set
+        it below the longest plausible in-flight write)."""
         # keep: newest keep_last of the main chain, plus EVERYTHING
         # reachable from any branch head or tag (Iceberg: refs pin history)
         keep = set(
@@ -3007,17 +3018,49 @@ class ParquetTableManager:
             )
         removed_files = removed_snaps = 0
         for v in drop:
-            for e in self._load_manifest(name, v)["files"]:
-                for p in _paths(e):
-                    if p not in live:
-                        fp = os.path.join(self._dir(name), p)
-                        if os.path.exists(fp):
-                            os.remove(fp)
-                            removed_files += 1
-                        live.add(p)  # count each orphan once
+            dm = self._load_manifest(name, v)
+            dropped_paths = [p for e in dm["files"] for p in _paths(e)] + [
+                g["path"] for g in dm.get("global_eq_deletes", [])
+            ]
+            for p in dropped_paths:
+                if p not in live:
+                    fp = os.path.join(self._dir(name), p)
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed_files += 1
+                    live.add(p)  # count each orphan once
             os.remove(self._manifest_path(name, v))
             removed_snaps += 1
-        return {"snapshots": removed_snaps, "files": removed_files}
+        # orphaned staging from crashed writers (≙ remove_orphan_files'
+        # other half): a staging dir is invisible by design, so one whose
+        # last write is older than orphan_ttl_s can only be a crash
+        # leftover — no writer stages for that long before committing
+        removed_staging = 0
+        if orphan_ttl_s is not None:
+            import shutil as _sh
+            import time as _time
+
+            sdir = os.path.join(self._dir(name), "_staging")
+            if os.path.isdir(sdir):
+                now = _time.time()
+                for d in os.listdir(sdir):
+                    p = os.path.join(sdir, d)
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(root, f))
+                            for root, _dd, ff in os.walk(p)
+                            for f in ff
+                        ),
+                        default=os.path.getmtime(p),
+                    )
+                    if now - newest > orphan_ttl_s:
+                        _sh.rmtree(p, ignore_errors=True)
+                        removed_staging += 1
+        return {
+            "snapshots": removed_snaps,
+            "files": removed_files,
+            "staging": removed_staging,
+        }
 
     # ------------------------------------------------------------ compaction
     def compact_partitions(

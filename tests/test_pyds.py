@@ -292,6 +292,33 @@ def test_connector_write_appends_atomic_snapshots(mgr, spark):
         )
 
 
+def test_stream_walks_through_compact_deletes(mgr, spark):
+    """A compact-deletes maintenance snapshot inside the stream's offset
+    range adds no data files — the table-changes stream must walk
+    through it and ship only the post-maintenance appends (a CDC stream
+    that dies on table maintenance is not a CDC stream)."""
+    from iceberg_poc_spark.sources.pyds import SnapTableStreamReader
+
+    mgr.create_table("t", EVENTS_SCHEMA)
+    mgr.append("t", make_events(spark, 10).coalesce(1))
+    mgr.upsert_equality(
+        "t", make_events(spark, 4).coalesce(1), ["tenant_id", "service_id"]
+    )
+    start = mgr._current_version("t")
+    mgr.compact_deletes("t")
+    mgr.append("t", make_events(spark, 3, start=dt.datetime(2025, 1, 1)))
+    r = SnapTableStreamReader(
+        {
+            "warehouse": mgr.warehouse,
+            "table": "t",
+            "from_snapshot": str(start),
+        },
+        mgr.schema("t"),
+    )
+    parts = r.partitions({"version": start}, r.latestOffset())
+    assert sum(p.value[0]["records"] for p in parts) == 3
+
+
 def test_datasource_applies_global_seq_deletes(mgr, spark):
     """A table whose stacked upsert epochs were compacted into
     sequence-scoped GLOBAL delete files must read identically through

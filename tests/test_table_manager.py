@@ -1276,6 +1276,59 @@ def test_compact_deletes_folds_stacks_into_global_seq_deletes(mgr, spark):
     assert {r.k: r.v for r in mgr.read("cd").collect()} == want
 
 
+def test_incremental_read_walks_through_compact_deletes(mgr, spark):
+    """A compact-deletes maintenance snapshot mid-range must not break
+    incremental consumers: it adds no data files, so the incremental
+    read walks through it and returns exactly the post-maintenance
+    appends."""
+    base = spark.createDataFrame(
+        [(i, f"v-{i}") for i in range(20)], "k long, v string"
+    ).coalesce(1)
+    mgr.create_table("ic", base.schema, [])
+    v0 = mgr.append("ic", base)
+    for epoch in range(2):
+        batch = spark.createDataFrame(
+            [(k, f"e{epoch}-{k}") for k in range(3)], "k long, v string"
+        ).coalesce(1)
+        mgr.upsert_equality("ic", batch, ["k"])
+    # upserts in range still raise (their files mix old and new keys)
+    with pytest.raises(ValueError, match="incremental read"):
+        mgr.read_incremental("ic", v0)
+    v1 = mgr._current_version("ic")
+    mgr.compact_deletes("ic")
+    mgr.append(
+        "ic",
+        spark.createDataFrame([(100, "new")], "k long, v string"),
+    )
+    got = mgr.read_incremental("ic", v1).collect()
+    assert [(r.k, r.v) for r in got] == [(100, "new")]
+
+
+def test_expire_reaps_orphan_staging(mgr, spark):
+    """A crashed writer's staging dir (older than the ttl) is removed by
+    expire_snapshots(orphan_ttl_s=...); a fresh one is left alone."""
+    import os
+
+    base = spark.range(5).select(F.col("id").alias("k"))
+    mgr.create_table("os1", base.schema, [])
+    mgr.append("os1", base)
+    sdir = os.path.join(mgr._dir("os1"), "_staging")
+    crashed = os.path.join(sdir, "dsw-deadbeef")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part.parquet"), "wb") as f:
+        f.write(b"partial")
+    old = os.path.getmtime(crashed) - 3600
+    os.utime(os.path.join(crashed, "part.parquet"), (old, old))
+    fresh = os.path.join(sdir, "dsw-live")
+    os.makedirs(fresh)
+    stats = mgr.expire_snapshots("os1", keep_last=1, orphan_ttl_s=600)
+    assert stats["staging"] == 1
+    assert not os.path.isdir(crashed)
+    assert os.path.isdir(fresh)
+    # default: staging untouched
+    assert mgr.expire_snapshots("os1", keep_last=1)["staging"] == 0
+
+
 def test_compact_deletes_merges_positional_stacks(mgr, spark):
     """Stacked positional deletes merge to one coordinate file per data
     file; visible rows unchanged."""
