@@ -1018,6 +1018,219 @@ def _inc_batch(d: DataFrame) -> DataFrame:
     )
 
 
+_NI_READY: set[str] = set()
+NI_SUFFIX = " recrawl mirror"
+NI_THRESHOLD = MINHASH_THRESHOLD
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(bk = band:hash, doc_id) rows — the LSH posting list."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.concat(
+                *[
+                    F.col(_mh_name(b * ROWS_PER_BAND + r))
+                    for r in range(ROWS_PER_BAND)
+                ]
+            ).alias("h"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select(
+        F.concat(
+            F.col("bd.b").cast("string"), F.lit(":"), F.col("bd.h")
+        ).alias("bk"),
+        "doc_id",
+    )
+
+
+def _ni_batch(d: DataFrame) -> DataFrame:
+    """Today's arrivals: fresh docs + re-crawled corpus content under new
+    ids with a trailing mutation (near-dup, not exact-dup, of corpus)."""
+    fresh = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", "text"
+    )
+    recrawl = d.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 9 == 1)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(NI_SUFFIX)).alias("text"),
+    )
+    return fresh.unionByName(recrawl)
+
+
+@register(
+    "q_dedup_near_incremental",
+    oracle=None,  # assembled below; see _near_inc_oracle()
+    doc="Incremental NEAR-dedup — q_dedup_incremental's exact-digest "
+    "triage upgraded to MinHash-LSH similarity, still WITHOUT rescanning "
+    "the corpus: the corpus's LSH band rows (4 bands x 4 minhash words) "
+    "and signatures are PERSISTED as bucketed+sorted index tables (built "
+    "once at ingest, appendable daily); today's batch (fresh docs + "
+    "re-crawled corpus content mutated with a trailing suffix) computes "
+    "its own batch-sized signatures, sort-merge-joins its band rows "
+    "against the posting-list index — the index side reads bucket-"
+    "aligned with ZERO Exchange (asserted in tests/test_plans.py) — and "
+    "verifies only the LSH candidates against the persisted corpus "
+    "signatures (est_jaccard >= 0.5). Per-source triage (arrived / "
+    "near-dup-of-corpus / clean) is the daily ingest report. At 100 TB "
+    "this is the near-dup shape that runs every day: the shuffle is "
+    "O(batch bands), the corpus contributes pre-bucketed postings and "
+    "16-word signatures, never documents.",
+)
+def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.sources.bucketed import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"niwh_{os.getpid()}_{key}")
+    db = f"ninc_{key}"
+    if wh not in _NI_READY:
+        corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+        sigs = minhash_signatures(corpus)
+        write_bucketed(_band_rows(sigs), "band_idx", "bk", 16, db, wh)
+        write_bucketed(
+            sigs.select(
+                F.col("doc_id").alias("corpus_id"),
+                *[
+                    F.col(_mh_name(i)).alias(f"cmh{i}")
+                    for i in range(N_HASHES)
+                ],
+            ),
+            "sig_idx",
+            "corpus_id",
+            16,
+            db,
+            wh,
+        )
+        _NI_READY.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    batch = _ni_batch(d)
+    # cached: the batch signatures feed BOTH the band probe and the
+    # candidate verification (same pattern as q_dedup_near)
+    bsigs = minhash_signatures(batch).cache()
+    cand = (
+        _band_rows(bsigs)
+        .join(
+            spark.table(f"{db}.band_idx")
+            .withColumnRenamed("doc_id", "corpus_id")
+            .hint("merge"),
+            "bk",
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(_mh_name(i)) == F.col(f"cmh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    near = (
+        cand.join(spark.table(f"{db}.sig_idx").hint("merge"), "corpus_id")
+        .join(bsigs, "doc_id")
+        .filter(matches / F.lit(float(N_HASHES)) >= NI_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    return batch.join(near, "doc_id", "left").groupBy("source").agg(
+        F.count("*").alias("n_arrived"),
+        F.sum(F.col("near").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_near_corpus"),
+        F.sum(F.col("near").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+
+
+def _near_inc_oracle() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(substr(md5('{s}:' || shingle), {1 + 8 * w}, 8)) AS mh{s * WORDS_PER_MD5 + w}"
+        for s in range(N_SALTS)
+        for w in range(WORDS_PER_MD5)
+    )
+
+    def bands(src: str) -> str:
+        return "\n        UNION ALL\n        ".join(
+            "SELECT doc_id, {b} AS b, {cc} AS h FROM {src}".format(
+                b=b,
+                cc=" || ".join(
+                    f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                ),
+                src=src,
+            )
+            for b in range(N_BANDS)
+        )
+
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000000, source, text || '{NI_SUFFIX}'
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 9 = 1
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM corpus
+    ),
+    cmh AS (SELECT doc_id, {mh_exprs} FROM csh GROUP BY doc_id),
+    bsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM batch
+    ),
+    bmh AS (SELECT doc_id, {mh_exprs} FROM bsh GROUP BY doc_id),
+    cbands AS (
+        {bands("cmh")}
+    ),
+    bbands AS (
+        {bands("bmh")}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+        FROM bbands b JOIN cbands c ON b.b = c.b AND b.h = c.h
+    ),
+    near AS (
+        SELECT DISTINCT cand.bid
+        FROM cand
+        JOIN bmh x ON x.doc_id = cand.bid
+        JOIN cmh y ON y.doc_id = cand.cid
+        WHERE ({match_sum}) / {float(N_HASHES)} >= {NI_THRESHOLD}
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(SUM(CASE WHEN n.bid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_corpus,
+           CAST(SUM(CASE WHEN n.bid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM batch b LEFT JOIN near n ON b.doc_id = n.bid
+    GROUP BY 1
+    """
+
+
+_qni = _registry.REGISTRY["q_dedup_near_incremental"]
+_registry.REGISTRY["q_dedup_near_incremental"] = _registry.Query(
+    name=_qni.name, fn=_qni.fn, oracle=_near_inc_oracle(), doc=_qni.doc
+)
+
+
 @register(
     "q_dedup_incremental",
     oracle="""

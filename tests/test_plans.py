@@ -343,3 +343,18 @@ def test_dedup_incremental_shuffles_only_the_batch(spark):
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_dedup_near_incremental_index_side_zero_exchange(spark):
+    """q_dedup_near_incremental: BOTH persisted index tables (band
+    postings bucketed on bk, corpus signatures bucketed on corpus_id)
+    join bucket-aligned — their sort-merge joins carry no Exchange on
+    the index side. Concretely: every Exchange in the plan hashes on
+    batch-derived keys; the two index scans feed Sorts directly."""
+    plan = explain_str(Q["q_dedup_near_incremental"].fn(spark, SF_DIR))
+    assert len(re.findall(r"SortMergeJoin", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan
+    # BOTH index scans read bucket-aligned — Spark marks the scan itself
+    # (`Bucketed: true`) when the join consumed the bucketing instead of
+    # inserting an Exchange; two such scans = band_idx + sig_idx
+    assert len(re.findall(r"Bucketed: true", plan)) == 2, plan

@@ -92,9 +92,15 @@ X100_SET = [
 
 
 # always scale-trended regardless of current cost ranking: the ANN probe
-# paths, whose 10x behavior (index build + recall under re-keyed growth)
-# is asserted in tests/test_ann_recall.py and trended here
-ALWAYS = ["q_sim_ann_multiprobe", "q_sim_ann_mass_budget"]
+# paths (10x recall behavior asserted in tests/test_ann_recall.py) and
+# the incremental-ingest dedup pair, whose zero-corpus-rescan property
+# is exactly what 10x growth must not erode
+ALWAYS = [
+    "q_sim_ann_multiprobe",
+    "q_sim_ann_mass_budget",
+    "q_dedup_incremental",
+    "q_dedup_near_incremental",
+]
 
 
 def headline_set() -> list[str]:
