@@ -292,6 +292,10 @@ class ConstraintViolation(ValueError):
     """An ingest batch failed a ``constraints.check.*`` table property."""
 
 
+# upsert_equality auto-runs compact_deletes once any file's delete stack
+# reaches this depth (0/absent = off); BENCH_MOR.json measures the curve
+DELETE_COMPACT_THRESHOLD_PROP = "write.delete.compact-threshold"
+
 BLOOM_COLS_PROP = "index.bloom.columns"  # comma-separated column names
 BLOOM_BITS_PROP = "index.bloom.bits"  # filter size in bits (default 65536)
 BLOOM_HASHES_PROP = "index.bloom.hashes"  # hash count k (default 6)
@@ -1772,9 +1776,29 @@ class ParquetTableManager:
         rewritten; cost is one metadata commit + the new rows' write,
         regardless of table size. Rows sharing a key within ``df`` all
         survive (dedupe upstream per batch — Iceberg's upsert contract).
-        Readers pay the anti-join until :meth:`rewrite_deletes`."""
+        Readers pay the anti-join until :meth:`compact_deletes` /
+        :meth:`rewrite_deletes`.
+
+        Auto-maintenance: with the ``write.delete.compact-threshold``
+        table property set (an int; BENCH_MOR.json measures ~10 as the
+        point the stacked-epoch read tax turns superlinear), an upsert
+        that leaves any file's delete stack at/over the threshold
+        triggers :meth:`compact_deletes` inline — the stack depth check
+        is metadata-only, and the read tax stays bounded without an
+        external maintenance scheduler (≙ Iceberg's
+        commit-triggered table maintenance)."""
         entry = self._stage_upsert(name, df, keys)
-        return self._apply_upsert(name, ref, entry)
+        v = self._apply_upsert(name, ref, entry)
+        thresh = int(
+            self.properties(name).get(DELETE_COMPACT_THRESHOLD_PROP, 0)
+        )
+        if thresh > 0 and ref == "main" and self.spark is not None:
+            m = self._load_manifest(name)
+            if any(
+                len(e.get("eq_deletes", [])) >= thresh for e in m["files"]
+            ):
+                v = self.compact_deletes(name)
+        return v
 
     def _stage_upsert(self, name: str, df: DataFrame, keys: list[str]) -> dict:
         """Run the DATA half of an upsert epoch (distributed writes of

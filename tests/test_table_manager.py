@@ -1276,6 +1276,35 @@ def test_compact_deletes_folds_stacks_into_global_seq_deletes(mgr, spark):
     assert {r.k: r.v for r in mgr.read("cd").collect()} == want
 
 
+def test_auto_compact_threshold_bounds_delete_stacks(mgr, spark):
+    """write.delete.compact-threshold: upsert epochs auto-fold into the
+    global delete file whenever any stack reaches the threshold, so the
+    stack depth (the read-tax driver) stays bounded without external
+    maintenance — and values stay exactly last-writer-wins."""
+    from iceberg_poc_spark.tables.manager import (
+        DELETE_COMPACT_THRESHOLD_PROP,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "v0") for i in range(20)], "k long, v string"
+    ).coalesce(1)
+    mgr.create_table("ac", base.schema, [])
+    mgr.set_properties("ac", {DELETE_COMPACT_THRESHOLD_PROP: "3"})
+    mgr.append("ac", base)
+    for epoch in range(1, 8):
+        batch = spark.createDataFrame(
+            [(k, f"e{epoch}") for k in range(4)], "k long, v string"
+        ).coalesce(1)
+        mgr.upsert_equality("ac", batch, ["k"])
+        m = mgr._load_manifest("ac")
+        assert (
+            max(len(e.get("eq_deletes", [])) for e in m["files"]) < 3
+        ), f"stack exceeded threshold after epoch {epoch}"
+    got = {r.k: r.v for r in mgr.read("ac").collect()}
+    assert got == {**{i: "v0" for i in range(20)}, **{k: "e7" for k in range(4)}}
+    assert mgr._load_manifest("ac").get("global_eq_deletes")
+
+
 def test_incremental_read_walks_through_compact_deletes(mgr, spark):
     """A compact-deletes maintenance snapshot mid-range must not break
     incremental consumers: it adds no data files, so the incremental
