@@ -470,6 +470,114 @@ _registry.REGISTRY["q_dedup_ngram_jaccard"] = _registry.Query(
 )
 
 
+# --------------------------------------------------- shingle containment
+
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_DF_MAX = 4  # candidate shingles must appear in <= this many docs
+
+
+@register(
+    "q_dedup_containment",
+    oracle=None,  # assembled below
+    doc="Doc-in-doc CONTAINMENT detection — the near-dup class Jaccard "
+    "misses by construction: a short document quoted inside a long one "
+    "shares ~all of ITS shingles but few of the container's, so "
+    "J = |A∩B|/|A∪B| is small while containment C(A⊂B) = |A∩B|/|A| is "
+    "~1 (and MinHash-LSH, whose band-collision probability tracks J, "
+    "never proposes the pair). Candidates come from a DF-BOUNDED "
+    "rare-shingle inverted index instead: shingles appearing in <= "
+    f"{CONTAIN_DF_MAX} docs join their posting lists pairwise (fan-out "
+    "bounded by df^2 per shingle — never O(n^2); pairs sharing only "
+    "common boilerplate shingles are not scored, a documented "
+    "approximation the oracle mirrors exactly), then the exact shingle "
+    "intersection verifies each candidate and emits directed "
+    f"(inner, outer) pairs with containment >= {CONTAIN_THRESHOLD}. "
+    "The training-pipeline use is quote/boilerplate leakage: drop or "
+    "downweight documents fully contained in another before "
+    "near-dedup, which would otherwise keep both.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).cache()
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_MAX),
+        "shingle",
+    ).select("doc_id", "shingle")
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.shingle") == F.col("rb.shingle"))
+            & (F.col("ra.doc_id") != F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("ra.doc_id").alias("inner_id"),
+            F.col("rb.doc_id").alias("outer_id"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("inner_id") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("outer_id") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    za = sizes.alias("za")
+    cont = F.round(F.col("shared").cast("double") / F.col("za.n"), 4)
+    return (
+        inter.join(za, F.col("inner_id") == F.col("za.doc_id"))
+        .select("inner_id", "outer_id", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+def _containment_oracle() -> str:
+    cont = dround("CAST(i.shared AS DOUBLE) / za.n", 4)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM documents
+    ),
+    rare AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {CONTAIN_DF_MAX}
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS inner_id, b.doc_id AS outer_id
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.inner_id, c.outer_id, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.inner_id
+        JOIN sh sb ON sb.doc_id = c.outer_id AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.inner_id, i.outer_id, {cont} AS containment
+    FROM inter i JOIN sizes za ON za.doc_id = i.inner_id
+    WHERE {cont} >= {CONTAIN_THRESHOLD}
+    """
+
+
+_qc = _registry.REGISTRY["q_dedup_containment"]
+_registry.REGISTRY["q_dedup_containment"] = _registry.Query(
+    name=_qc.name, fn=_qc.fn, oracle=_containment_oracle(), doc=_qc.doc
+)
+
+
 # ------------------------------------------------- embedding near-dup (LSH)
 
 EMB_BUCKET_BITS = 8
