@@ -2618,6 +2618,80 @@ def q_connector_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MS_CUTOFF = "2024-01-16 00:00:00"  # schema-merge batch boundary
+
+
+def _setup_events_ms(spark: SparkSession, sf_dir: str) -> tuple:
+    """events_ms: batch1 lands under a NARROW schema (no value column,
+    user_id as int); batch2 arrives with the wider real shape and
+    merge_schema=True auto-evolves the table (value ADDED, user_id
+    WIDENED int→bigint) before the append."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_ms")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    cutoff = F.lit(MS_CUTOFF).cast("timestamp_ntz")
+    b1 = ev.filter(F.col("ts") < cutoff).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("user_id").cast("int").alias("user_id"),
+    )
+    b2 = ev.filter(F.col("ts") >= cutoff)
+    mgr.create_table("events_ms", b1.schema, [])
+    mgr.append("events_ms", b1)
+    mgr.append("events_ms", b2, merge_schema=True)
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_schema_merge_write",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id,
+               CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE ts < TIMESTAMP '{MS_CUTOFF}'
+        UNION ALL
+        SELECT event_id, event_type, user_id, value
+        FROM events WHERE ts >= TIMESTAMP '{MS_CUTOFF}'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(value) AS BIGINT) AS n_with_value,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM t GROUP BY 1
+    """,
+    doc="Schema-MERGING writes (≙ Iceberg's write.spark.accept-any-"
+    "schema + Spark's mergeSchema write option — the evolve-on-write "
+    "mode streaming producers need when the upstream payload grows a "
+    "field): batch1 lands under a narrow schema, batch2 arrives wider "
+    "and append(merge_schema=True) auto-evolves the table first — the "
+    "value column is ADDED (metadata-only; batch1's files read NULL for "
+    "it) and user_id WIDENS int→bigint (batch1's int files read through "
+    "parquet's widening promotion). Drops/renames/narrowing still "
+    "require explicit DDL — silent destructive evolution stays "
+    "impossible (the default append keeps dropping unknown columns, "
+    "asserted along with the evolution commits in "
+    "tests/test_table_manager.py). The oracle reconstructs the merged "
+    "shape relationally: NULL value for pre-evolution rows, widened "
+    "user_id everywhere.",
+)
+def q_schema_merge_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_events_ms(spark, sf_dir)
+    df = mgr.read("events_ms")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("value").cast("bigint").alias("n_with_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+    )
+
+
 CWP_CUTOFF = "2024-01-20 00:00:00"  # days-partition scan bound
 
 

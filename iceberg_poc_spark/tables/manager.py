@@ -1104,12 +1104,44 @@ class ParquetTableManager:
                 f"violated: {detail}"
             )
 
-    def append(self, name: str, df: DataFrame, ref: str = "main") -> int:
+    def _merge_schema(self, name: str, df: DataFrame) -> None:
+        """Auto-evolve the table so the incoming batch fits (≙ Iceberg's
+        ``write.spark.accept-any-schema`` + Spark's ``mergeSchema`` write
+        option): unseen top-level columns are ADDED (nullable, metadata-
+        only), and an incoming column whose type is a widening promotion
+        of the table's (int→bigint, float→double) WIDENS it. Everything
+        else — drops, renames, narrowing, nested restructures — still
+        requires explicit DDL: silent destructive evolution is how
+        pipelines eat their own schemas."""
+        types = {
+            f.name: f.dataType.typeName() for f in self.schema(name).fields
+        }
+        for f in df.schema.fields:
+            if f.name not in types:
+                self.add_column(name, f.name, f.dataType.simpleString())
+            elif (types[f.name], f.dataType.typeName()) in self._WIDENINGS:
+                self.widen_column(name, f.name, f.dataType.typeName())
+
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        ref: str = "main",
+        merge_schema: bool = False,
+    ) -> int:
         """Atomic multi-file append: all files of this call become visible
         in ONE commit (reference #20/#21: the whole parallel bulk load lands
         as a single snapshot). ``ref`` targets a branch — the
         write-audit-publish staging path: append to an audit branch,
-        validate it, then :meth:`fast_forward` main."""
+        validate it, then :meth:`fast_forward` main.
+
+        Default schema discipline: the batch is aligned to the TABLE
+        schema (extra df columns dropped, missing ones NULL).
+        ``merge_schema=True`` first auto-evolves the table to fit the
+        batch (see :meth:`_merge_schema`), so new columns land instead
+        of being dropped."""
+        if merge_schema:
+            self._merge_schema(name, df)
         _seq, head = self._ref_head(name, ref)
         if head < 0:
             raise ValueError(f"branch {ref!r} does not exist on {name!r}")

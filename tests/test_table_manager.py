@@ -1276,6 +1276,33 @@ def test_compact_deletes_folds_stacks_into_global_seq_deletes(mgr, spark):
     assert {r.k: r.v for r in mgr.read("cd").collect()} == want
 
 
+def test_append_merge_schema_adds_and_widens(mgr, spark):
+    """append(merge_schema=True): unseen columns are added, widening
+    promotions widen, old files read NULL / promoted values; the DEFAULT
+    append still drops unknown columns (no silent evolution)."""
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, w int")
+    mgr.create_table("ms", b1.schema, [])
+    mgr.append("ms", b1)
+    b2 = spark.createDataFrame(
+        [(3, 5_000_000_000, "x")], "k long, w long, note string"
+    )
+    # default append: unknown column dropped, incompatible w overflows?
+    # -> merge first, then append lands the full shape
+    mgr.append("ms", b2, merge_schema=True)
+    got = {r.k: (r.w, r.note) for r in mgr.read("ms").collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (5_000_000_000, "x")}
+    sch = {f.name: f.dataType.simpleString() for f in mgr.schema("ms").fields}
+    assert sch == {"k": "bigint", "w": "bigint", "note": "string"}
+    # evolution commits are explicit snapshots (widen + add + append)
+    ops = [r["operation"] for r in mgr.snapshots("ms").collect()]
+    assert "add-column" in ops and "widen-column" in ops
+    # default append drops unknown columns silently (documented)
+    mgr.append("ms", spark.createDataFrame([(4, 1, "y", 9.5)],
+                                           "k long, w long, note string, extra double"))
+    assert "extra" not in mgr.read("ms").columns
+    assert mgr.read("ms").count() == 4
+
+
 def test_auto_compact_threshold_bounds_delete_stacks(mgr, spark):
     """write.delete.compact-threshold: upsert epochs auto-fold into the
     global delete file whenever any stack reaches the threshold, so the
