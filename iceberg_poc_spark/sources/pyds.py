@@ -67,7 +67,11 @@ _OPS = {
 # (and therefore byte-identical manifest partition strings) to the ones
 # manager.append gets from Spark's own partitionBy — pruning and identity
 # restore compare those strings directly.
-_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+_HIVE_ESCAPE = (
+    set('"#%\'*/:=?\\{[]^')
+    | {chr(c) for c in range(0x20)}
+    | {chr(0x7F)}  # DEL — in Spark's charToEscape bitset too
+)
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 

@@ -292,6 +292,24 @@ class ConstraintViolation(ValueError):
     """An ingest batch failed a ``constraints.check.*`` table property."""
 
 
+class RollbackConflictError(RuntimeError):
+    """A catalog-level transaction rollback found a member table's head
+    advanced past the target transaction while the rollback was in
+    flight. The rollback record is aborted (never clobbers the newer
+    commit); member tables already rolled back keep their rollback —
+    each is itself a consistent snapshot — and the error names the
+    conflicting table so the caller can retry or reconcile."""
+
+
+# fully-applied txns leave a durable `<seq>.applied` record (what
+# rollback_transaction resolves against); keep only the newest N so the
+# txns dir — which _publish_txn lists on every allocation — stays O(N +
+# outstanding), not O(all-time txns). GC of seq s requires N newer
+# applied records to exist IN the dir, so the allocation max can never
+# regress below an already-used seq.
+TXN_APPLIED_KEEP = 64
+
+
 # upsert_equality auto-runs compact_deletes once any file's delete stack
 # reaches this depth (0/absent = off); BENCH_MOR.json measures the curve
 DELETE_COMPACT_THRESHOLD_PROP = "write.delete.compact-threshold"
@@ -1260,6 +1278,29 @@ class ParquetTableManager:
                                 and cm["operation"] == "rollback"
                             ):
                                 break  # a concurrent repairer applied it
+                            # re-validate INSIDE the CAS loop: the head
+                            # must still belong to the txn being undone
+                            # (rollback_transaction's pre-publish guard
+                            # has a TOCTOU window — a foreign commit
+                            # landing between guard and CAS, or between
+                            # a crash after _publish_txn and a repair
+                            # replay, must abort the rollback, never be
+                            # clobbered by it). The exclusive-create CAS
+                            # on seq_head+1 makes this airtight: if our
+                            # link wins, nothing landed after the check.
+                            undoes = entry.get("undoes")
+                            if (
+                                undoes is not None
+                                and cm.get("txn") != undoes
+                            ):
+                                self._abort_txn(seq, record)
+                                raise RollbackConflictError(
+                                    f"table {name!r} advanced past "
+                                    f"transaction {undoes!r} while the "
+                                    f"rollback was in flight (head txn "
+                                    f"is {cm.get('txn')!r}); rollback "
+                                    f"{seq!r} aborted"
+                                )
                             nm = dict(self._load_manifest(name, entry["to"]))
                             nm["operation"] = "rollback"
                             nm["parent"] = cur
@@ -1322,9 +1363,59 @@ class ParquetTableManager:
                 os.remove(os.path.join(self._txns_dir(), seq))
             except FileNotFoundError:
                 pass
+            self._gc_applied_txns()
             return out
         finally:
             self._in_txn_repair = prev
+
+    def _gc_applied_txns(self) -> None:
+        """Keep only the newest ``TXN_APPLIED_KEEP`` ``<seq>.applied``
+        records so the txns dir (listed by every ``_publish_txn``
+        allocation) stays O(KEEP + outstanding) instead of growing one
+        file per all-time transaction. Deleting ``s.applied`` requires
+        KEEP newer applied records to be present in the dir, so the
+        allocation max never regresses below a used seq. A rollback of a
+        GC'd transaction fails with the existing 'no applied record'
+        error — rollbacks target recent txns by design."""
+        d = self._txns_dir()
+        try:
+            applied = sorted(
+                fn for fn in os.listdir(d) if fn.endswith(".applied")
+            )
+        except FileNotFoundError:
+            return
+        for fn in applied[: max(0, len(applied) - TXN_APPLIED_KEEP)]:
+            try:
+                os.remove(os.path.join(d, fn))
+            except FileNotFoundError:
+                pass
+        aborted = sorted(
+            fn for fn in os.listdir(d) if fn.endswith(".aborted")
+        )
+        for fn in aborted[: max(0, len(aborted) - TXN_APPLIED_KEEP)]:
+            try:
+                os.remove(os.path.join(d, fn))
+            except FileNotFoundError:
+                pass
+
+    def _abort_txn(self, seq: str, record: dict) -> None:
+        """Consume a published-but-unappliable txn record (rollback
+        conflict): prune the live record + markers and leave a durable
+        ``<seq>.aborted`` tombstone, so crash repair never replays it
+        and the abort is diagnosable after the fact."""
+        self._link_pointer(
+            os.path.join(self._txns_dir(), f"{seq}.aborted"),
+            json.dumps(record, sort_keys=True),
+        )
+        for idx, entry in enumerate(record["entries"]):
+            try:
+                os.remove(self._txn_marker(seq, idx, entry["table"]))
+            except FileNotFoundError:
+                pass
+        try:
+            os.remove(os.path.join(self._txns_dir(), seq))
+        except FileNotFoundError:
+            pass
 
     def rollback_transaction(self, txn_id: str) -> dict[str, int]:
         """Catalog-level undo of an APPLIED multi-table transaction: roll
@@ -1373,8 +1464,26 @@ class ParquetTableManager:
                 if m.get("txn") != txn_id:
                     break
                 pre_txn, v = m.get("parent"), m.get("parent")
+            if pre_txn is None:
+                # the txn spans the table's first snapshot: there is no
+                # pre-txn state to restore, and passing None into
+                # _load_manifest would resolve to the CURRENT head,
+                # silently making the rollback a no-op of itself
+                raise ValueError(
+                    f"transaction {txn_id!r} created table {name!r}'s "
+                    "first snapshot; there is no pre-transaction state "
+                    "to roll back to (drop the table instead)"
+                )
             entries.append(
-                {"table": name, "ref": ref, "op": "rollback", "to": pre_txn}
+                {
+                    "table": name,
+                    "ref": ref,
+                    "op": "rollback",
+                    "to": pre_txn,
+                    # _apply_txn re-validates the head against this id
+                    # inside its CAS loop — closes the guard→CAS TOCTOU
+                    "undoes": txn_id,
+                }
             )
         seq = self._publish_txn(entries)
         out = self._apply_txn(seq, {"entries": entries})
@@ -1406,7 +1515,14 @@ class ParquetTableManager:
             except (FileNotFoundError, json.JSONDecodeError):
                 continue  # pruned (fully applied) by a concurrent repairer
             if any(e["table"] == name for e in record["entries"]):
-                self._apply_txn(seq, record)
+                try:
+                    self._apply_txn(seq, record)
+                except RollbackConflictError:
+                    # the record is already aborted (tombstoned + pruned)
+                    # by _apply_txn; a reader doing crash repair must not
+                    # fail head resolution over someone else's dead
+                    # rollback — only the direct rollback caller raises
+                    continue
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
         """Dynamic partition overwrite (≙ Iceberg's dynamic ``overwrite``

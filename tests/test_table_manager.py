@@ -1629,3 +1629,121 @@ def test_txn_commits_carry_fresh_commit_instant(mgr, spark):
     ]
     assert mgr.read("t", as_of=between).count() == 1
     assert mgr.read("t", as_of=time.time()).count() == 2
+
+
+def test_txn_rollback_aborts_on_racing_foreign_commit(mgr, spark):
+    """TOCTOU closure: a foreign commit landing BETWEEN the rollback
+    record's publish and its apply must abort the rollback (tombstoned,
+    not pending), never be clobbered by the pre-txn file set. The
+    exclusive-create head CAS plus the in-loop 'undoes' re-validation
+    make the window airtight."""
+    import os
+
+    from iceberg_poc_spark.tables import ParquetTableManager
+    from iceberg_poc_spark.tables.manager import RollbackConflictError
+
+    _mk_txn_tables(spark, mgr)
+    txn = mgr.transaction()
+    txn.append(
+        "fact",
+        spark.range(100, 110).select(F.col("id").alias("k"), F.lit(0).alias("d")),
+    )
+    txn.append("dim", spark.createDataFrame([(5, "seg5")], "d long, s string"))
+    txn.commit()
+
+    orig = ParquetTableManager._publish_txn
+
+    def racy(self, entries):
+        seq = orig(self, entries)
+        if any(e.get("op") == "rollback" for e in entries):
+            # emulate a writer whose _ref_head ran BEFORE the rollback
+            # record landed (so it never saw it to repair): commit with
+            # repair suppressed
+            prev, self._in_txn_repair = self._in_txn_repair, True
+            try:
+                self.append(
+                    "dim",
+                    spark.createDataFrame([(9, "seg9")], "d long, s string"),
+                )
+            finally:
+                self._in_txn_repair = prev
+        return seq
+
+    ParquetTableManager._publish_txn = racy
+    try:
+        with pytest.raises(RollbackConflictError, match="advanced past"):
+            mgr.rollback_transaction(txn.txn_id)
+    finally:
+        ParquetTableManager._publish_txn = orig
+
+    # the foreign commit SURVIVES (5 base + seg5 + seg9)
+    assert sorted(r.s for r in mgr.read("dim").collect()) == [
+        f"seg{i}" for i in range(5)
+    ] + ["seg5", "seg9"]
+    # the aborted record is tombstoned, never pending — no reader repair
+    # can replay it (head resolution below proves the dir is clean)
+    left = os.listdir(mgr._txns_dir())
+    assert [fn for fn in left if "." not in fn[4:]] == []
+    assert any(fn.endswith(".aborted") for fn in left)
+    # the table stays fully operational after the abort
+    mgr.append("dim", spark.createDataFrame([(10, "seg10")], "d long, s string"))
+    assert mgr.read("dim").count() == 8
+
+
+def test_txn_applied_records_are_gc_bounded(mgr, spark, monkeypatch):
+    """<seq>.applied records are keep-last-N bounded so the txns dir
+    (listed on every txn-id allocation) stays O(N + outstanding); ids
+    stay strictly fresh across the GC horizon and a recent txn still
+    rolls back while a GC'd one raises the documented error."""
+    import os
+
+    from iceberg_poc_spark.tables import manager as mgr_mod
+
+    monkeypatch.setattr(mgr_mod, "TXN_APPLIED_KEEP", 3)
+    _mk_txn_tables(spark, mgr)
+    ids = []
+    for i in range(6):
+        t = mgr.transaction()
+        t.append(
+            "fact",
+            spark.range(1000 + i, 1001 + i).select(
+                F.col("id").alias("k"), F.lit(0).alias("d")
+            ),
+        )
+        t.commit()
+        ids.append(t.txn_id)
+    assert ids == sorted(set(ids)), "txn ids must stay fresh + monotonic"
+    applied = [
+        fn for fn in os.listdir(mgr._txns_dir()) if fn.endswith(".applied")
+    ]
+    assert len(applied) == 3
+    assert sorted(applied) == [f"{t}.applied" for t in ids[-3:]]
+    with pytest.raises(ValueError, match="no applied record"):
+        mgr.rollback_transaction(ids[0])  # GC'd — explicit error
+    mgr.rollback_transaction(ids[-1])  # recent — still rolls back
+    assert mgr.read("fact").filter("k = 1005").count() == 0
+    assert mgr.read("fact").filter("k = 1004").count() == 1
+
+
+def test_txn_rollback_refuses_table_first_snapshot(mgr, spark):
+    """A txn spanning a table's FIRST snapshot has no pre-txn state; the
+    rollback must refuse explicitly instead of resolving 'to: None' to
+    the current head (which would commit a rollback of itself)."""
+    import json
+    import os
+
+    _mk_txn_tables(spark, mgr)
+    # forge the unreachable-today shape: stamp the table's entire
+    # ancestry (v0 create + v1 append) with one txn id
+    fake = "txn-000000777"
+    for v in (0, 1):
+        p = mgr._manifest_path("fact", v)
+        m = json.loads(open(p).read())
+        m["txn"] = fake
+        with open(p, "w") as f:
+            f.write(json.dumps(m, sort_keys=True))
+    os.makedirs(mgr._txns_dir(), exist_ok=True)
+    with open(os.path.join(mgr._txns_dir(), f"{fake}.applied"), "w") as f:
+        f.write(json.dumps({"entries": [{"table": "fact", "ref": "main"}]}))
+    with pytest.raises(ValueError, match="no pre-transaction state"):
+        mgr.rollback_transaction(fake)
