@@ -523,6 +523,181 @@ def q_sim_ann_mass_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental ANN index maintenance (append-without-rebuild) --------
+#
+# Base corpus = vec_id % 5 != 4 (80%); three daily-ingest batches =
+# vec_id % 15 == 4 / 9 / 14 (the remaining 20% in thirds). Anchors are
+# FROZEN at index creation and chosen at vec_ids divisible by 5*stride2
+# — always multiples of 5, hence always IN the base — so an incremental
+# append never needs the anchors recomputed: new vectors are argmax-
+# assigned to the existing cells and appended into the cell-partitioned
+# index table (the append-only commit model of the reference,
+# BulkParquetToIcebergAtomicMultipart.java:97-101, applied to an ANN
+# index). Base index files are never rewritten (identity asserted in
+# tests/test_ann_recall.py), and the probe plan prunes unprobed cells'
+# files — base AND appended — at the manifest.
+ANN_INC_BATCHES = 3
+
+_ANN_INC_STATE: dict[str, object] = {}
+
+
+def _ann_incremental_scan(spark: SparkSession, sf_dir: str):
+    """Build the frozen-anchor IVF index on the BASE corpus, append
+    ANN_INC_BATCHES incremental batches (assignment only — no anchor
+    recompute, no rebuild), then plan a budgeted multi-probe over the
+    grown index. Returns (df, planned, total, qemb, mgr,
+    base_file_paths)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager, identity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"anninc_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _ANN_INC_STATE:
+        n = emb.count()
+        astep = 5 * ((n // 5) // ANN_MP_CELLS)
+        anchor_rows = (
+            emb.filter(
+                (F.col("vec_id") % astep == 0)
+                & (F.col("vec_id") < astep * ANN_MP_CELLS)
+            )
+            .select(
+                (F.col("vec_id") / astep).cast("int").alias("aid"), "embedding"
+            )
+            .collect()
+        )
+        anchors = sorted(
+            (r["aid"], [float(v) for v in r["embedding"]]) for r in anchor_rows
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        base = emb.filter(F.col("vec_id") % 5 != 4)
+        cells = _assign_anchor_cells(spark, base, anchors)
+        mgr.create_table("emb_ivf_inc", cells.schema, [identity("cell")])
+        mgr.append("emb_ivf_inc", cells)
+        base_paths = frozenset(
+            e["path"] for e in mgr._load_manifest("emb_ivf_inc")["files"]
+        )
+        for b in range(ANN_INC_BATCHES):
+            batch = emb.filter(F.col("vec_id") % 15 == 4 + 5 * b)
+            # assignment to FROZEN anchors + atomic append — the whole
+            # daily maintenance job; the base index is never rescanned
+            mgr.append(
+                "emb_ivf_inc", _assign_anchor_cells(spark, batch, anchors)
+            )
+        _ANN_INC_STATE[wh] = (anchors, base_paths)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    anchors, base_paths = _ANN_INC_STATE[wh]
+    qemb = next(a for aid, a in anchors if aid == 0)  # vec_id 0 IS anchor 0
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / ((na**0.5) * (nb**0.5))
+
+    ranked = sorted(
+        ((aid, cos(aemb, qemb)) for aid, aemb in anchors),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
+    df, planned, total = mgr.scan(
+        "emb_ivf_inc", where=[("cell", "in", probe)]
+    )
+    return df, planned, total, qemb, mgr, base_paths
+
+
+@register(
+    "q_sim_ann_incremental",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(5 * ((COUNT(*) // 5) // {ANN_MP_CELLS}) AS BIGINT)
+               AS astep
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT CAST(vec_id // astep AS INT) AS aid, embedding AS aemb
+        FROM embeddings, params
+        WHERE vec_id % astep = 0 AND vec_id < astep * {ANN_MP_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, a.aid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    assign AS (
+        SELECT vec_id, embedding, aid AS cell FROM scored WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT aid FROM anchors, q
+        ORDER BY list_cosine_similarity(CAST(aemb AS DOUBLE[]),
+                                        CAST(qemb AS DOUBLE[])) DESC, aid
+        LIMIT {ANN_MP_PROBE}
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM assign c
+    JOIN probe p ON c.cell = p.aid
+    CROSS JOIN q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, c.vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+    doc=f"Incremental ANN index maintenance — append WITHOUT rebuild, "
+    f"the operator a 100 TB daily-ingest vector pipeline actually runs. "
+    f"The anchor-IVF index is built once on the base corpus (80%: "
+    f"vec_id %% 5 != 4) with {ANN_MP_CELLS} FROZEN anchors (picked at "
+    f"multiples of 5*stride, so always inside the base); each of "
+    f"{ANN_INC_BATCHES} incremental batches is argmax-assigned to the "
+    f"existing cells and atomically APPENDED into the cell-partitioned "
+    f"index table — no anchor recompute, no base rescan, no file "
+    f"rewrite (base file identity + append-only snapshot ancestry "
+    f"asserted in tests/test_ann_recall.py). The query multi-probes the "
+    f"best {ANN_MP_PROBE} cells over the GROWN index, pruning unprobed "
+    f"cells' files — base and appended alike — at the manifest. Frozen "
+    f"anchors mean zero assignment drift by construction (the same "
+    f"vector always lands in the same cell); the quantizer itself can "
+    f"drift from optimal as the corpus distribution shifts — the recall "
+    f"floor after every batch (recall@5 >= 0.8 at <= 55% scan, "
+    f"tests/test_ann_recall.py) is the measured bound, and the "
+    f"mass-budget probe (q_sim_ann_mass_budget) is the mitigation once "
+    f"occupancy skews. The oracle reproduces anchors, assignment, "
+    f"probe, and top-k over the full corpus relationally — identical to "
+    f"the grown index because frozen-anchor assignment is the same "
+    f"formula at build and at append time.",
+)
+def q_sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _planned, _total, qemb, _mgr, _base = _ann_incremental_scan(
+        spark, sf_dir
+    )
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        df.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(IVF_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
 KNN_K = 3
 KNN_STRIDE = 50  # queries = every 50th vector
 # GEMM ranks candidates; the top-(k+pad) survivors are re-scored with the

@@ -242,3 +242,90 @@ def test_multiprobe_recall_survives_10x_skewed_corpus(spark):
     mean_r, mean_f = _probe_stats(mass_budget)
     assert mean_f <= 0.60, f"10x mass-budget probe scanned {mean_f:.0%}"
     assert mean_r >= 0.8, f"10x mass-budget mean recall@{K} = {mean_r:.3f}"
+
+
+def test_incremental_ann_append_without_rebuild(spark):
+    """q_sim_ann_incremental's contract: (a) the recall floor (mean
+    recall@5 >= 0.8 at <= 55% mean scan) holds at EVERY incremental
+    stage — base index, then after each of the 3 frozen-anchor appends —
+    against brute-force ground truth over the CURRENT corpus; (b) the
+    engine side really is append-without-rebuild: base index files keep
+    byte identity across the appends, the snapshot ancestry is pure
+    appends, and the probe plan prunes unprobed cells' files (base and
+    appended alike) at the manifest."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_INC_BATCHES,
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+        _ann_incremental_scan,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = len(ids)
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    astep = 5 * ((n // 5) // ANN_MP_CELLS)
+    anchors = norm[np.arange(ANN_MP_CELLS) * astep]  # FROZEN at stage 0
+    assign = (norm @ anchors.T).argmax(axis=1)
+    stage_masks = [ids % 5 != 4] + [
+        ids % 15 == 4 + 5 * b for b in range(ANN_INC_BATCHES)
+    ]
+    # FIXED query workload (strided over the base corpus), measured as
+    # the index grows — the apples-to-apples "does recall survive the
+    # appends" experiment. Measured: 0.97-0.99 at ~49% scan at every
+    # stage on sf0.001 AND sf0.1; floors below with margin.
+    base_idx = np.where(stage_masks[0])[0]
+    probes = base_idx[:: max(1, len(base_idx) // N_PROBES)]
+    for stage in range(ANN_INC_BATCHES + 1):
+        live = np.any(np.vstack(stage_masks[: stage + 1]), axis=0)
+        cur = np.where(live)[0]
+        recalls, fracs = [], []
+        for qi in probes:
+            sims = norm @ norm[qi]
+            pool = cur[cur != qi]
+            ts = sims[pool]
+            truth = set(ids[pool[np.lexsort((ids[pool], -ts))[:K]]])
+            chosen = np.argsort(-(anchors @ norm[qi]))[:ANN_MP_PROBE]
+            cand = pool[np.isin(assign[pool], chosen)]
+            cs = sims[cand]
+            ann = set(ids[cand[np.lexsort((ids[cand], -cs))[:K]]])
+            recalls.append(len(truth & ann) / K)
+            fracs.append(len(cand) / len(pool))
+        mean_r, mean_f = float(np.mean(recalls)), float(np.mean(fracs))
+        assert mean_f <= 0.55, f"stage {stage} scanned {mean_f:.0%}"
+        assert mean_r >= 0.8, f"stage {stage} mean recall@{K} = {mean_r:.3f}"
+
+    # engine side: build + appends really happened append-only
+    df, planned, total, _q, mgr, base_paths = _ann_incremental_scan(
+        spark, SF_DIR
+    )
+    m = mgr._load_manifest("emb_ivf_inc")
+    cur_paths = {e["path"] for e in m["files"]}
+    assert base_paths <= cur_paths, "a base index file was rewritten"
+    assert len(cur_paths) > len(base_paths), "appends added no files"
+    ops, v = [], m
+    while True:
+        ops.append(v["operation"])
+        if v.get("parent") is None:
+            break
+        v = mgr._load_manifest("emb_ivf_inc", v["parent"])
+    assert ops == ["append"] * (1 + ANN_INC_BATCHES) + ["create"], ops
+    # manifest-level pruning over the GROWN index: the plan opens files
+    # from probed cells only — base and appended files of unprobed cells
+    # are pruned before any I/O (roughly ANN_MP_PROBE/ANN_MP_CELLS of
+    # the file population; appends keep per-cell file counts uneven, so
+    # assert the pruning is real rather than an exact ratio)
+    assert 0 < planned < total
+    assert planned <= total * (ANN_MP_PROBE / ANN_MP_CELLS) + ANN_INC_BATCHES
+    # appended vectors are SEARCHABLE: the probed scan contains rows from
+    # the incremental batches
+    inc_rows = df.filter(F.col("vec_id") % 5 == 4).count()
+    assert inc_rows > 0, "no appended vector reachable through the probe"
