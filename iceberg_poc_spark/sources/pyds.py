@@ -165,8 +165,11 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
     import pyarrow.parquet as pq
 
     # positional deletes FIRST, while row indices are still physical
-    # (predicate/equality filters below would shift them)
-    pos_dels = entry.get("pos_deletes", [])
+    # (predicate/equality filters below would shift them). Folded global
+    # coordinate files (_global_pos, from compact_deletes) apply the
+    # same way — coordinates bind by file name, so filtering to THIS
+    # file's name is the whole scoping.
+    pos_dels = entry.get("pos_deletes", []) + entry.get("_global_pos", [])
     if pos_dels:
         import numpy as np
 
@@ -175,7 +178,8 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
             [
                 pq.read_table(os.path.join(table_dir, d["path"]))
                 for d in pos_dels
-            ]
+            ],
+            promote_options="default",
         )
         sel = dels.filter(pc.equal(dels["_file_name"], fn))
         kill = np.asarray(sel["_pos"].to_numpy(zero_copy_only=False))
@@ -349,7 +353,11 @@ def _read_file_as_batches(
         timestamp_utc=False,
     )
     pf = pq.ParquetFile(os.path.join(table_dir, entry["path"]))
-    if where and not entry.get("pos_deletes"):
+    if (
+        where
+        and not entry.get("pos_deletes")
+        and not entry.get("_global_pos")
+    ):
         rgs = _plan_row_groups(pf, where)
         if len(rgs) == pf.metadata.num_row_groups:
             tbl = pf.read()
@@ -389,10 +397,19 @@ class SnapTableReader(DataSourceReader):
         self._schema_json = manifest["schema"]
         self._spec = manifest["spec"]
         gdels = manifest.get("global_eq_deletes", [])
+        gpos = manifest.get("global_pos_deletes", [])
         self._files = [
             # seq-stamped entries ride with the global delete descriptors;
             # unstamped entries are younger than every folded delete
-            {**e, "_global_eq": gdels} if gdels and "seq" in e else e
+            # (folded positional coordinates can only name files that
+            # existed — hence were stamped — at fold time)
+            {
+                **e,
+                **({"_global_eq": gdels} if gdels else {}),
+                **({"_global_pos": gpos} if gpos else {}),
+            }
+            if (gdels or gpos) and "seq" in e
+            else e
             for e in manifest["files"]
         ]
 
@@ -797,6 +814,7 @@ class SnapTableWriter(DataSourceArrowWriter):
             m["files"] = entries
             m["operation"] = "overwrite"
             m.pop("global_eq_deletes", None)  # no prior file survives
+            m.pop("global_pos_deletes", None)
             m["parent"] = m["version"]
             mgr._commit(self._table, stamp(m))
             return

@@ -1588,6 +1588,7 @@ class ParquetTableManager:
         m["files"] = new_files
         m["operation"] = "overwrite"
         m.pop("global_eq_deletes", None)  # no pre-overwrite file survives
+        m.pop("global_pos_deletes", None)
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -2042,13 +2043,19 @@ class ParquetTableManager:
         m = self._load_manifest(name)
         gdels = m.get("global_eq_deletes", [])
         g_max = max((g.get("max_seq", 1 << 62) for g in gdels), default=-1)
+        gpos = m.get("global_pos_deletes", [])
+        gp_max = max((g.get("max_seq", 1 << 62) for g in gpos), default=-1)
 
         def _dirty(e: dict) -> bool:
             if e.get("deletes") or e.get("eq_deletes") or e.get("pos_deletes"):
                 return True
             # sequence-scoped global deletes guard every file older than
-            # the newest folded delete
-            return bool(gdels) and e.get("seq", 1 << 62) < g_max
+            # the newest folded delete (a folded positional coordinate
+            # can only name files that existed at its birth)
+            seq = e.get("seq", 1 << 62)
+            return (bool(gdels) and seq < g_max) or (
+                bool(gpos) and seq < gp_max
+            )
 
         dirty = [e for e in m["files"] if _dirty(e)]
         if not dirty:
@@ -2059,6 +2066,7 @@ class ParquetTableManager:
         m["files"] = clean + new_files
         m["operation"] = "rewrite-deletes"
         m.pop("global_eq_deletes", None)  # every guarded file rewritten
+        m.pop("global_pos_deletes", None)
         m["parent"] = m["version"]
         return self._commit(name, m)
 
@@ -2091,6 +2099,8 @@ class ParquetTableManager:
             for e in mm["files"]:
                 births.setdefault(e["path"], ver)
                 for d in e.get("eq_deletes", []):
+                    births.setdefault(d["path"], ver)
+                for d in e.get("pos_deletes", []):
                     births.setdefault(d["path"], ver)
         if not complete and chain:
             oldest = chain[-1]["version"]
@@ -2134,13 +2144,18 @@ class ParquetTableManager:
         births = self._birth_versions(name)
         gdels = list(m.get("global_eq_deletes", []))
         has_eq = any(e.get("eq_deletes") for e in m["files"])
-        has_pos_stack = any(
-            len(e.get("pos_deletes", [])) > 1 for e in m["files"]
-        )
-        if not has_eq and not has_pos_stack:
+        has_pos = any(e.get("pos_deletes") for e in m["files"])
+        if not has_eq and not has_pos:
             return m["version"]
         files = [dict(e) for e in m["files"]]
         changed = False
+        # stamp every known-birth entry's data sequence number up front —
+        # both delete classes' global folds scope by it, and the
+        # unstamped-skip read fast path relies on "unstamped = younger
+        # than every folded delete"
+        for e in files:
+            if e["path"] in births:
+                e["seq"] = births[e["path"]]
 
         if has_eq:
             # fold eligibility: entry birth known AND every attached
@@ -2168,27 +2183,44 @@ class ParquetTableManager:
                         ] = births[d["path"]]
                     e["eq_deletes"] = []
             for cols, paths in by_cols.items():
-                dfs = [
+                # ONE multi-path read over every folded epoch file of
+                # this key-column set, with the per-file birth seq
+                # restored through a broadcast file-name -> seq map join
+                # (file names are uuid-unique within the table). The
+                # previous per-file read-then-union loop scheduled one
+                # Spark job PER epoch — pure job-submission overhead
+                # that dominated a 100-epoch fold (BENCH_MOR.json
+                # fix_sec measures the collapse).
+                pmap = self.spark.createDataFrame(
+                    [(os.path.basename(p), b) for p, b in paths.items()],
+                    "__fn string, __del_seq long",
+                )
+                merged = (
                     self.spark.read.parquet(
-                        os.path.join(self._dir(name), p)
+                        *[os.path.join(self._dir(name), p) for p in paths]
                     )
-                    .select(*cols)
-                    .withColumn("__del_seq", F.lit(b).cast("long"))
-                    for p, b in paths.items()
-                ]
-                merged = dfs[0]
-                for d in dfs[1:]:
-                    merged = merged.unionByName(d)
+                    .select(
+                        *cols, F.col("_metadata.file_name").alias("__fn")
+                    )
+                    .join(F.broadcast(pmap), "__fn")
+                    .select(*cols, "__del_seq")
+                )
                 max_seq = max(paths.values())
                 prior = [g for g in gdels if tuple(g["cols"]) == cols]
-                for g in prior:
+                if prior:
+                    # prior global files already carry __del_seq — one
+                    # more multi-path read, not one per file
                     merged = merged.unionByName(
                         self.spark.read.parquet(
-                            os.path.join(self._dir(name), g["path"])
-                        )
+                            *[
+                                os.path.join(self._dir(name), g["path"])
+                                for g in prior
+                            ]
+                        ).select(*cols, "__del_seq")
                     )
-                    max_seq = max(max_seq, g.get("max_seq", max_seq))
-                    gdels.remove(g)
+                    for g in prior:
+                        max_seq = max(max_seq, g.get("max_seq", max_seq))
+                        gdels.remove(g)
                 keys = (
                     merged.groupBy(*cols)
                     .agg(F.max("__del_seq").alias("__del_seq"))
@@ -2233,6 +2265,55 @@ class ParquetTableManager:
                     if e["eq_deletes"] != merged_eq:
                         e["eq_deletes"] = merged_eq
                         changed = True
+
+        # positional deletes: fold EVERY known-birth entry's stack into
+        # ONE table-level coordinate file (global_pos_deletes) stamped
+        # with max_seq = newest folded file's birth. Coordinates bind by
+        # physical (file_name, pos) — uuid file names can never recur —
+        # so a global coordinate set is semantically identical to the
+        # per-entry attachments; what it buys is PLAN shape: entries
+        # stop differing by pos-delete stack, read groups collapse, and
+        # the whole read pays ONE broadcast coordinate anti-join no
+        # matter how many positional epochs stacked up (the eq fold's
+        # O(1)-in-epochs property, extended to the third delete class).
+        # Entries with unknown births must keep per-entry stacks (the
+        # unstamped-files-skip fast path in _read_files would otherwise
+        # skip THEIR deletes); they take the per-stack merge below.
+        gpos = list(m.get("global_pos_deletes", []))
+        pos_fold: dict[str, int] = {}
+        for e in files:
+            pds = e.get("pos_deletes", [])
+            if (
+                pds
+                and e["path"] in births
+                and all(births.get(d["path"], -1) >= 0 for d in pds)
+            ):
+                e["seq"] = births[e["path"]]
+                for d in pds:
+                    pos_fold[d["path"]] = births[d["path"]]
+                e["pos_deletes"] = []
+        if pos_fold:
+            merged = self.spark.read.parquet(
+                *(
+                    [os.path.join(self._dir(name), p) for p in pos_fold]
+                    + [
+                        os.path.join(self._dir(name), g["path"])
+                        for g in gpos
+                    ]
+                )
+            )
+            coords = (
+                merged.select("_file_name", "_pos").distinct().coalesce(1)
+            )
+            max_seq = max(
+                list(pos_fold.values())
+                + [g.get("max_seq", 1 << 62) for g in gpos]
+            )
+            new_g = self._write_pos_delete_files(name, coords)
+            for g in new_g:
+                g["max_seq"] = max_seq
+            m["global_pos_deletes"] = new_g
+            changed = True
 
         pos_stacks: dict[str, list[dict]] = {}
         for e in files:
@@ -2440,10 +2521,14 @@ class ParquetTableManager:
         rewritten."""
         schema = StructType.fromJson(manifest["schema"])
         gdels = manifest.get("global_eq_deletes", [])
-        if gdels and not any("seq" in e for e in files):
+        gpos = manifest.get("global_pos_deletes", [])
+        if not any("seq" in e for e in files):
             # only unstamped (post-compaction) files planned: younger than
             # every folded delete — skip the global anti-joins entirely
+            # (folded positional coordinates can only name files that
+            # existed at fold time, all of which are stamped)
             gdels = []
+            gpos = []
         if not files:
             if with_positions:
                 schema = schema.add("_file_name", StringType()).add(
@@ -2521,7 +2606,7 @@ class ParquetTableManager:
                     F.col("_metadata.file_name").alias("_file_name"),
                     F.col("_metadata.row_index").alias("_pos"),
                 ]
-                if (with_positions or pos_dels or gdels)
+                if (with_positions or pos_dels or gdels or gpos)
                 else []
             )
             def _field_expr(f: StructField) -> Column:
@@ -2587,12 +2672,33 @@ class ParquetTableManager:
                 proj = proj.join(
                     F.broadcast(pd_df), on=["_file_name", "_pos"], how="left_anti"
                 )
-            if meta_cols and not with_positions and not gdels:
+            if meta_cols and not with_positions and not gdels and not gpos:
                 proj = proj.drop("_file_name", "_pos")
             parts.append(proj)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if gpos:
+            # global positional deletes (compact_deletes): ONE broadcast
+            # coordinate anti-join for the whole read, regardless of how
+            # many positional epochs were folded. Coordinates bind by
+            # physical (file_name, pos); uuid names never recur, so no
+            # seq condition is needed row-side — max_seq on the
+            # descriptor only drives the unstamped-skip fast path above
+            # and rewrite_deletes' dirty test.
+            gp_df = (
+                self.spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), g["path"])
+                        for g in gpos
+                    ]
+                )
+                .select("_file_name", "_pos")
+                .distinct()
+            )
+            out = out.join(
+                F.broadcast(gp_df), on=["_file_name", "_pos"], how="left_anti"
+            )
         if gdels:
             # sequence-scoped GLOBAL equality deletes (compact_deletes):
             # ONE broadcast anti-join per key-column set over the whole
@@ -2619,8 +2725,9 @@ class ParquetTableManager:
                     dels["__del_seq"] > out["__file_seq"]
                 )
                 out = out.join(F.broadcast(dels), on=cond, how="left_anti")
-            # the name-keyed join floated _file_name to the front —
-            # restore the canonical column order callers rely on
+        if gdels or gpos:
+            # the coordinate/name-keyed joins floated _file_name to the
+            # front — restore the canonical column order callers rely on
             out = out.select(
                 *[f.name for f in schema.fields],
                 *(["_file_name", "_pos"] if with_positions else []),
@@ -3186,13 +3293,21 @@ class ParquetTableManager:
             for e in mm["files"]:
                 live.update(_paths(e))
             live.update(
-                g["path"] for g in mm.get("global_eq_deletes", [])
+                g["path"]
+                for g in (
+                    mm.get("global_eq_deletes", [])
+                    + mm.get("global_pos_deletes", [])
+                )
             )
         removed_files = removed_snaps = 0
         for v in drop:
             dm = self._load_manifest(name, v)
             dropped_paths = [p for e in dm["files"] for p in _paths(e)] + [
-                g["path"] for g in dm.get("global_eq_deletes", [])
+                g["path"]
+                for g in (
+                    dm.get("global_eq_deletes", [])
+                    + dm.get("global_pos_deletes", [])
+                )
             ]
             for p in dropped_paths:
                 if p not in live:

@@ -538,3 +538,37 @@ def test_pushdown_prunes_null_predicates(mgr, spark):
     # end-to-end through the registered source
     got = _load(spark, mgr, "t").filter(F.col("value").isNull())
     assert _rows(got) == _rows(mgr.read("t").filter(F.col("value").isNull()))
+
+
+def test_datasource_applies_global_pos_deletes(mgr, spark):
+    """A table whose stacked positional-delete epochs were folded into a
+    GLOBAL coordinate file must read identically through the connector
+    face — coordinates bind by file name, so the executor applies the
+    folded file's rows for exactly its own file; rows appended AFTER the
+    fold (unstamped) ride global-free, and row-group pruning stays off
+    for coordinate-guarded files (ordinal safety)."""
+    ev = make_events(spark, 40).coalesce(1)
+    mgr.create_table("gp", EVENTS_SCHEMA, [])
+    mgr.append("gp", ev)
+    for lo in (0, 7, 20):
+        pos = (
+            mgr.read_with_positions("gp")
+            .filter(
+                (F.col("value") >= lo * 10) & (F.col("value") < (lo + 3) * 10)
+            )
+            .select("_file_name", "_pos")
+        )
+        mgr.delete_positions("gp", pos)
+    mgr.compact_deletes("gp")
+    m = mgr._load_manifest("gp")
+    assert m.get("global_pos_deletes"), "fold must have gone global"
+    assert all(not e.get("pos_deletes") for e in m["files"])
+    assert _rows(_load(spark, mgr, "gp")) == _rows(mgr.read("gp"))
+    # post-fold append: unstamped entries ride global-free
+    mgr.append("gp", make_events(spark, 5, start=dt.datetime(2026, 1, 1)))
+    assert _rows(_load(spark, mgr, "gp")) == _rows(mgr.read("gp"))
+    # pushed filters on a coordinate-guarded file must not row-group
+    # prune (ordinals shift) — values stay exact under a filter
+    got = _load(spark, mgr, "gp").filter("value >= 100")
+    want = mgr.read("gp").filter("value >= 100")
+    assert _rows(got) == _rows(want)

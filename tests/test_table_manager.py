@@ -1386,8 +1386,8 @@ def test_expire_reaps_orphan_staging(mgr, spark):
 
 
 def test_compact_deletes_merges_positional_stacks(mgr, spark):
-    """Stacked positional deletes merge to one coordinate file per data
-    file; visible rows unchanged."""
+    """Stacked positional deletes fold into ONE table-level coordinate
+    file (global_pos_deletes); visible rows unchanged."""
     base = spark.range(30).select(F.col("id").alias("k")).coalesce(1)
     mgr.create_table("cp", base.schema, [])
     mgr.append("cp", base)
@@ -1403,7 +1403,8 @@ def test_compact_deletes_merges_positional_stacks(mgr, spark):
     assert max(len(e.get("pos_deletes", [])) for e in m["files"]) == 3
     mgr.compact_deletes("cp")
     m2 = mgr._load_manifest("cp")
-    assert max(len(e.get("pos_deletes", [])) for e in m2["files"]) == 1
+    assert max(len(e.get("pos_deletes", [])) for e in m2["files"]) == 0
+    assert len(m2["global_pos_deletes"]) == 1
     assert sorted(r.k for r in mgr.read("cp").collect()) == before
     assert before == [3, 4, 8, 9, *range(13, 30)]
 
@@ -1747,3 +1748,97 @@ def test_txn_rollback_refuses_table_first_snapshot(mgr, spark):
         f.write(json.dumps({"entries": [{"table": "fact", "ref": "main"}]}))
     with pytest.raises(ValueError, match="no pre-transaction state"):
         mgr.rollback_transaction(fake)
+
+
+def test_compact_deletes_folds_positional_stacks_globally(mgr, spark):
+    """50 stacked positional-delete epochs fold into ONE table-level
+    coordinate file (global_pos_deletes): per-entry stacks vanish, every
+    entry is seq-stamped, the read plan pays exactly ONE coordinate
+    anti-join regardless of epoch count, row-visible values are
+    unchanged, a post-fold epoch folds into the SAME global file on the
+    next pass, a read planning only post-fold files skips the global
+    anti-join entirely, and rewrite_deletes clears the state."""
+    import os
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    mgr.create_table("pd", base.schema, [])
+    for lo in range(0, 200, 50):  # four data files -> varying stacks
+        mgr.append(
+            "pd",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 50)],
+                "k long, v string",
+            ).coalesce(1),
+        )
+    for epoch in range(50):
+        # spread across three of the four files so stacks differ
+        coords = (
+            mgr.read_with_positions("pd")
+            .filter(F.col("k") == 3 * epoch)
+            .select("_file_name", "_pos")
+        )
+        mgr.delete_positions("pd", coords)
+    before = sorted(tuple(map(str, r)) for r in mgr.read("pd").collect())
+    assert len(before) == 150
+    m = mgr._load_manifest("pd")
+    stacks = [len(e.get("pos_deletes", [])) for e in m["files"]]
+    assert max(stacks) > 1 and len({s for s in stacks if s}) > 1
+
+    def n_anti(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("LeftAnti")
+
+    assert n_anti(mgr.read("pd")) >= 3  # one per dirty stack group
+    v = mgr.compact_deletes("pd")
+    m2 = mgr._load_manifest("pd")
+    assert m2["operation"] == "compact-deletes"
+    assert all(not e.get("pos_deletes") for e in m2["files"])
+    assert len(m2["global_pos_deletes"]) == 1
+    assert "max_seq" in m2["global_pos_deletes"][0]
+    assert all("seq" in e for e in m2["files"])
+    # metadata-only: data files untouched
+    assert {e["path"] for e in m2["files"]} == {e["path"] for e in m["files"]}
+    # ONE coordinate anti-join for the whole read — O(1) in epochs
+    assert n_anti(mgr.read("pd")) == 1
+    assert (
+        sorted(tuple(map(str, r)) for r in mgr.read("pd").collect()) == before
+    )
+    assert mgr.compact_deletes("pd") == v  # idempotent once flat
+    # superseded per-epoch delete files reaped once unreferenced
+    deldir = os.path.join(mgr._dir("pd"), "deletes")
+    n_files = len(os.listdir(deldir))
+    mgr.expire_snapshots("pd", keep_last=1)
+    assert len(os.listdir(deldir)) < n_files
+    # post-fold epoch stacks per-entry again, then folds into the global
+    coords = (
+        mgr.read_with_positions("pd")
+        .filter(F.col("k") == 61)
+        .select("_file_name", "_pos")
+    )
+    mgr.delete_positions("pd", coords)
+    assert mgr.read("pd").count() == 149
+    mgr.compact_deletes("pd")
+    m3 = mgr._load_manifest("pd")
+    assert all(not e.get("pos_deletes") for e in m3["files"])
+    assert len(m3["global_pos_deletes"]) == 1
+    assert mgr.read("pd").count() == 149
+    # a read planning ONLY post-fold (unstamped) files skips the global
+    # anti-join: append a stats-disjoint file and scan just it
+    mgr.append(
+        "pd",
+        spark.createDataFrame(
+            [(i, "late") for i in range(1000, 1010)], "k long, v string"
+        ).coalesce(1),
+    )
+    df, planned, _total = mgr.scan("pd", where=[("k", ">=", 1000)])
+    assert planned == 1
+    assert n_anti(df) == 0
+    assert df.count() == 10
+    # rewrite_deletes materializes and clears the global state
+    mgr.rewrite_deletes("pd")
+    m4 = mgr._load_manifest("pd")
+    assert "global_pos_deletes" not in m4
+    assert mgr.read("pd").count() == 159
+    assert n_anti(mgr.read("pd")) == 0
