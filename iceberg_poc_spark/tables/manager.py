@@ -314,6 +314,17 @@ TXN_APPLIED_KEEP = 64
 # reaches this depth (0/absent = off); BENCH_MOR.json measures the curve
 DELETE_COMPACT_THRESHOLD_PROP = "write.delete.compact-threshold"
 
+# append auto-runs compact_partitions once any partition's file count
+# reaches this depth (0/absent = off) — the data-file twin of the delete
+# threshold: streaming micro-appends self-heal without an external
+# scheduler. The trigger check is metadata-only; only partitions that
+# meet compact_partitions' own criteria (>= threshold files, at least
+# one small) are rewritten, every other partition keeps file identity.
+# Connector-face writes (df.write.format("snaptable")) commit from a
+# session-less Python worker and cannot compact inline — run
+# compact_partitions from a maintenance job there.
+COMPACT_THRESHOLD_PROP = "write.compact-threshold"
+
 BLOOM_COLS_PROP = "index.bloom.columns"  # comma-separated column names
 BLOOM_BITS_PROP = "index.bloom.bits"  # filter size in bits (default 65536)
 BLOOM_HASHES_PROP = "index.bloom.hashes"  # hash count k (default 6)
@@ -1157,7 +1168,17 @@ class ParquetTableManager:
         schema (extra df columns dropped, missing ones NULL).
         ``merge_schema=True`` first auto-evolves the table to fit the
         batch (see :meth:`_merge_schema`), so new columns land instead
-        of being dropped."""
+        of being dropped.
+
+        Auto-maintenance: with the ``write.compact-threshold`` table
+        property set (an int), an append that leaves any partition's
+        file count at/over the threshold triggers
+        :meth:`compact_partitions` inline (min_files = threshold) — the
+        count check is metadata-only, so streaming micro-appends
+        (foreachBatch → append) self-heal their fragmentation without
+        an external scheduler, and untouched partitions keep file
+        identity (≙ Iceberg's commit-triggered table maintenance,
+        the data-file twin of ``write.delete.compact-threshold``)."""
         if merge_schema:
             self._merge_schema(name, df)
         _seq, head = self._ref_head(name, ref)
@@ -1187,7 +1208,18 @@ class ParquetTableManager:
             out["parent"] = cur_m["version"]
             return out
 
-        return self._commit(name, m, rebase=rebase, ref=ref)
+        v = self._commit(name, m, rebase=rebase, ref=ref)
+        thresh = int(self.properties(name).get(COMPACT_THRESHOLD_PROP, 0))
+        if thresh > 0 and ref == "main" and self.spark is not None:
+            head = self._load_manifest(name)
+            counts: dict[tuple, int] = {}
+            for e in head["files"]:
+                k = tuple(sorted(e["partition"].items()))
+                counts[k] = counts.get(k, 0) + 1
+            if any(c >= thresh for c in counts.values()):
+                self.compact_partitions(name, min_files=thresh)
+                v = self._current_version(name)
+        return v
 
     # ------------------------------------------------- multi-table commits
     def _txns_dir(self) -> str:

@@ -1842,3 +1842,63 @@ def test_compact_deletes_folds_positional_stacks_globally(mgr, spark):
     assert "global_pos_deletes" not in m4
     assert mgr.read("pd").count() == 159
     assert n_anti(mgr.read("pd")) == 0
+
+
+def test_auto_compact_threshold_bounds_partition_file_counts(mgr, spark):
+    """write.compact-threshold (the data-file twin of the delete
+    threshold): appends auto-trigger compact_partitions exactly when a
+    partition's file count reaches the threshold, so streaming
+    micro-appends self-heal; partitions under the threshold keep FILE
+    IDENTITY through every trigger, and values are never perturbed."""
+    from iceberg_poc_spark.tables.manager import COMPACT_THRESHOLD_PROP
+
+    schema = spark.createDataFrame([(0, 0)], "p int, x long").schema
+    mgr.create_table("afc", schema, [identity("p")])
+    mgr.set_properties("afc", {COMPACT_THRESHOLD_PROP: "4"})
+    # one stable partition written once — must never be rewritten
+    mgr.append(
+        "afc",
+        spark.createDataFrame([(9, i) for i in range(5)], "p int, x long")
+        .coalesce(1),
+    )
+    stable = {
+        e["path"]
+        for e in mgr._load_manifest("afc")["files"]
+        if e["partition"] == {"p": "9"}
+    }
+    assert len(stable) == 1
+    # micro-appends into partition 1: below threshold, nothing compacts
+    for i in range(3):
+        mgr.append(
+            "afc",
+            spark.createDataFrame([(1, i)], "p int, x long").coalesce(1),
+        )
+        m = mgr._load_manifest("afc")
+        assert m["operation"] == "append", f"compacted early at {i + 1}"
+    n_p1 = lambda m: sum(  # noqa: E731
+        1 for e in m["files"] if e["partition"] == {"p": "1"}
+    )
+    assert n_p1(mgr._load_manifest("afc")) == 3
+    # the 4th micro-append crosses the threshold: trigger fires inline
+    mgr.append(
+        "afc", spark.createDataFrame([(1, 3)], "p int, x long").coalesce(1)
+    )
+    m = mgr._load_manifest("afc")
+    assert m["operation"] == "rewrite-data-files"
+    assert n_p1(m) == 1
+    # the stable partition kept file identity through the trigger
+    assert {
+        e["path"] for e in m["files"] if e["partition"] == {"p": "9"}
+    } == stable
+    assert sorted((r.p, r.x) for r in mgr.read("afc").collect()) == sorted(
+        [(9, i) for i in range(5)] + [(1, i) for i in range(4)]
+    )
+    # the healed partition builds up and self-heals again
+    for i in range(4, 7):
+        mgr.append(
+            "afc",
+            spark.createDataFrame([(1, i)], "p int, x long").coalesce(1),
+        )
+    m = mgr._load_manifest("afc")
+    assert m["operation"] == "rewrite-data-files" and n_p1(m) == 1
+    assert mgr.read("afc").count() == 12
