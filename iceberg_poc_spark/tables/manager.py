@@ -292,7 +292,14 @@ class ConstraintViolation(ValueError):
     """An ingest batch failed a ``constraints.check.*`` table property."""
 
 
-class RollbackConflictError(RuntimeError):
+class TxnConflictError(RuntimeError):
+    """A published transaction entry could not be applied because a
+    foreign commit invalidated it in the publish→apply window. The
+    record is aborted (tombstoned, never replayed); entries already
+    applied keep their effect — each is itself a consistent snapshot."""
+
+
+class RollbackConflictError(TxnConflictError):
     """A catalog-level transaction rollback found a member table's head
     advanced past the target transaction while the rollback was in
     flight. The rollback record is aborted (never clobbers the newer
@@ -1234,7 +1241,8 @@ class ParquetTableManager:
     def transaction(self) -> "Transaction":
         """Open a multi-table transaction (≙ Iceberg catalog multi-table
         transactions; the single-table :meth:`_commit` CAS is the
-        degenerate case): stage appends to ANY number of tables, then
+        degenerate case): stage appends, upserts, and schema DDL
+        (add/widen — see :class:`Transaction`) on ANY number of tables, then
         land them with ONE atomic publish — fact and dims together or
         not at all, the backfill-consistency shape.
 
@@ -1337,6 +1345,58 @@ class ParquetTableManager:
                             nm["operation"] = "rollback"
                             nm["parent"] = cur
                             nm["txn"] = seq
+                            nm["committed_at"] = _time.time()
+                            version = self._alloc_version(name, nm)
+                            if self._link_pointer(
+                                os.path.join(
+                                    self._heads_dir(name, ref),
+                                    f"seq-{seq_head + 1:09d}",
+                                ),
+                                str(version),
+                            ):
+                                break
+                    elif entry.get("op") == "ddl":
+                        # schema DDL staged inside the transaction: apply
+                        # against the CURRENT head's schema (rebase-safe
+                        # over foreign appends, which never change the
+                        # schema). Idempotence: the committed manifest is
+                        # stamped with (txn, txn_entry); a repairer walks
+                        # the txn-stamped ancestry for this entry index.
+                        import time as _time
+
+                        while True:
+                            seq_head, cur = self._ref_head(name, ref)
+                            applied, v = False, cur
+                            while v is not None:
+                                mm = self._load_manifest(name, v)
+                                if mm.get("txn") != seq:
+                                    break
+                                if mm.get("txn_entry") == idx:
+                                    applied = True
+                                    break
+                                v = mm.get("parent")
+                            if applied:
+                                break
+                            cm = self._load_manifest(name, cur)
+                            nm = dict(cm)
+                            try:
+                                nm["schema"] = _apply_schema_ddl(
+                                    cm["schema"], entry
+                                )
+                            except ValueError as exc:
+                                # a foreign DDL invalidated this entry in
+                                # the publish->apply window: abort the
+                                # record instead of poisoning repair
+                                self._abort_txn(seq, record)
+                                raise TxnConflictError(
+                                    f"table {name!r}: staged DDL no "
+                                    f"longer applies ({exc}); txn {seq!r} "
+                                    "aborted"
+                                ) from exc
+                            nm["operation"] = entry["kind"]
+                            nm["parent"] = cur
+                            nm["txn"] = seq
+                            nm["txn_entry"] = idx
                             nm["committed_at"] = _time.time()
                             version = self._alloc_version(name, nm)
                             if self._link_pointer(
@@ -1549,11 +1609,11 @@ class ParquetTableManager:
             if any(e["table"] == name for e in record["entries"]):
                 try:
                     self._apply_txn(seq, record)
-                except RollbackConflictError:
+                except TxnConflictError:
                     # the record is already aborted (tombstoned + pruned)
                     # by _apply_txn; a reader doing crash repair must not
                     # fail head resolution over someone else's dead
-                    # rollback — only the direct rollback caller raises
+                    # record — only the direct committing caller raises
                     continue
 
     def overwrite_partitions(self, name: str, df: DataFrame) -> int:
@@ -3546,16 +3606,145 @@ class ParquetTableManager:
         return self._commit(name, m)
 
 
+def _apply_schema_ddl(schema_json: dict, entry: dict) -> dict:
+    """Validate + apply one staged-DDL txn entry to a schema — shared by
+    stage-time validation (fail fast, before any publish) and apply-time
+    re-derivation (rebase-safe over foreign appends; a foreign DDL that
+    invalidates the entry raises and aborts the record)."""
+    schema = StructType.fromJson(schema_json)
+    kind = entry["kind"]
+    if kind == "add-column":
+        col, dtype = entry["col"], entry["dtype"]
+        default = entry.get("default")
+        if col in schema.fieldNames():
+            raise ValueError(f"column {col!r} already exists")
+        if any(
+            col in f.metadata.get("former_names", []) for f in schema.fields
+        ):
+            raise ValueError(f"{col!r} is a former name of a renamed column")
+        if default is not None:
+            schema = schema.add(
+                StructField(
+                    col,
+                    _parse_dtype(dtype),
+                    True,
+                    {"initial_default": _norm_stat(default)},
+                )
+            )
+        else:
+            schema = schema.add(col, dtype, True)
+    elif kind == "widen-column":
+        col, to_type = entry["col"], entry["to_type"]
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column {col!r}")
+        old = schema[col].dataType.typeName()
+        if (
+            old,
+            to_type,
+        ) not in ParquetTableManager._WIDENINGS and old != to_type:
+            raise ValueError(
+                f"cannot widen {col!r} {old} -> {to_type}: only "
+                f"{sorted(ParquetTableManager._WIDENINGS)} are "
+                "value-preserving"
+            )
+        fields = [
+            StructField(
+                f.name,
+                StructType.fromDDL(f"x {to_type}")[0].dataType
+                if f.name == col
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        schema = StructType(fields)
+    else:
+        raise ValueError(f"unknown DDL kind {kind!r}")
+    return json.loads(schema.json())
+
+
 class Transaction:
     """Staged multi-table commit — see
-    :meth:`ParquetTableManager.transaction` for the protocol. Appends
-    only (the backfill / fact+dims shape); each :meth:`append` runs the
-    distributed write NOW, so ``commit()`` is pure metadata."""
+    :meth:`ParquetTableManager.transaction` for the protocol. Appends,
+    upserts, and SCHEMA DDL (add_column / widen_column): each
+    :meth:`append` runs the distributed write NOW, so ``commit()`` is
+    pure metadata. A staged DDL applies atomically with the data —
+    appends staged after it write files under the evolved schema, and
+    the rollback of a committed txn restores the pre-txn schema along
+    with the pre-txn file set (the rollback manifest IS the pre-txn
+    manifest). rename_column / drop_column are REFUSED inside
+    transactions: both carry merge-on-read delete-binding guards that
+    must be evaluated against the head they commit on, and a txn's
+    publish→apply window would reorder them past foreign epochs."""
 
     def __init__(self, mgr: ParquetTableManager):
         self.mgr = mgr
         self._staged: list[dict] = []
         self._done = False
+        # per-(table, ref) schema as projected by staged DDL, so later
+        # staged appends align (and write) the evolved shape
+        self._schemas: dict[tuple[str, str], dict] = {}
+
+    def _head_schema(self, name: str, ref: str, m: dict) -> dict:
+        return self._schemas.get((name, ref), m["schema"])
+
+    def add_column(
+        self,
+        name: str,
+        col: str,
+        dtype: str,
+        default: Any = None,
+        ref: str = "main",
+    ) -> "Transaction":
+        """Stage ``add_column`` to land atomically with the txn's data
+        (the evolve-then-backfill shape: new column + the backfill that
+        fills it, one commit point across any number of tables)."""
+        return self._stage_ddl(
+            name,
+            ref,
+            {"kind": "add-column", "col": col, "dtype": dtype,
+             **({"default": default} if default is not None else {})},
+        )
+
+    def widen_column(
+        self, name: str, col: str, to_type: str, ref: str = "main"
+    ) -> "Transaction":
+        """Stage ``widen_column`` (int→long, float→double) to land
+        atomically with the txn's data."""
+        return self._stage_ddl(
+            name, ref, {"kind": "widen-column", "col": col, "to_type": to_type}
+        )
+
+    def rename_column(self, *_a, **_k):
+        raise ValueError(
+            "rename_column is not supported inside a transaction: its "
+            "merge-on-read delete-binding guard must be evaluated on the "
+            "head it commits against; run it as a standalone commit"
+        )
+
+    def drop_column(self, *_a, **_k):
+        raise ValueError(
+            "drop_column is not supported inside a transaction: its "
+            "merge-on-read delete-binding guard must be evaluated on the "
+            "head it commits against; run it as a standalone commit"
+        )
+
+    def _stage_ddl(self, name: str, ref: str, spec: dict) -> "Transaction":
+        if self._done:
+            raise ValueError("transaction already committed")
+        mgr = self.mgr
+        _seq, head = mgr._ref_head(name, ref)
+        if head < 0:
+            raise ValueError(f"branch {ref!r} does not exist on {name!r}")
+        m = mgr._load_manifest(name, head)
+        # fail fast at stage time against head schema + prior staged DDL
+        projected = _apply_schema_ddl(self._head_schema(name, ref, m), spec)
+        self._schemas[(name, ref)] = projected
+        self._staged.append(
+            {"table": name, "ref": ref, "op": "ddl", **spec}
+        )
+        return self
 
     def append(self, name: str, df: DataFrame, ref: str = "main") -> "Transaction":
         if self._done:
@@ -3565,13 +3754,13 @@ class Transaction:
         if head < 0:
             raise ValueError(f"branch {ref!r} does not exist on {name!r}")
         m = mgr._load_manifest(name, head)
-        schema_cols = [
-            f.name for f in StructType.fromJson(m["schema"]).fields
-        ]
+        fields = StructType.fromJson(self._head_schema(name, ref, m)).fields
         aligned = df.select(
             *[
-                F.col(c) if c in df.columns else F.lit(None).alias(c)
-                for c in schema_cols
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
             ]
         )
         files = mgr._write_files(name, aligned, mgr._spec(m))
@@ -3580,6 +3769,9 @@ class Transaction:
                 s["table"] == name
                 and s.get("ref", "main") == ref
                 and s.get("op") is None
+                # never merge across a staged-DDL boundary: post-DDL
+                # appends must apply AFTER the schema change
+                and (name, ref) not in self._schemas
             ):
                 s["added"] = s["added"] + files
                 return self

@@ -1902,3 +1902,111 @@ def test_auto_compact_threshold_bounds_partition_file_counts(mgr, spark):
     m = mgr._load_manifest("afc")
     assert m["operation"] == "rewrite-data-files" and n_p1(m) == 1
     assert mgr.read("afc").count() == 12
+
+
+def test_txn_ddl_applies_atomically_with_data(mgr, spark):
+    """Schema DDL inside a multi-table transaction: add_column +
+    widen_column land atomically with the txn's appends (the
+    evolve-then-backfill shape). Crash-injected BOTH sides of the commit
+    point: before publish nothing is visible (no schema change, no
+    rows); after publish the next reader repairs the DDL AND the data
+    together. Appends staged after the DDL write the evolved shape;
+    rollback restores the pre-txn schema with the pre-txn rows; rename/
+    drop are refused explicitly."""
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    _mk_txn_tables(spark, mgr)
+    wt = spark.createDataFrame([(1, 10), (2, 20)], "k long, w int")
+    mgr.create_table("wt", wt.schema, [])
+    mgr.append("wt", wt)
+
+    # --- crash BEFORE publish: nothing visible
+    orig_pub = ParquetTableManager._publish_txn
+    ParquetTableManager._publish_txn = lambda self, entries: (
+        _ for _ in ()
+    ).throw(RuntimeError("crash before publish"))
+    try:
+        t = mgr.transaction()
+        t.add_column("fact", "note", "string")
+        t.append(
+            "fact",
+            spark.createDataFrame(
+                [(500, 0, "n500")], "k long, d long, note string"
+            ),
+        )
+        with pytest.raises(RuntimeError, match="crash before publish"):
+            t.commit()
+    finally:
+        ParquetTableManager._publish_txn = orig_pub
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    assert "note" not in [f.name for f in fresh.schema("fact").fields]
+    assert fresh.read("fact").count() == 100
+
+    # --- crash AFTER publish: repair lands DDL + data together
+    orig_apply = ParquetTableManager._apply_txn
+    ParquetTableManager._apply_txn = lambda self, seq, record: (
+        _ for _ in ()
+    ).throw(RuntimeError("crash after publish"))
+    try:
+        t = mgr.transaction()
+        t.add_column("fact", "note", "string", default="legacy")
+        t.widen_column("wt", "w", "long")
+        t.append(
+            "wt",
+            spark.createDataFrame([(3, 5_000_000_000)], "k long, w long"),
+        )
+        t.append(
+            "fact",
+            spark.createDataFrame(
+                [(500, 0, "n500")], "k long, d long, note string"
+            ),
+        )
+        with pytest.raises(RuntimeError, match="crash after publish"):
+            t.commit()
+    finally:
+        ParquetTableManager._apply_txn = orig_apply
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    # reading EITHER table repairs the whole record
+    got = {r.k: r.note for r in fresh.read("fact").collect()}
+    assert got[500] == "n500"
+    assert got[0] == "legacy"  # initial default for pre-txn rows
+    assert len(got) == 101
+    assert fresh.schema("wt")["w"].dataType.typeName() == "long"
+    assert {r.k: r.w for r in fresh.read("wt").collect()} == {
+        1: 10, 2: 20, 3: 5_000_000_000
+    }
+    txn_id = sorted(
+        fn[: -len(".applied")]
+        for fn in __import__("os").listdir(fresh._txns_dir())
+        if fn.endswith(".applied")
+    )[-1]
+
+    # --- idempotent replay: applying the same record again is a no-op
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(fresh._txns_dir(), f"{txn_id}.applied")) as f:
+        record = _json.loads(f.read())
+    heads = {n: fresh._current_version(n) for n in ("fact", "wt")}
+    fresh._apply_txn(txn_id, record)
+    assert {n: fresh._current_version(n) for n in ("fact", "wt")} == heads
+
+    # --- rollback restores pre-txn schema AND rows
+    fresh.rollback_transaction(txn_id)
+    assert "note" not in [f.name for f in fresh.schema("fact").fields]
+    assert fresh.schema("wt")["w"].dataType.typeName() == "integer"
+    assert fresh.read("wt").count() == 2
+    assert fresh.read("fact").count() == 100
+
+    # --- unsupported DDL refused explicitly
+    t = mgr.transaction()
+    with pytest.raises(ValueError, match="rename_column is not supported"):
+        t.rename_column("fact", "d", "dd")
+    with pytest.raises(ValueError, match="drop_column is not supported"):
+        t.drop_column("fact", "d")
+    # stage-time validation fails fast (no publish side effects)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("fact", "k", "string")
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("dim", "s", "long")
+    assert t._staged == []  # failed stagings left nothing behind
