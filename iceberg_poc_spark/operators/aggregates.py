@@ -200,23 +200,62 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++). At 100 TB this is the "
     "right distinct-count: fixed-size sketch per group, mergeable "
-    "map-side, no distinct shuffle explosion.",
+    "map-side, no distinct shuffle explosion. The raw estimate is "
+    "engine-specific (DuckDB's approx sketch differs), so the emitted "
+    "surface is CLOSED-FORM: exact group counts plus a within_bound "
+    "boolean (|approx - exact| / exact <= 15%, 3x the configured 5% "
+    "rsd) that the oracle states as TRUE — an estimator drifting out "
+    "of its error envelope fails the hash gate, not just a pytest. The "
+    "tighter 1-sigma 5% bound stays asserted in "
+    "tests/test_round5_ops.py.",
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count("*").alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
 
 
 @register(
     "q_agg_hll_merge",
-    oracle=None,  # sketch bytes are engine-specific; rows-only check +
-    # error-bound property vs the exact counts in tests/test_round5_ops.py.
+    oracle="""
+    SELECT o_orderpriority AS scope,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_bound
+    FROM orders
+    """,
     doc="Mergeable HLL sketch rollup (Spark 4 hll_sketch_agg / "
     "hll_union_agg / hll_sketch_estimate — the Apache DataSketches "
     "surface under approx_count_distinct): per-segment user sketches "
@@ -225,9 +264,13 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketches are reusable partial states — build once per partition/"
     "day/segment, merge any subset later without rescanning, which at "
     "100 TB is the difference between one pass and one pass per "
-    "question. Emits per-segment estimates plus the merged global row; "
-    "the union must estimate the DISTINCT union, not the sum (overlap "
-    "collapses), asserted against exact counts in pytest.",
+    "question. Sketch bytes and estimates are engine-specific, so the "
+    "emitted surface is CLOSED-FORM: exact counts plus a within_bound "
+    "boolean (|estimate - exact| / exact <= 10%, ~6 sigma at the "
+    "default lgConfigK=12) the oracle states as TRUE — for the ALL row "
+    "this gates that the UNION estimates the distinct union (overlap "
+    "collapses), not the sum. Tighter bounds + subadditivity stay "
+    "asserted in tests/test_round5_ops.py.",
 )
 def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -241,18 +284,41 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.hll_sketch_agg("o_custkey").alias("sk"),
             F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("exact_custs"),
         )
         .localCheckpoint()
     )
+    bound = (
+        lambda est, exact: (  # noqa: E731 - shared row/ALL bound expr
+            F.abs(est - exact) <= 0.10 * exact
+        )
+    )
     per_group = sketches.select(
         F.col("o_orderpriority").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("est_custs"),
         "n_orders",
+        "exact_custs",
+        bound(F.hll_sketch_estimate("sk"), F.col("exact_custs")).alias(
+            "within_bound"
+        ),
     )
-    merged = sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
-        F.sum("n_orders").alias("n_orders"),
-    ).select(F.lit("ALL").alias("scope"), "est_custs", "n_orders")
+    # the global exact distinct is NOT the sum of per-group exacts
+    # (customers span priorities) — one distinct agg over orders
+    exact_all = o.agg(
+        F.count_distinct("o_custkey").alias("exact_custs"),
+        F.count("*").alias("n_orders"),
+    )
+    merged = (
+        sketches.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_orders",
+            "exact_custs",
+            bound(F.col("est"), F.col("exact_custs")).alias("within_bound"),
+        )
+    )
     return per_group.unionByName(merged)
 
 

@@ -149,25 +149,35 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """q_agg_approx is rows-only vs the oracle (HLL sketches are
-    engine-specific) — bound its accuracy instead: HLL++ at default
-    precision must land within 5% relative error of the exact distinct
-    count per group."""
-    got = {
-        r.event_type: r.approx_users
-        for r in QUERIES["q_agg_approx"].fn(spark, SF_DIR).collect()
-    }
+    """q_agg_approx now emits a closed-form surface (exact counts + a
+    15% within_bound boolean the oracle states as TRUE); this test keeps
+    the TIGHTER 1-sigma check on the raw estimator: HLL++ at rsd=0.05
+    must land within 5% relative error of the exact distinct count per
+    group — plus the query surface booleans must all hold."""
     from iceberg_poc_spark.sources import load_table
     from pyspark.sql import functions as F
 
+    out = {
+        r.event_type: r
+        for r in QUERIES["q_agg_approx"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
     exact = {
         r.event_type: r.exact
-        for r in load_table(spark, SF_DIR, "events")
-        .groupBy("event_type")
+        for r in ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(got) == set(exact)
+    assert set(out) == set(exact)
+    for k, r in out.items():
+        assert r.exact_users == exact[k], k
+        assert r.within_bound is True, k
+    got = {
+        r.event_type: r.approx
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("approx"))
+        .collect()
+    }
     for k, approx in got.items():
         assert abs(approx - exact[k]) / exact[k] <= 0.05, (k, approx, exact[k])
 

@@ -153,9 +153,27 @@ def test_hll_merge_estimates_within_bound(spark):
     }
     exact["ALL"] = orders.select("o_custkey").distinct().count()
     assert set(out) == set(exact)
+    # the query surface is closed-form: exact counts + bound booleans
     for scope, r in out.items():
-        rel = abs(r["est_custs"] - exact[scope]) / exact[scope]
-        assert rel < 0.05, (scope, r["est_custs"], exact[scope])
+        assert r["exact_custs"] == exact[scope], scope
+        assert r["within_bound"] is True, scope
+    # tighter 1-sigma check on the RAW estimates (the query emits only
+    # the 10% boolean; the estimates themselves must sit within 5%)
+    sk = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    ests = {
+        r["o_orderpriority"]: r["e"]
+        for r in sk.select(
+            "o_orderpriority", F.hll_sketch_estimate("sk").alias("e")
+        ).collect()
+    }
+    ests["ALL"] = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    for scope, est in ests.items():
+        rel = abs(est - exact[scope]) / exact[scope]
+        assert rel < 0.05, (scope, est, exact[scope])
     # overlap collapses: the merged estimate is far below the group sum
     group_sum = sum(v for k, v in exact.items() if k != "ALL")
-    assert out["ALL"]["est_custs"] < 0.6 * group_sum
+    assert ests["ALL"] < 0.6 * group_sum
