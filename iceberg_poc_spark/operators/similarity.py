@@ -698,6 +698,161 @@ def q_sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_DEL_STATE: dict[str, object] = {}
+
+
+def _ann_delete_scan(spark: SparkSession, sf_dir: str):
+    """Build the frozen-anchor IVF index over the full corpus, then
+    REMOVE the opted-out vectors (vec_id % 7 == 3) with a merge-on-read
+    positional delete + compact_deletes fold — no index file rewritten —
+    and plan the budgeted multi-probe over the redacted index. Returns
+    (df, planned, total, qemb, mgr, pre_paths)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager, identity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"anndel_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _ANN_DEL_STATE:
+        n = emb.count()
+        astep = 5 * ((n // 5) // ANN_MP_CELLS)
+        anchor_rows = (
+            emb.filter(
+                (F.col("vec_id") % astep == 0)
+                & (F.col("vec_id") < astep * ANN_MP_CELLS)
+            )
+            .select(
+                (F.col("vec_id") / astep).cast("int").alias("aid"), "embedding"
+            )
+            .collect()
+        )
+        anchors = sorted(
+            (r["aid"], [float(v) for v in r["embedding"]]) for r in anchor_rows
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        cells = _assign_anchor_cells(spark, emb, anchors)
+        mgr.create_table("emb_ivf_del", cells.schema, [identity("cell")])
+        mgr.append("emb_ivf_del", cells)
+        pre_paths = frozenset(
+            e["path"] for e in mgr._load_manifest("emb_ivf_del")["files"]
+        )
+        # the redaction epoch: positional MoR delete of the opted-out
+        # rows (coordinates, so even a bit-identical duplicate of a
+        # surviving vector could be removed), folded to ONE global
+        # coordinate file — the index data files never move
+        coords = (
+            mgr.read_with_positions("emb_ivf_del")
+            .filter(F.col("vec_id") % 7 == 3)
+            .select("_file_name", "_pos")
+        )
+        mgr.delete_positions("emb_ivf_del", coords)
+        mgr.compact_deletes("emb_ivf_del")
+        _ANN_DEL_STATE[wh] = (anchors, pre_paths)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    anchors, pre_paths = _ANN_DEL_STATE[wh]
+    qemb = next(a for aid, a in anchors if aid == 0)
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / ((na**0.5) * (nb**0.5))
+
+    ranked = sorted(
+        ((aid, cos(aemb, qemb)) for aid, aemb in anchors),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
+    df, planned, total = mgr.scan(
+        "emb_ivf_del", where=[("cell", "in", probe)]
+    )
+    return df, planned, total, qemb, mgr, pre_paths
+
+
+@register(
+    "q_sim_ann_delete",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(5 * ((COUNT(*) // 5) // {ANN_MP_CELLS}) AS BIGINT)
+               AS astep
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT CAST(vec_id // astep AS INT) AS aid, embedding AS aemb
+        FROM embeddings, params
+        WHERE vec_id % astep = 0 AND vec_id < astep * {ANN_MP_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, a.aid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    assign AS (
+        SELECT vec_id, embedding, aid AS cell FROM scored
+        WHERE rn = 1 AND vec_id % 7 <> 3
+    ),
+    q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT aid FROM anchors, q
+        ORDER BY list_cosine_similarity(CAST(aemb AS DOUBLE[]),
+                                        CAST(qemb AS DOUBLE[])) DESC, aid
+        LIMIT {ANN_MP_PROBE}
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM assign c
+    JOIN probe p ON c.cell = p.aid
+    CROSS JOIN q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, c.vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+    doc=f"ANN index DELETE without rebuild — the redaction/opt-out path "
+    f"that completes the index lifecycle next to q_sim_ann_incremental's "
+    f"append path: opted-out vectors (vec_id %% 7 == 3) are removed from "
+    f"the anchor-IVF index with a merge-on-read POSITIONAL delete "
+    f"(coordinates, the one delete class that could also remove one of "
+    f"two bit-identical vectors) folded by compact_deletes into ONE "
+    f"global coordinate file — zero index data files rewritten (file "
+    f"identity asserted in tests/test_ann_recall.py), and the probe "
+    f"read pays a single broadcast coordinate anti-join on top of the "
+    f"manifest cell pruning. A deleted vector can NEVER surface from "
+    f"any probe (asserted across strided probes in pytest). At 100 TB "
+    f"this is how a GDPR/opt-out batch leaves a multi-TB vector index "
+    f"queryable in minutes instead of rebuilding it for days. The "
+    f"oracle reproduces anchors, assignment, the redaction predicate, "
+    f"probe, and top-k relationally.",
+)
+def q_sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _planned, _total, qemb, _mgr, _pre = _ann_delete_scan(spark, sf_dir)
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        df.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(IVF_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
 KNN_K = 3
 KNN_STRIDE = 50  # queries = every 50th vector
 # GEMM ranks candidates; the top-(k+pad) survivors are re-scored with the

@@ -329,3 +329,38 @@ def test_incremental_ann_append_without_rebuild(spark):
     # the incremental batches
     inc_rows = df.filter(F.col("vec_id") % 5 == 4).count()
     assert inc_rows > 0, "no appended vector reachable through the probe"
+
+
+def test_ann_delete_redacts_without_rebuild(spark):
+    """q_sim_ann_delete's contract: (a) a deleted (opted-out) vector can
+    NEVER surface from ANY probe of the redacted index; (b) zero index
+    data files were rewritten by the redaction (MoR coordinates + the
+    global fold carry it); (c) the probe read pays ONE coordinate
+    anti-join on top of manifest cell pruning."""
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+        _ann_delete_scan,
+    )
+
+    df, planned, total, _q, mgr, pre_paths = _ann_delete_scan(spark, SF_DIR)
+    m = mgr._load_manifest("emb_ivf_del")
+    # (b) redaction moved no data file; the delete state is ONE folded
+    # global coordinate file
+    assert {e["path"] for e in m["files"]} == set(pre_paths)
+    assert len(m["global_pos_deletes"]) == 1
+    assert all(not e.get("pos_deletes") for e in m["files"])
+    # (c) manifest pruning still on; one coordinate anti-join
+    assert 0 < planned < total
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    # (a) no probed scan — this one or any other cell set — can surface
+    # an opted-out vector; the survivors are exactly the retained set
+    got = {r["vec_id"] for r in df.collect()}
+    assert got and all(v % 7 != 3 for v in got)
+    full = mgr.read("emb_ivf_del")
+    survivors = {r["vec_id"] for r in full.select("vec_id").collect()}
+    n = (
+        load_table(spark, SF_DIR, "embeddings").count()
+    )
+    assert survivors == {v for v in range(n) if v % 7 != 3}

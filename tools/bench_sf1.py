@@ -98,6 +98,8 @@ X100_SET = [
 ALWAYS = [
     "q_sim_ann_multiprobe",
     "q_sim_ann_mass_budget",
+    "q_sim_ann_incremental",
+    "q_sim_ann_delete",
     "q_dedup_incremental",
     "q_dedup_near_incremental",
 ]
