@@ -3023,3 +3023,77 @@ def q_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name STRING, min_v STRING, max_v STRING, n_nulls BIGINT"
     )
+
+
+def _setup_docs_txn_ddl(spark: SparkSession, sf_dir: str) -> tuple:
+    """docs_ddl: the evolve-then-backfill shape through ONE multi-table
+    transaction (manager.transaction DDL staging): wave 1 (even doc_ids)
+    lands under the original (doc_id, lang, n_chars) schema; then a
+    SINGLE txn stages add_column('quality', default=-1.0) AND the wave-2
+    append (odd doc_ids, carrying explicit quality) — the new column and
+    the data that fills it become visible at one commit point, never a
+    window where the column exists but its backfill doesn't (crash
+    injection both sides of the commit point in
+    tests/test_table_manager.py::test_txn_ddl_applies_atomically_with_data).
+    Wave-1 rows read the INITIAL DEFAULT (-1.0, Iceberg v3 semantics);
+    wave-2 rows keep explicit values. quality = (n_chars % 500) / 4.0 —
+    exact quarters, so cross-engine SUMs cannot drift by summation
+    order."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_ddl")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mgr.create_table("docs_ddl", docs.schema, [])
+    mgr.append("docs_ddl", docs.filter(F.col("doc_id") % 2 == 0))
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 500).cast("double") / F.lit(4.0)
+    )
+    txn = mgr.transaction()
+    txn.add_column("docs_ddl", "quality", "double", default=-1.0)
+    txn.append("docs_ddl", wave2)
+    txn.commit()
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_txn_ddl",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_legacy,
+           ROUND(SUM(CASE WHEN doc_id % 2 = 0 THEN -1.0
+                          ELSE CAST(n_chars % 500 AS DOUBLE) / 4.0
+                     END), 2) AS sum_quality
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Schema DDL inside a multi-table transaction — the "
+    "evolve-then-backfill shape: ONE txn stages add_column('quality', "
+    "DOUBLE, initial default -1.0) together with the backfill append "
+    "that fills it, so the column and its data appear at a single "
+    "commit point (no window where the column exists unfilled; crash "
+    "injection both sides of the commit point + rollback-restores-"
+    "pre-txn-schema in tests/test_table_manager.py). Pre-DDL rows read "
+    "the initial default, post-DDL rows keep explicit values including "
+    "the per-file writer-schema presence rule — the oracle reproduces "
+    "both populations from raw documents, so a default leaking onto a "
+    "wave-2 row, a lost backfill file, or a half-applied txn all "
+    "hash-diverge. At 100 TB this is how a feature column rolls out "
+    "across a fact table and its dependents without a coordination "
+    "outage.",
+)
+def q_txn_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _ = _setup_docs_txn_ddl(spark, sf_dir)
+    df = mgr.read("docs_ddl")
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("quality") == -1.0, 1))
+        .cast("bigint")
+        .alias("n_legacy"),
+        F.round(F.sum("quality"), 2).alias("sum_quality"),
+    )
