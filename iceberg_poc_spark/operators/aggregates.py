@@ -288,11 +288,8 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    bound = (
-        lambda est, exact: (  # noqa: E731 - shared row/ALL bound expr
-            F.abs(est - exact) <= 0.10 * exact
-        )
-    )
+    def bound(est, exact):  # shared per-group / ALL error envelope
+        return F.abs(est - exact) <= 0.10 * exact
     per_group = sketches.select(
         F.col("o_orderpriority").alias("scope"),
         "n_orders",

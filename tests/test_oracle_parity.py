@@ -140,12 +140,15 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    q = QUERIES[name]
-    sdf = q.fn(spark, SF_DIR)
-    assert sdf.count() >= 0
-    assert len(sdf.schema) > 0
+def test_every_registered_query_carries_an_oracle():
+    """As of round 8 the rows-only bucket is EMPTY: the two approximate
+    queries emit closed-form surfaces (exact counts + error-bound
+    booleans) instead of raw estimates, so every registered query is
+    value-hash-gated against DuckDB. A new rows-only query is a
+    deliberate decision — make it fail here first."""
+    assert ROWS_ONLY == [], (
+        f"queries registered without an oracle: {ROWS_ONLY}"
+    )
 
 
 def test_approx_count_distinct_error_bound(spark):

@@ -129,12 +129,74 @@ def main() -> int:
         flush=True,
     )
 
+    # ---- positional-delete curve (the third delete class): N epochs
+    # of coordinate deletes over a fresh copy of the base, read tax at
+    # the same checkpoints, then the GLOBAL fold (compact_deletes ->
+    # one coordinate anti-join) and the full rewrite
+    mgr.create_table("mor_pos", ev.schema, [])
+    mgr.append("mor_pos", ev.repartition(8))
+    n_rows = ev.count()
+    pos_read: dict[str, float] = {}
+    pos_fix: dict[str, float] = {}
+
+    def _timed_pos_read(reps: int = 3) -> float:
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            mgr.read("mor_pos").agg(
+                F.count("*"), F.sum("value"), F.max("ts")
+            ).collect()
+            times.append(time.monotonic() - t0)
+        return sorted(times)[len(times) // 2]
+
+    done = 0
+    for target in CHECKPOINTS:
+        for i in range(done, target):
+            # each epoch retires a thin, distinct row slice by COORDINATE
+            coords = (
+                mgr.read_with_positions("mor_pos")
+                .filter(
+                    (F.col("value").cast("long") % (2 * EPOCHS)) == i
+                )
+                .select("_file_name", "_pos")
+            )
+            mgr.delete_positions("mor_pos", coords)
+        done = target
+        pos_read[str(target)] = round(_timed_pos_read(), 4)
+        print(
+            f"pos epochs={target} read={pos_read[str(target)]}s",
+            flush=True,
+        )
+    t0 = time.monotonic()
+    mgr.compact_deletes("mor_pos")
+    pos_fix["compact_deletes"] = round(time.monotonic() - t0, 4)
+    pos_read["100_compacted"] = round(_timed_pos_read(), 4)
+    m = mgr._load_manifest("mor_pos")
+    assert len(m.get("global_pos_deletes", [])) == 1
+    print(
+        f"pos compacted in {pos_fix['compact_deletes']}s "
+        f"read={pos_read['100_compacted']}s",
+        flush=True,
+    )
+    t0 = time.monotonic()
+    mgr.rewrite_deletes("mor_pos")
+    pos_fix["rewrite_deletes"] = round(time.monotonic() - t0, 4)
+    pos_read["100_rewritten"] = round(_timed_pos_read(), 4)
+    print(
+        f"pos rewritten in {pos_fix['rewrite_deletes']}s "
+        f"read={pos_read['100_rewritten']}s",
+        flush=True,
+    )
+
     result = {
         "sf_dir": sf_dir,
         "epochs": CHECKPOINTS,
         "read_sec": read_sec,
         "fix_sec": fix_sec,
         "delete_files_attached_max": stacks,
+        "pos_read_sec": pos_read,
+        "pos_fix_sec": pos_fix,
+        "pos_rows": n_rows,
     }
     with open(out_path, "w") as f:
         f.write(json.dumps(result, indent=1) + "\n")
