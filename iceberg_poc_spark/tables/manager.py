@@ -2788,8 +2788,14 @@ class ParquetTableManager:
                 .select("_file_name", "_pos")
                 .distinct()
             )
+            # same broadcast-size discipline as the equality path: a
+            # coordinate set that outgrew broadcast (billions of folded
+            # deletes between rewrites) falls back to a shuffle
+            # anti-join — rewrite_deletes is the pressure valve there
+            if sum(g.get("bytes", 0) for g in gpos) < 64 * 1024 * 1024:
+                gp_df = F.broadcast(gp_df)
             out = out.join(
-                F.broadcast(gp_df), on=["_file_name", "_pos"], how="left_anti"
+                gp_df, on=["_file_name", "_pos"], how="left_anti"
             )
         if gdels:
             # sequence-scoped GLOBAL equality deletes (compact_deletes):
