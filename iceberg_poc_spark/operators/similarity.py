@@ -698,6 +698,70 @@ def q_sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sim_ann_occupancy",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(5 * ((COUNT(*) // 5) // {ANN_MP_CELLS}) AS BIGINT)
+               AS astep,
+               COUNT(*) AS n
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT CAST(vec_id // astep AS INT) AS aid, embedding AS aemb
+        FROM embeddings, params
+        WHERE vec_id % astep = 0 AND vec_id < astep * {ANN_MP_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, a.aid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    occ AS (
+        SELECT aid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM scored WHERE rn = 1 GROUP BY aid
+    )
+    SELECT cell, n_vecs,
+           CAST(n_vecs * {ANN_MP_CELLS} > 2 * n AS BOOLEAN) AS hot
+    FROM occ, params
+    """,
+    doc=f"Metadata-only ANN index health: per-cell occupancy of the "
+    f"anchor-IVF index read from the MANIFEST alone (per-file record "
+    f"counts summed per cell partition — zero data files opened), plus "
+    f"a 'hot' flag for cells holding over 2x the uniform share — the "
+    f"re-anchor / mass-budget trigger signal a production index "
+    f"monitors as the corpus drifts (q_sim_ann_mass_budget is the "
+    f"query-time mitigation; re-anchoring is the rebuild-time one). "
+    f"The oracle recomputes occupancy RELATIONALLY from the corpus "
+    f"(anchor selection + argmax assignment + group counts), so the "
+    f"hash gate proves the index manifest's metadata is row-exact "
+    f"against the data it claims to index — across the base build AND "
+    f"all of q_sim_ann_incremental's frozen-anchor appends. At 100 TB "
+    f"the monitoring query costs one manifest read; the relational "
+    f"recount it equals would cost a corpus scan.",
+)
+def q_sim_ann_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _df, _p, _t, _q, mgr, _b = _ann_incremental_scan(spark, sf_dir)
+    m = mgr._load_manifest("emb_ivf_inc")
+    occ: dict[int, int] = {}
+    for e in m["files"]:
+        c = int(e["partition"]["cell"])
+        occ[c] = occ.get(c, 0) + e["records"]
+    n = sum(occ.values())
+    rows = [
+        (c, cnt, bool(cnt * ANN_MP_CELLS > 2 * n))
+        for c, cnt in sorted(occ.items())
+    ]
+    return spark.createDataFrame(
+        rows, "cell INT, n_vecs BIGINT, hot BOOLEAN"
+    )
+
+
 _ANN_DEL_STATE: dict[str, object] = {}
 
 
