@@ -3481,6 +3481,16 @@ class ParquetTableManager:
         if not affected:
             return {"version": m["version"], "rewritten": 0, "added": 0}
         df = self._read_files(name, m, affected)
+        if not self._spec(m):
+            # partitioned tables coalesce through _write_files' partition
+            # co-location shuffle; an UNPARTITIONED rewrite has no such
+            # shuffle, and the file source assigns each small file its
+            # own task (openCost-dominated splits), so without an
+            # explicit repartition the "compaction" would re-emit one
+            # small file per input file — size the output to the target
+            df = df.repartition(
+                int(max(1, -(-sum(e["bytes"] for e in affected) // target)))
+            )
         new_files = self._write_files(name, df, self._spec(m))
         rewritten = {e["path"] for e in affected}
 

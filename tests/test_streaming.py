@@ -420,3 +420,37 @@ def test_table_pipeline_incremental_and_exactly_once(spark):
         > mid["silver_version_after_first_drain"]
     )
     assert silver.select("event_id").distinct().count() == silver.count()
+
+
+def test_stream_to_table_self_heals_fragmentation(spark, tmp_path):
+    """write.compact-threshold under the streaming foreachBatch sink:
+    six single-file micro-batches (maxFilesPerTrigger=1) append into a
+    threshold-4 table; the table self-heals inline — file count stays
+    bounded without an external scheduler — and the drained values are
+    exactly the source rows."""
+    from iceberg_poc_spark.tables.manager import COMPACT_THRESHOLD_PROP
+
+    src_dir = tmp_path / "src"
+    ev = batch_events(spark).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    mgr.create_table("ev_heal", ev.schema, [])
+    mgr.set_properties("ev_heal", {COMPACT_THRESHOLD_PROP: "4"})
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    run_to_table(stream, mgr, "ev_heal", str(tmp_path / "ckpt_heal"))
+    ops = [r.operation for r in mgr.snapshots("ev_heal").collect()]
+    assert "rewrite-data-files" in ops, ops
+    m = mgr._load_manifest("ev_heal")
+    assert len(m["files"]) < 6, "fragmentation did not self-heal"
+    assert mgr.read("ev_heal").count() == ev.count()
+    got = sorted(r.event_id for r in mgr.read("ev_heal").collect())
+    assert got == sorted(r.event_id for r in ev.collect())
