@@ -234,6 +234,53 @@ ANN_MP_PROBE = 24  # probed cells per query (the recall/scan knob)
 _ANN_MP_WAREHOUSES: set[str] = set()
 
 
+def _seq_cos(a, b) -> float:
+    """Driver-side sequential left-fold cosine — identical double
+    arithmetic to the engine fold AND DuckDB's list_cosine_similarity C
+    loop (the cross-engine parity every ANN oracle relies on). One
+    definition for all ANN scan paths: a tie-break or arithmetic tweak
+    here is a contract change and must land everywhere at once."""
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return d / ((na**0.5) * (nb**0.5))
+
+
+def _strided_anchors(
+    emb: DataFrame, astep: int
+) -> list[tuple[int, list[float]]]:
+    """The frozen anchor set: corpus vectors at vec_id = aid * astep,
+    aid in [0, ANN_MP_CELLS) — deterministic, oracle-reproducible."""
+    rows = (
+        emb.filter(
+            (F.col("vec_id") % astep == 0)
+            & (F.col("vec_id") < astep * ANN_MP_CELLS)
+        )
+        .select(
+            (F.col("vec_id") / astep).cast("int").alias("aid"), "embedding"
+        )
+        .collect()
+    )
+    return sorted(
+        (r["aid"], [float(v) for v in r["embedding"]]) for r in rows
+    )
+
+
+def _probe_order(
+    anchors: list[tuple[int, list[float]]], qemb: list[float]
+) -> list[tuple[int, float]]:
+    """Cells ranked by query-anchor cosine (ties to the smaller aid) —
+    the probe admission order every budgeted scan below shares."""
+    return sorted(
+        ((aid, _seq_cos(aemb, qemb)) for aid, aemb in anchors),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
 def _assign_anchor_cells(
     spark: SparkSession, emb: DataFrame, anchors: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -281,18 +328,7 @@ def _ann_multiprobe_scan(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    stride = n // ANN_MP_CELLS
-    anchor_rows = (
-        emb.filter(
-            (F.col("vec_id") % stride == 0)
-            & (F.col("vec_id") < stride * ANN_MP_CELLS)
-        )
-        .select((F.col("vec_id") / stride).cast("int").alias("aid"), "embedding")
-        .collect()
-    )
-    anchors = sorted(
-        (r["aid"], [float(v) for v in r["embedding"]]) for r in anchor_rows
-    )
+    anchors = _strided_anchors(emb, n // ANN_MP_CELLS)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = os.path.join(tempfile.gettempdir(), f"annmp_{os.getpid()}_{key}")
     mgr = ParquetTableManager(spark, wh)
@@ -304,24 +340,7 @@ def _ann_multiprobe_scan(spark: SparkSession, sf_dir: str):
         _ANN_MP_WAREHOUSES.add(wh)
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
     qemb = next(a for aid, a in anchors if aid == 0)  # vec_id 0 IS anchor 0
-    # probe order: query-anchor cosine, driver-side sequential fold —
-    # identical double arithmetic to the engine/oracle folds
-    def cos(a, b):
-        d = 0.0
-        na = 0.0
-        nb = 0.0
-        for x, y in zip(a, b):
-            d += x * y
-        for x in a:
-            na += x * x
-        for y in b:
-            nb += y * y
-        return d / ((na ** 0.5) * (nb ** 0.5))
-
-    ranked = sorted(
-        ((aid, cos(aemb, qemb)) for aid, aemb in anchors),
-        key=lambda t: (-t[1], t[0]),
-    )
+    ranked = _probe_order(anchors, qemb)
     probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
     df, planned, total = mgr.scan("emb_ivf", where=[("cell", "in", probe)])
     return df, planned, total, qemb, ranked, mgr
@@ -561,20 +580,7 @@ def _ann_incremental_scan(spark: SparkSession, sf_dir: str):
     mgr = ParquetTableManager(spark, wh)
     if wh not in _ANN_INC_STATE:
         n = emb.count()
-        astep = 5 * ((n // 5) // ANN_MP_CELLS)
-        anchor_rows = (
-            emb.filter(
-                (F.col("vec_id") % astep == 0)
-                & (F.col("vec_id") < astep * ANN_MP_CELLS)
-            )
-            .select(
-                (F.col("vec_id") / astep).cast("int").alias("aid"), "embedding"
-            )
-            .collect()
-        )
-        anchors = sorted(
-            (r["aid"], [float(v) for v in r["embedding"]]) for r in anchor_rows
-        )
+        anchors = _strided_anchors(emb, 5 * ((n // 5) // ANN_MP_CELLS))
         shutil.rmtree(wh, ignore_errors=True)
         base = emb.filter(F.col("vec_id") % 5 != 4)
         cells = _assign_anchor_cells(spark, base, anchors)
@@ -594,22 +600,7 @@ def _ann_incremental_scan(spark: SparkSession, sf_dir: str):
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
     anchors, base_paths = _ANN_INC_STATE[wh]
     qemb = next(a for aid, a in anchors if aid == 0)  # vec_id 0 IS anchor 0
-
-    def cos(a, b):
-        d = na = nb = 0.0
-        for x, y in zip(a, b):
-            d += x * y
-        for x in a:
-            na += x * x
-        for y in b:
-            nb += y * y
-        return d / ((na**0.5) * (nb**0.5))
-
-    ranked = sorted(
-        ((aid, cos(aemb, qemb)) for aid, aemb in anchors),
-        key=lambda t: (-t[1], t[0]),
-    )
-    probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
+    probe = [aid for aid, _ in _probe_order(anchors, qemb)[:ANN_MP_PROBE]]
     df, planned, total = mgr.scan(
         "emb_ivf_inc", where=[("cell", "in", probe)]
     )
@@ -785,20 +776,7 @@ def _ann_delete_scan(spark: SparkSession, sf_dir: str):
     mgr = ParquetTableManager(spark, wh)
     if wh not in _ANN_DEL_STATE:
         n = emb.count()
-        astep = 5 * ((n // 5) // ANN_MP_CELLS)
-        anchor_rows = (
-            emb.filter(
-                (F.col("vec_id") % astep == 0)
-                & (F.col("vec_id") < astep * ANN_MP_CELLS)
-            )
-            .select(
-                (F.col("vec_id") / astep).cast("int").alias("aid"), "embedding"
-            )
-            .collect()
-        )
-        anchors = sorted(
-            (r["aid"], [float(v) for v in r["embedding"]]) for r in anchor_rows
-        )
+        anchors = _strided_anchors(emb, 5 * ((n // 5) // ANN_MP_CELLS))
         shutil.rmtree(wh, ignore_errors=True)
         cells = _assign_anchor_cells(spark, emb, anchors)
         mgr.create_table("emb_ivf_del", cells.schema, [identity("cell")])
@@ -821,22 +799,7 @@ def _ann_delete_scan(spark: SparkSession, sf_dir: str):
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
     anchors, pre_paths = _ANN_DEL_STATE[wh]
     qemb = next(a for aid, a in anchors if aid == 0)
-
-    def cos(a, b):
-        d = na = nb = 0.0
-        for x, y in zip(a, b):
-            d += x * y
-        for x in a:
-            na += x * x
-        for y in b:
-            nb += y * y
-        return d / ((na**0.5) * (nb**0.5))
-
-    ranked = sorted(
-        ((aid, cos(aemb, qemb)) for aid, aemb in anchors),
-        key=lambda t: (-t[1], t[0]),
-    )
-    probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
+    probe = [aid for aid, _ in _probe_order(anchors, qemb)[:ANN_MP_PROBE]]
     df, planned, total = mgr.scan(
         "emb_ivf_del", where=[("cell", "in", probe)]
     )

@@ -383,6 +383,22 @@ def _read_file_as_batches(
             raw = unquote(str(entry["partition"][name]))
             source = pc.cast(pa.array([raw] * n, pa.string()), afield.type)
         if source is None:
+            # initial-default columns (Iceberg v3): a file whose RECORDED
+            # writer schema lacks the column (under every historical
+            # name) reads the default, exactly the manager read path's
+            # rule — legacy entries without a recorded writer schema stay
+            # NULL-preserving. Without this the connector face diverges
+            # from manager.read on default-bearing tables.
+            fmeta = f.metadata or {}
+            if "initial_default" in fmeta:
+                ecols = entry.get("cols")
+                hist = {name, *fmeta.get("former_names", [])}
+                if ecols is not None and not (hist & set(ecols)):
+                    source = pc.cast(
+                        pa.array([fmeta["initial_default"]] * n),
+                        afield.type,
+                    )
+        if source is None:
             source = pa.nulls(n, afield.type)
         cols.append(pc.cast(source, afield.type))
     out = _apply_mor_deletes(pa.table(cols, schema=target), entry, table_dir)

@@ -695,8 +695,11 @@ class ParquetTableManager:
         # hand-link; call sites here build manifests by mutating the
         # loaded head dict, which would otherwise inherit the parent's
         # stamp and make a plain append impersonate a txn member (breaks
-        # rollback_transaction's has-the-table-advanced guard)
+        # rollback_transaction's has-the-table-advanced guard) — and an
+        # inherited txn_entry would false-positive a later DDL entry's
+        # idempotence walk (a staged DDL silently skipped)
         manifest.pop("txn", None)
+        manifest.pop("txn_entry", None)
         while True:
             seq, cur = self._ref_head(name, ref)
             if (
@@ -706,6 +709,7 @@ class ParquetTableManager:
             ):
                 manifest = rebase(self._load_manifest(name, cur))
                 manifest.pop("txn", None)
+                manifest.pop("txn_entry", None)
             version = self._alloc_version(name, manifest)
             seq_path = os.path.join(
                 self._heads_dir(name, ref), f"seq-{seq + 1:09d}"
@@ -776,21 +780,17 @@ class ParquetTableManager:
         schema, never by value coalescing). Metadata-only either way: no
         file is rewritten, old files resolve the default at read time."""
         m = self._load_manifest(name)
-        schema = StructType.fromJson(m["schema"])
-        if col in schema.fieldNames():
-            raise ValueError(f"column {col!r} already exists")
-        if any(col in f.metadata.get("former_names", []) for f in schema.fields):
-            # old data files still hold this name — a new column under it
-            # would resurrect their values through the rename-coalesce read
-            raise ValueError(f"{col!r} is a former name of a renamed column")
-        if default is not None:
-            schema = schema.add(
-                StructField(col, _parse_dtype(dtype), True,
-                            {"initial_default": _norm_stat(default)})
-            )
-        else:
-            schema = schema.add(col, dtype, True)
-        m["schema"] = json.loads(schema.json())
+        # single source of truth with the transactional DDL path: the
+        # same validation + schema mutation _apply_txn replays
+        m["schema"] = _apply_schema_ddl(
+            m["schema"],
+            {
+                "kind": "add-column",
+                "col": col,
+                "dtype": dtype,
+                **({"default": default} if default is not None else {}),
+            },
+        )
         m["operation"] = "add-column"
         m["parent"] = m["version"]
         return self._commit(name, m)
@@ -931,25 +931,11 @@ class ParquetTableManager:
         existing files keep the narrow type and reads cast up; anything
         else would silently corrupt values and is rejected."""
         m = self._load_manifest(name)
-        schema = StructType.fromJson(m["schema"])
-        old = schema[col].dataType.typeName()
-        if (old, to_type) not in self._WIDENINGS and old != to_type:
-            raise ValueError(
-                f"cannot widen {col!r} {old} -> {to_type}: only "
-                f"{sorted(self._WIDENINGS)} are value-preserving"
-            )
-        fields = [
-            StructField(
-                f.name,
-                StructType.fromDDL(f"x {to_type}")[0].dataType
-                if f.name == col
-                else f.dataType,
-                f.nullable,
-                f.metadata,
-            )
-            for f in schema.fields
-        ]
-        m["schema"] = json.loads(StructType(fields).json())
+        # single source of truth with the transactional DDL path
+        m["schema"] = _apply_schema_ddl(
+            m["schema"],
+            {"kind": "widen-column", "col": col, "to_type": to_type},
+        )
         m["operation"] = "widen-column"
         m["parent"] = m["version"]
         return self._commit(name, m)
@@ -1216,11 +1202,15 @@ class ParquetTableManager:
             return out
 
         v = self._commit(name, m, rebase=rebase, ref=ref)
-        thresh = int(self.properties(name).get(COMPACT_THRESHOLD_PROP, 0))
+        # threshold + counts from the manifest already in hand — the
+        # hot append path pays no extra manifest load; compact_partitions
+        # re-derives against the true head if the trigger fires (a
+        # rebased concurrent append can only make counts HIGHER, and the
+        # loser's own trigger covers that commit)
+        thresh = int(m.get("properties", {}).get(COMPACT_THRESHOLD_PROP, 0))
         if thresh > 0 and ref == "main" and self.spark is not None:
-            head = self._load_manifest(name)
             counts: dict[tuple, int] = {}
-            for e in head["files"]:
+            for e in m["files"]:
                 k = tuple(sorted(e["partition"].items()))
                 counts[k] = counts.get(k, 0) + 1
             if any(c >= thresh for c in counts.values()):
@@ -1342,6 +1332,7 @@ class ParquetTableManager:
                                     f"{seq!r} aborted"
                                 )
                             nm = dict(self._load_manifest(name, entry["to"]))
+                            nm.pop("txn_entry", None)
                             nm["operation"] = "rollback"
                             nm["parent"] = cur
                             nm["txn"] = seq
@@ -1384,6 +1375,28 @@ class ParquetTableManager:
                                     cm["schema"], entry
                                 )
                             except ValueError as exc:
+                                # before declaring a conflict, scan the
+                                # FULL ancestry for this entry's stamp:
+                                # a crash after the DDL's head CAS but
+                                # before its marker write, followed by a
+                                # foreign commit on top, leaves the
+                                # applied DDL below a foreign manifest
+                                # where the fast prefix walk above can't
+                                # see it — re-applying would raise the
+                                # very error we just caught. Rare path:
+                                # only on apparent conflicts.
+                                deep, dv = False, cur
+                                while dv is not None:
+                                    dm = self._load_manifest(name, dv)
+                                    if (
+                                        dm.get("txn") == seq
+                                        and dm.get("txn_entry") == idx
+                                    ):
+                                        deep = True
+                                        break
+                                    dv = dm.get("parent")
+                                if deep:
+                                    break  # already applied — idempotent
                                 # a foreign DDL invalidated this entry in
                                 # the publish->apply window: abort the
                                 # record instead of poisoning repair
@@ -1417,6 +1430,10 @@ class ParquetTableManager:
                             }:
                                 break  # a concurrent repairer applied it
                             nm = dict(m)
+                            # never inherit the parent's entry stamp: it
+                            # would false-positive a later DDL entry's
+                            # idempotence walk
+                            nm.pop("txn_entry", None)
                             nm["files"] = m["files"] + added
                             nm["operation"] = "txn-append"
                             nm["parent"] = cur
@@ -2041,22 +2058,33 @@ class ParquetTableManager:
                 v = self.compact_deletes(name)
         return v
 
-    def _stage_upsert(self, name: str, df: DataFrame, keys: list[str]) -> dict:
+    def _stage_upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str],
+        schema_json: dict | None = None,
+    ) -> dict:
         """Run the DATA half of an upsert epoch (distributed writes of
         the new rows + the key-set delete file, plus the pruning bounds),
         with no head advance — the JSON-able entry is applied later by
         :meth:`_apply_upsert` (directly, or through a multi-table
-        :class:`Transaction`)."""
+        :class:`Transaction`). ``schema_json`` overrides the alignment
+        schema — a Transaction passes its staged-DDL projection so an
+        upsert staged after an add_column writes the evolved shape
+        instead of silently dropping the new column."""
         m = self._load_manifest(name)
-        schema = StructType.fromJson(m["schema"])
+        schema = StructType.fromJson(schema_json or m["schema"])
         schema_cols = [f.name for f in schema.fields]
         missing = [c for c in keys if c not in schema_cols]
         if missing:
             raise ValueError(f"equality columns not in schema: {missing}")
         aligned = df.select(
             *[
-                F.col(c) if c in df.columns else F.lit(None).alias(c)
-                for c in schema_cols
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
             ]
         )
         self._enforce_constraints(name, aligned)
@@ -2106,11 +2134,17 @@ class ParquetTableManager:
                     ]
                 out_files.append(e)
             nm = dict(m)
+            nm.pop("txn_entry", None)
             nm["files"] = out_files + entry["added"]
             nm["operation"] = "upsert"
             nm["parent"] = cur
             if entry.get("txn"):
                 nm["txn"] = entry["txn"]
+            else:
+                # a plain upsert on top of a txn snapshot must not
+                # inherit the parent's txn stamp — it would impersonate
+                # a txn member and let rollback_transaction roll it away
+                nm.pop("txn", None)
             import time as _time
 
             nm["committed_at"] = _time.time()
@@ -3803,10 +3837,14 @@ class Transaction:
         staged operations: the fact-and-dim-CDC-epoch-together shape.
         The delete file's attachment to existing files is resolved at
         APPLY time against the then-current head, so commits that win
-        in between correctly fall under the delete (sequence order)."""
+        in between correctly fall under the delete (sequence order).
+        An upsert staged AFTER a staged DDL aligns (and writes) the
+        evolved schema, same as :meth:`append`."""
         if self._done:
             raise ValueError("transaction already committed")
-        entry = self.mgr._stage_upsert(name, df, keys)
+        entry = self.mgr._stage_upsert(
+            name, df, keys, schema_json=self._schemas.get((name, ref))
+        )
         self._staged.append({"table": name, "ref": ref, **entry})
         return self
 

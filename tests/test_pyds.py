@@ -572,3 +572,26 @@ def test_datasource_applies_global_pos_deletes(mgr, spark):
     got = _load(spark, mgr, "gp").filter("value >= 100")
     want = mgr.read("gp").filter("value >= 100")
     assert _rows(got) == _rows(want)
+
+
+def test_datasource_reads_initial_default_columns(mgr, spark):
+    """Connector parity for initial-default columns (Iceberg v3): files
+    written BEFORE an add_column(..., default=) read the default through
+    .format('snaptable') exactly as through manager.read — wave-2 rows
+    keep explicit values (incl. genuine NULLs) via the per-file writer
+    schema presence rule."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    mgr.create_table("dflt", base.schema, [])
+    mgr.append("dflt", base)
+    mgr.add_column("dflt", "q", "double", default=-1.0)
+    mgr.append(
+        "dflt",
+        spark.createDataFrame(
+            [(3, "c", 3.5), (4, "d", None)], "k long, s string, q double"
+        ),
+    )
+    want = {(1, -1.0), (2, -1.0), (3, 3.5), (4, None)}
+    assert {(r.k, r.q) for r in mgr.read("dflt").collect()} == want
+    got = _load(spark, mgr, "dflt")
+    assert {(r.k, r.q) for r in got.collect()} == want
+    assert _rows(got) == _rows(mgr.read("dflt"))

@@ -2010,3 +2010,112 @@ def test_txn_ddl_applies_atomically_with_data(mgr, spark):
     with pytest.raises(ValueError, match="cannot widen"):
         t.widen_column("dim", "s", "long")
     assert t._staged == []  # failed stagings left nothing behind
+
+
+def test_txn_stamps_never_inherited_across_commits(mgr, spark):
+    """Regression: txn-append/upsert/rollback manifests derive from the
+    head dict and must NOT inherit the parent's txn/txn_entry stamps —
+    an inherited txn_entry false-positives a later txn's DDL idempotence
+    walk (silently skipping the DDL), and an inherited txn stamp on a
+    plain upsert lets rollback_transaction roll the upsert away."""
+    wt = spark.createDataFrame([(1, "a")], "k long, s string")
+    mgr.create_table("t1", wt.schema, [])
+    mgr.append("t1", wt)
+
+    def run_txn(col):
+        t = mgr.transaction()
+        # append FIRST (entry idx 0), DDL second (entry idx 1): the
+        # txn-append manifest must not carry a stale entry stamp that
+        # matches the DDL's idx on the NEXT txn
+        t.append(
+            "t1", spark.createDataFrame([(2, "b")], "k long, s string")
+        )
+        t.add_column("t1", col, "string")
+        t.commit()
+        return t
+
+    run_txn("x")
+    run_txn("y")  # the bug: y silently skipped via inherited txn_entry=1
+    names = [f.name for f in mgr.schema("t1").fields]
+    assert "x" in names and "y" in names, names
+
+    # plain upsert on top of a txn snapshot: must NOT look like a txn
+    # member (else rollback_transaction would silently drop it)
+    t = mgr.transaction()
+    t.append("t1", spark.createDataFrame(
+        [(10, "t", None, None)], "k long, s string, x string, y string"))
+    t.commit()
+    mgr.upsert_equality(
+        "t1",
+        spark.createDataFrame(
+            [(10, "UP", None, None)], "k long, s string, x string, y string"
+        ),
+        ["k"],
+    )
+    assert mgr._load_manifest("t1").get("txn") is None
+    with pytest.raises(ValueError, match="advanced past"):
+        mgr.rollback_transaction(t.txn_id)
+    assert {r.s for r in mgr.read("t1").filter("k = 10").collect()} == {"UP"}
+
+
+def test_txn_upsert_after_staged_ddl_writes_evolved_schema(mgr, spark):
+    """An upsert staged AFTER a staged add_column must write the new
+    column's explicit values (not silently drop them to the pre-DDL
+    alignment)."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    mgr.create_table("tu", base.schema, [])
+    mgr.append("tu", base)
+    t = mgr.transaction()
+    t.add_column("tu", "q", "double", default=-1.0)
+    t.upsert(
+        "tu",
+        spark.createDataFrame([(2, "B", 2.5), (3, "c", 3.5)],
+                              "k long, s string, q double"),
+        ["k"],
+    )
+    t.commit()
+    got = {r.k: (r.s, r.q) for r in mgr.read("tu").collect()}
+    assert got == {1: ("a", -1.0), 2: ("B", 2.5), 3: ("c", 3.5)}, got
+
+
+def test_txn_ddl_replay_below_foreign_commit_is_idempotent(mgr, spark):
+    """Crash repair of a txn whose DDL applied but whose marker was lost,
+    AFTER a foreign commit landed on top: the fast prefix walk can't see
+    the applied DDL, re-applying raises 'already exists' — the deep
+    ancestry scan must recognize the entry's own stamp and treat the
+    replay as a no-op instead of aborting the record."""
+    import json as _json
+    import os as _os
+
+    _mk_txn_tables(spark, mgr)
+    t = mgr.transaction()
+    t.add_column("fact", "tag", "string")
+    t.append("dim", spark.createDataFrame([(7, "seg7")], "d long, s string"))
+    t.commit()
+    # simulate the lost-marker crash: resurrect the pending record
+    ap = _os.path.join(mgr._txns_dir(), f"{t.txn_id}.applied")
+    with open(ap) as f:
+        record = _json.loads(f.read())
+    with open(_os.path.join(mgr._txns_dir(), t.txn_id), "w") as f:
+        f.write(_json.dumps(record, sort_keys=True))
+    # foreign commit on top of the applied DDL (repair suppressed so the
+    # resurrected record isn't consumed by this append's head read)
+    prev, mgr._in_txn_repair = mgr._in_txn_repair, True
+    try:
+        mgr.append(
+            "fact",
+            spark.createDataFrame([(900, 0, "f")], "k long, d long, tag string"),
+        )
+    finally:
+        mgr._in_txn_repair = prev
+    dim_before = mgr._current_version("dim")
+    # replay via repair: must be a clean no-op, never an abort
+    mgr._repair_txns("fact")
+    left = _os.listdir(mgr._txns_dir())
+    assert not any(fn.endswith(".aborted") for fn in left), left
+    assert [fn for fn in left if "." not in fn[4:]] == []
+    names = [f.name for f in mgr.schema("fact").fields]
+    assert names.count("tag") == 1
+    assert mgr.read("fact").count() == 101
+    assert mgr.read("dim").filter("d = 7").count() == 1
+    assert mgr._current_version("dim") == dim_before  # no double-append
