@@ -1214,8 +1214,17 @@ class ParquetTableManager:
                 k = tuple(sorted(e["partition"].items()))
                 counts[k] = counts.get(k, 0) + 1
             if any(c >= thresh for c in counts.values()):
-                self.compact_partitions(name, min_files=thresh)
-                v = self._current_version(name)
+                try:
+                    self.compact_partitions(name, min_files=thresh)
+                    v = self._current_version(name)
+                except RuntimeError:
+                    # two concurrent appends both crossed the threshold
+                    # and raced their compactions: the loser's rewrite
+                    # aborts (files it planned were already rewritten).
+                    # Maintenance is best-effort — the append itself
+                    # committed, and the winner's compaction (or the
+                    # next append's trigger) covers the fragmentation.
+                    pass
         return v
 
     # ------------------------------------------------- multi-table commits
