@@ -3661,6 +3661,11 @@ class ParquetTableManager:
         new_files = self._write_files(name, df, spec, sort_within=cluster)
         m["files"] = new_files
         m["operation"] = "replace"
+        # every file was rewritten post-delete: folded global deletes are
+        # fully materialized (their seq guards would no-op against the
+        # fresh births anyway) — drop them so expiry can reap the files
+        m.pop("global_eq_deletes", None)
+        m.pop("global_pos_deletes", None)
         m["parent"] = m["version"]
         return self._commit(name, m)
 
