@@ -394,10 +394,9 @@ def _read_file_as_batches(
                 ecols = entry.get("cols")
                 hist = {name, *fmeta.get("former_names", [])}
                 if ecols is not None and not (hist & set(ecols)):
-                    source = pc.cast(
-                        pa.array([fmeta["initial_default"]] * n),
-                        afield.type,
-                    )
+                    # the loop tail casts to afield.type; defaults are
+                    # type-validated at DDL time (_validate_initial_default)
+                    source = pa.array([fmeta["initial_default"]] * n)
         if source is None:
             source = pa.nulls(n, afield.type)
         cols.append(pc.cast(source, afield.type))

@@ -292,6 +292,13 @@ class ConstraintViolation(ValueError):
     """An ingest batch failed a ``constraints.check.*`` table property."""
 
 
+class CompactionConflict(RuntimeError):
+    """A targeted rewrite aborted because a concurrent commit removed a
+    file it planned to rewrite (Iceberg rewrite_data_files validation
+    semantics). The table is untouched; retry or let the next trigger
+    cover it."""
+
+
 class TxnConflictError(RuntimeError):
     """A published transaction entry could not be applied because a
     foreign commit invalidated it in the publish→apply window. The
@@ -1217,13 +1224,16 @@ class ParquetTableManager:
                 try:
                     self.compact_partitions(name, min_files=thresh)
                     v = self._current_version(name)
-                except RuntimeError:
+                except CompactionConflict:
                     # two concurrent appends both crossed the threshold
                     # and raced their compactions: the loser's rewrite
                     # aborts (files it planned were already rewritten).
                     # Maintenance is best-effort — the append itself
                     # committed, and the winner's compaction (or the
                     # next append's trigger) covers the fragmentation.
+                    # ONLY this race is swallowed: genuine failures (and
+                    # txn-repair conflicts surfacing through the head
+                    # reads) still propagate.
                     pass
         return v
 
@@ -1396,7 +1406,14 @@ class ParquetTableManager:
                                 # only on apparent conflicts.
                                 deep, dv = False, cur
                                 while dv is not None:
-                                    dm = self._load_manifest(name, dv)
+                                    try:
+                                        dm = self._load_manifest(name, dv)
+                                    except FileNotFoundError:
+                                        # expired history: dangling
+                                        # parent pointer — stop the walk
+                                        # and fall through to the abort
+                                        # (never crash-loop repair)
+                                        break
                                     if (
                                         dm.get("txn") == seq
                                         and dm.get("txn_entry") == idx
@@ -3540,7 +3557,7 @@ class ParquetTableManager:
         def apply(base: dict) -> dict:
             paths = {e["path"] for e in base["files"]}
             if not rewritten <= paths:
-                raise RuntimeError(
+                raise CompactionConflict(
                     "concurrent commit removed files being rewritten; aborting"
                 )
             out = dict(base)
@@ -3670,6 +3687,36 @@ class ParquetTableManager:
         return self._commit(name, m)
 
 
+_INT_RANGES = {
+    "byte": (-(1 << 7), (1 << 7) - 1),
+    "short": (-(1 << 15), (1 << 15) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "long": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _validate_initial_default(default: Any, dtype: str) -> None:
+    """Reject an initial default that doesn't fit the declared type at
+    DDL time — otherwise the two read faces diverge (Spark's lenient
+    cast silently truncates, the connector's Arrow cast raises)."""
+    t = _parse_dtype(dtype).typeName()
+    bad = (
+        (t in _INT_RANGES and (isinstance(default, bool)
+                               or not isinstance(default, int)
+                               or not _INT_RANGES[t][0] <= default
+                               <= _INT_RANGES[t][1]))
+        or (t in ("float", "double") and (isinstance(default, bool)
+                                          or not isinstance(default,
+                                                            (int, float))))
+        or (t == "string" and not isinstance(default, str))
+        or (t == "boolean" and not isinstance(default, bool))
+    )
+    if bad:
+        raise ValueError(
+            f"initial default {default!r} does not fit column type {dtype}"
+        )
+
+
 def _apply_schema_ddl(schema_json: dict, entry: dict) -> dict:
     """Validate + apply one staged-DDL txn entry to a schema — shared by
     stage-time validation (fail fast, before any publish) and apply-time
@@ -3686,6 +3733,8 @@ def _apply_schema_ddl(schema_json: dict, entry: dict) -> dict:
             col in f.metadata.get("former_names", []) for f in schema.fields
         ):
             raise ValueError(f"{col!r} is a former name of a renamed column")
+        if default is not None:
+            _validate_initial_default(default, dtype)
         if default is not None:
             schema = schema.add(
                 StructField(

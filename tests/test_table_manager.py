@@ -2119,3 +2119,22 @@ def test_txn_ddl_replay_below_foreign_commit_is_idempotent(mgr, spark):
     assert mgr.read("fact").count() == 101
     assert mgr.read("dim").filter("d = 7").count() == 1
     assert mgr._current_version("dim") == dim_before  # no double-append
+
+
+def test_initial_default_validated_at_ddl_time(mgr, spark):
+    """An initial default that doesn't fit the declared type is rejected
+    at DDL time (both faces would otherwise diverge: Spark's lenient
+    cast truncates while the connector's Arrow cast raises)."""
+    df = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("vd", df.schema, [])
+    mgr.append("vd", df)
+    for dtype, bad in [
+        ("integer", 3.7), ("integer", 2**40), ("long", "x"),
+        ("double", "x"), ("string", 5), ("boolean", 1),
+    ]:
+        with pytest.raises(ValueError, match="does not fit"):
+            mgr.add_column("vd", f"c_{dtype}", dtype, default=bad)
+    # well-typed defaults still land, incl. int-for-double
+    mgr.add_column("vd", "q", "double", default=5)
+    mgr.add_column("vd", "tag", "string", default="x")
+    assert {r.q for r in mgr.read("vd").collect()} == {5.0}

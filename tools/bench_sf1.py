@@ -87,6 +87,8 @@ X100_SET = [
     "q_win_running_sum",
     "q_topk_per_group",
     "q_sim_topk",
+    "q_sim_ann_incremental",
+    "q_sim_ann_delete",
     "q_stream_live_tumbling",
 ]
 
