@@ -112,3 +112,103 @@ def test_random_mor_interleavings_match_model(mgr, spark, seed):
             f"seed={seed} step={step} op={op}: "
             f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
         )
+
+
+@pytest.mark.parametrize("seed", [5, 31, 77])
+def test_random_interleavings_with_schema_evolution(mgr, spark, seed):
+    """The model test with add_column interleaved into the delete /
+    maintenance mix: rows written before an evolution read the initial
+    default (or NULL), rows written after carry explicit values, and
+    every fold/rewrite/compaction preserves that per-row story exactly.
+    This is where schema evolution meets the delete triad — the
+    interleavings (eq-delete anti-joins over evolved schemas, folds
+    after DDL, compactions rewriting pre-DDL files) no example test
+    enumerates."""
+    rng = random.Random(seed)
+    next_k = [0]
+    extra_cols: list[tuple[str, object]] = []  # (name, default)
+
+    def fresh_rows(n):
+        rows = []
+        for i in range(n):
+            k = next_k[0] + i
+            row = {"k": k, "v": f"v{seed}-{k}", "g": k % 3}
+            for c, _d in extra_cols:
+                row[c] = f"{c}-{k}" if rng.random() < 0.8 else None
+            rows.append(row)
+        next_k[0] += n
+        return rows
+
+    def to_df(rows):
+        cols = ["k", "v", "g"] + [c for c, _ in extra_cols]
+        data = [tuple(r[c] for c in cols) for r in rows]
+        ddl = "k long, v string, g int" + "".join(
+            f", {c} string" for c, _ in extra_cols
+        )
+        return spark.createDataFrame(data, ddl).coalesce(1)
+
+    base = fresh_rows(25)
+    mgr.create_table("m", to_df(base).schema, [])
+    mgr.append("m", to_df(base))
+    model: dict[int, dict] = {r["k"]: dict(r) for r in base}
+
+    def visible(row):
+        # a row dict may predate later columns: those read the column's
+        # initial default (or NULL)
+        out = [row["k"], row["v"], row["g"]]
+        for c, d in extra_cols:
+            out.append(row[c] if c in row else d)
+        return tuple(out)
+
+    ops = ["append", "upsert", "pos_delete", "add_column",
+           "compact_deletes", "rewrite_deletes", "compact_partitions"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "add_column" and len(extra_cols) < 3:
+            c = f"c{len(extra_cols)}"
+            default = f"dflt-{c}" if rng.random() < 0.5 else None
+            mgr.add_column("m", c, "string", default=default)
+            extra_cols.append((c, default))
+        elif op == "append":
+            rows = fresh_rows(rng.randint(1, 5))
+            mgr.append("m", to_df(rows))
+            model.update({r["k"]: dict(r) for r in rows})
+        elif op == "upsert":
+            live = sorted(model)
+            if not live:
+                continue
+            targets = rng.sample(live, min(len(live), rng.randint(1, 4)))
+            rows = []
+            for k in targets:
+                row = {"k": k, "v": f"u{step}-{k}", "g": model[k]["g"]}
+                for c, _d in extra_cols:
+                    row[c] = f"{c}-up{step}"
+                rows.append(row)
+            rows += fresh_rows(rng.randint(0, 2))
+            mgr.upsert_equality("m", to_df(rows), ["k"])
+            model.update({r["k"]: dict(r) for r in rows})
+        elif op == "pos_delete":
+            live = sorted(model)
+            if not live:
+                continue
+            targets = set(rng.sample(live, min(len(live), rng.randint(1, 3))))
+            coords = (
+                mgr.read_with_positions("m")
+                .filter(F.col("k").isin(list(targets)))
+                .select("_file_name", "_pos")
+            )
+            mgr.delete_positions("m", coords)
+            for k in targets:
+                model.pop(k, None)
+        elif op == "compact_deletes":
+            mgr.compact_deletes("m")
+        elif op == "rewrite_deletes":
+            mgr.rewrite_deletes("m")
+        elif op == "compact_partitions":
+            mgr.compact_partitions("m", min_files=2)
+        got = {tuple(r) for r in mgr.read("m").collect()}
+        want = {visible(r) for r in model.values()}
+        assert got == want, (
+            f"seed={seed} step={step} op={op} cols={extra_cols}: "
+            f"missing={sorted(want - got)[:4]} extra={sorted(got - want)[:4]}"
+        )
