@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; engine-specific ops
-    (HLL sketches, engine-hash LSH variants) are omitted -> rows-only."""
+    """DuckDB twins for EVERY registered query (as of round 8 the
+    rows-only bucket is empty: approximate-sketch queries emit
+    closed-form surfaces — exact counts + error-bound booleans — so
+    they hash-gate too)."""
     return _registry.oracles()
