@@ -1075,3 +1075,96 @@ def q_stream_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("last_day"),
         )
     )
+
+
+def _setup_events_cdc_upsert(spark: SparkSession, sf_dir: str):
+    """events_cdc_up: the minute-level streaming CDC loop, once per
+    process per sf_dir — the events corpus arrives as THREE chronological
+    slices (one parquet file each, increasing modification times, so the
+    file source drains them as three ordered micro-batches), and each
+    micro-batch lands through run_to_table_upsert: last row per user_id
+    within the batch (event_id descending), then ONE merge-on-read
+    equality-upsert epoch per batch. Final table state = exactly one row
+    per user, their globally-latest event — last-writer-wins carried
+    across batch boundaries by the MoR key deletes, never a rewrite."""
+    import os
+
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_table_upsert,
+    )
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_cdc_up")
+    if key in _READY:
+        return mgr
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    src = os.path.join(wh, "_src_cdc_up")
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)):
+        # sequential single-file writes -> strictly increasing mtimes ->
+        # deterministic micro-batch order (the file source sorts by
+        # modification time)
+        (
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = load_events_stream(spark, src, files_per_trigger=1)
+    mgr.create_table("events_cdc_up", stream.schema, [])
+    run_to_table_upsert(
+        stream,
+        mgr,
+        "events_cdc_up",
+        keys=["user_id"],
+        order_cols=["event_id"],
+        checkpoint=os.path.join(wh, "_ckpt_cdc_up"),
+    )
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_stream_upsert_table",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, MAX(event_id) AS event_id
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(e.value), 2) AS sum_value,
+           CAST(MAX(e.event_id) AS BIGINT) AS max_event
+    FROM events e
+    JOIN last l ON e.user_id = l.user_id AND e.event_id = l.event_id
+    GROUP BY 1
+    """,
+    doc="LIVE streaming CDC-UPSERT into the table layer — the "
+    "minute-level per-key ingestion loop next to q_stream_live_to_table"
+    "'s append loop: the corpus drains as three chronological "
+    "micro-batches (one file each, deterministic order via file-source "
+    "mtime), each reduced to its last row per user_id (event_id "
+    "descending) and committed through upsert_equality — ONE "
+    "merge-on-read epoch per batch (equality-delete file + batch data "
+    "files under one snapshot, zero rewrites). The final table must "
+    "hold EXACTLY one row per user — their globally-latest event — "
+    "with last-writer-wins carried ACROSS batch boundaries by the MoR "
+    "key deletes; the oracle recomputes every user's argmax-event_id "
+    "row relationally, so a stale row surviving an epoch, a lost "
+    "cross-batch overwrite, or an out-of-order drain all hash-diverge. "
+    "Per-epoch write cost is O(batch) at any table size "
+    "(run_to_table_upsert; a failure-replayed epoch CONVERGES, "
+    "re-upserting the same keys) — the 100 TB CDC shape.",
+)
+def q_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_events_cdc_upsert(spark, sf_dir)
+    df = mgr.read("events_cdc_up")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("event_id").cast("bigint").alias("max_event"),
+    )
