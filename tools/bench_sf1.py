@@ -104,6 +104,7 @@ ALWAYS = [
     "q_sim_ann_delete",
     "q_dedup_incremental",
     "q_dedup_near_incremental",
+    "q_stream_upsert_table",
 ]
 
 
