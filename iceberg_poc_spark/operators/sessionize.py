@@ -1102,18 +1102,15 @@ def _setup_events_cdc_upsert(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events")
     n = ev.count()
     src = os.path.join(wh, "_src_cdc_up")
-    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)):
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, None)):
         # sequential single-file writes -> strictly increasing mtimes ->
         # deterministic micro-batch order (the file source sorts by
-        # modification time)
-        (
-            ev.filter(
-                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        # modification time). Final slice is UNBOUNDED above: coverage
+        # must not depend on event_id being dense in [0, n).
+        cond = F.col("event_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("event_id") < hi)
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
     stream = load_events_stream(spark, src, files_per_trigger=1)
     mgr.create_table("events_cdc_up", stream.schema, [])
     run_to_table_upsert(

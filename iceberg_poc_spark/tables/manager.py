@@ -1214,7 +1214,13 @@ class ParquetTableManager:
         # re-derives against the true head if the trigger fires (a
         # rebased concurrent append can only make counts HIGHER, and the
         # loser's own trigger covers that commit)
-        thresh = int(m.get("properties", {}).get(COMPACT_THRESHOLD_PROP, 0))
+        # defensive parse: an unparsable property value must never fail
+        # the append AFTER its commit already landed — maintenance is
+        # opt-in metadata, not a correctness surface
+        try:
+            thresh = int(m.get("properties", {}).get(COMPACT_THRESHOLD_PROP, 0))
+        except (TypeError, ValueError):
+            thresh = 0
         if thresh > 0 and ref == "main" and self.spark is not None:
             counts: dict[tuple, int] = {}
             for e in m["files"]:
@@ -1222,8 +1228,12 @@ class ParquetTableManager:
                 counts[k] = counts.get(k, 0) + 1
             if any(c >= thresh for c in counts.values()):
                 try:
-                    self.compact_partitions(name, min_files=thresh)
-                    v = self._current_version(name)
+                    # return the compaction COMMIT's version, not a fresh
+                    # head read (a concurrent foreign commit may have
+                    # advanced the head past our maintenance snapshot)
+                    v = self.compact_partitions(name, min_files=thresh)[
+                        "version"
+                    ]
                 except CompactionConflict:
                     # two concurrent appends both crossed the threshold
                     # and raced their compactions: the loser's rewrite
@@ -1271,7 +1281,16 @@ class ParquetTableManager:
         involved table, that table's full txn effect. Applies are
         idempotent (a table whose head already contains the staged files
         is skipped; per-table done-markers short-circuit), so concurrent
-        repairers and the committing writer never double-append."""
+        repairers and the committing writer never double-append.
+
+        Conflict semantics: if a :class:`TxnConflictError` aborts the
+        apply (a foreign DDL invalidated a staged entry in the
+        publish→apply window), member-table entries applied BEFORE the
+        conflicting one stay applied — the record is aborted, not
+        compensated. "Together or not at all" therefore holds against
+        crashes (roll-forward repair) but not against concurrent
+        conflicting DDL; callers needing atomicity under concurrent DDL
+        must serialize schema changes with transactions externally."""
         return Transaction(self)
 
     def _publish_txn(self, entries: list[dict]) -> str:
@@ -1376,12 +1395,32 @@ class ParquetTableManager:
 
                         while True:
                             seq_head, cur = self._ref_head(name, ref)
+                            # FULL-ancestry idempotence scan for this
+                            # entry's (txn, txn_entry) stamp — not just
+                            # the txn-stamped head prefix: a crash after
+                            # the DDL's head CAS but before its marker
+                            # write, followed by a foreign commit on
+                            # top, leaves the applied DDL below a
+                            # foreign manifest. The scan must run BEFORE
+                            # re-applying, not only in the conflict
+                            # handler: a no-op re-apply (e.g. widen to a
+                            # type already in place) raises nothing, so
+                            # an error-path-only scan would re-commit a
+                            # duplicate entry stamp whose later rollback
+                            # resolves pre_txn to the foreign head.
                             applied, v = False, cur
                             while v is not None:
-                                mm = self._load_manifest(name, v)
-                                if mm.get("txn") != seq:
+                                try:
+                                    mm = self._load_manifest(name, v)
+                                except FileNotFoundError:
+                                    # expired history: dangling parent
+                                    # pointer — stop the walk (never
+                                    # crash-loop repair)
                                     break
-                                if mm.get("txn_entry") == idx:
+                                if (
+                                    mm.get("txn") == seq
+                                    and mm.get("txn_entry") == idx
+                                ):
                                     applied = True
                                     break
                                 v = mm.get("parent")
@@ -1394,38 +1433,11 @@ class ParquetTableManager:
                                     cm["schema"], entry
                                 )
                             except ValueError as exc:
-                                # before declaring a conflict, scan the
-                                # FULL ancestry for this entry's stamp:
-                                # a crash after the DDL's head CAS but
-                                # before its marker write, followed by a
-                                # foreign commit on top, leaves the
-                                # applied DDL below a foreign manifest
-                                # where the fast prefix walk above can't
-                                # see it — re-applying would raise the
-                                # very error we just caught. Rare path:
-                                # only on apparent conflicts.
-                                deep, dv = False, cur
-                                while dv is not None:
-                                    try:
-                                        dm = self._load_manifest(name, dv)
-                                    except FileNotFoundError:
-                                        # expired history: dangling
-                                        # parent pointer — stop the walk
-                                        # and fall through to the abort
-                                        # (never crash-loop repair)
-                                        break
-                                    if (
-                                        dm.get("txn") == seq
-                                        and dm.get("txn_entry") == idx
-                                    ):
-                                        deep = True
-                                        break
-                                    dv = dm.get("parent")
-                                if deep:
-                                    break  # already applied — idempotent
-                                # a foreign DDL invalidated this entry in
-                                # the publish->apply window: abort the
-                                # record instead of poisoning repair
+                                # the full scan above already proved this
+                                # entry never applied — a foreign DDL
+                                # invalidated it in the publish->apply
+                                # window: abort the record instead of
+                                # poisoning repair
                                 self._abort_txn(seq, record)
                                 raise TxnConflictError(
                                     f"table {name!r}: staged DDL no "
@@ -1565,7 +1577,15 @@ class ParquetTableManager:
 
         Safety: refuses if any member table's head has advanced past the
         transaction's snapshots (rolling back would silently drop the
-        later commits). Returns {table: head version after rollback}."""
+        later commits). Returns {table: head version after rollback}.
+
+        Conflict semantics: the pre-publish guard re-validates inside
+        each table's CAS loop; if a foreign commit slips in mid-apply a
+        :class:`RollbackConflictError` aborts the record with member
+        tables rolled back BEFORE the conflict left rolled back — abort,
+        not compensation (mirror of :meth:`transaction`'s conflict
+        contract). Crash-interruption, by contrast, is fully repaired:
+        roll-forward on next contact completes ALL member rollbacks."""
         ap = os.path.join(self._txns_dir(), f"{txn_id}.applied")
         try:
             with open(ap) as f:

@@ -2121,6 +2121,71 @@ def test_txn_ddl_replay_below_foreign_commit_is_idempotent(mgr, spark):
     assert mgr._current_version("dim") == dim_before  # no double-append
 
 
+def test_txn_widen_replay_below_foreign_commit_is_idempotent(mgr, spark):
+    """The widen-column twin of the replay test above — the nastier case:
+    re-applying an already-applied widen raises NOTHING (old type ==
+    to_type passes _apply_schema_ddl), so an error-path-only idempotence
+    scan would re-commit a duplicate (txn, txn_entry)-stamped manifest
+    on top of the foreign commit; a later rollback of that txn would then
+    resolve pre_txn to the FOREIGN head. The full-ancestry scan must run
+    before re-applying (ADVICE r8, manager.py txn-DDL apply loop)."""
+    import json as _json
+    import os as _os
+
+    _mk_txn_tables(spark, mgr)
+    t = mgr.transaction()
+    t.widen_column("fact", "d", "long")  # d is already long -> exercise
+    t.append("dim", spark.createDataFrame([(8, "seg8")], "d long, s string"))
+    t.commit()
+    ddl_version = mgr._current_version("fact")
+    # lost-marker crash: resurrect the pending record
+    ap = _os.path.join(mgr._txns_dir(), f"{t.txn_id}.applied")
+    with open(ap) as f:
+        record = _json.loads(f.read())
+    with open(_os.path.join(mgr._txns_dir(), t.txn_id), "w") as f:
+        f.write(_json.dumps(record, sort_keys=True))
+    # foreign commit lands on top of the applied DDL
+    prev, mgr._in_txn_repair = mgr._in_txn_repair, True
+    try:
+        mgr.append(
+            "fact", spark.createDataFrame([(901, 0)], "k long, d long")
+        )
+    finally:
+        mgr._in_txn_repair = prev
+    foreign_head = mgr._current_version("fact")
+    dim_before = mgr._current_version("dim")
+    # replay via repair: must be a pure no-op — no duplicate stamped
+    # commit above the foreign head, no abort, no dim double-append
+    mgr._repair_txns("fact")
+    left = _os.listdir(mgr._txns_dir())
+    assert not any(fn.endswith(".aborted") for fn in left), left
+    assert [fn for fn in left if "." not in fn[4:]] == []
+    assert mgr._current_version("fact") == foreign_head
+    head_m = mgr._load_manifest("fact")
+    assert head_m.get("txn") != t.txn_id  # head stays the foreign commit
+    assert mgr._current_version("dim") == dim_before
+    # and the txn's own DDL commit is still exactly once in the ancestry
+    stamps, v = 0, mgr._current_version("fact")
+    while v is not None:
+        m = mgr._load_manifest("fact", v)
+        if m.get("txn") == t.txn_id and m.get("txn_entry") is not None:
+            stamps += 1
+        v = m.get("parent")
+    assert stamps == 1, stamps
+    _ = ddl_version
+
+
+def test_append_compact_threshold_unparsable_is_ignored(mgr, spark):
+    """A non-numeric write.compact-threshold must never fail an append
+    AFTER its commit landed (ADVICE r8: bare int() on the hot path)."""
+    df = spark.range(10).select(F.col("id").alias("k"))
+    mgr.create_table("tc", df.schema, [])
+    mgr.set_properties("tc", {"write.compact-threshold": "not-a-number"})
+    v = mgr.append("tc", df)  # must not raise
+    assert mgr.read("tc").count() == 10
+    assert isinstance(v, int)
+
+
 def test_initial_default_validated_at_ddl_time(mgr, spark):
     """An initial default that doesn't fit the declared type is rejected
     at DDL time (both faces would otherwise diverge: Spark's lenient

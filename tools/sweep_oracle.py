@@ -7,7 +7,10 @@ row counts: cross-job range-boundary sampling nondeterminism
 (q_win_ntile_share) and RANGE-frame peer semantics on second-truncated
 epochs (q_win_frame_range). Run from the repo root:
 
-    python tools/sweep_oracle.py [sf_dir]
+    python tools/sweep_oracle.py [sf_dir] [--only qid1,qid2,...]
+
+``--only`` restricts the sweep to a comma-separated query-id subset
+(development loop); the pre-handoff run is always the full inventory.
 """
 
 from __future__ import annotations
@@ -18,7 +21,13 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf = argv[0] if argv else "/root/testdata/sf0.1"
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -41,7 +50,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     fails = []
-    for qid in sorted(o):
+    ids = sorted(o) if only is None else sorted(set(o) & only)
+    for qid in ids:
         try:
             sdf = q[qid](spark, sf)
             s = sorted(tuple(map(str, r)) for r in sdf.collect())
@@ -57,7 +67,7 @@ def main() -> int:
         if not ok:
             fails.append(qid)
             print(f"{qid} FAIL", flush=True)
-    print(f"checked {len(o)} at {sf}; failed: {fails or 'none'}")
+    print(f"checked {len(ids)} at {sf}; failed: {fails or 'none'}")
     return 1 if fails else 0
 
 
