@@ -880,6 +880,281 @@ def q_sim_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RE_HOT = 2  # cells split per re-anchor pass (the top-occupancy ones)
+
+_ANN_RE_STATE: dict[str, object] = {}
+
+
+def reanchor_index(
+    spark: SparkSession,
+    mgr,
+    table: str,
+    anchors: list[tuple[int, list[float]]],
+    cells_to_split: list[int],
+    id_base: int = ANN_MP_CELLS,
+) -> list[tuple[int, list[float]]]:
+    """Rebalance hot cells of an anchor-IVF index WITHOUT a rebuild —
+    the triggered ACTION behind q_sim_ann_occupancy's hot flag, closing
+    the index lifecycle (build → append → delete → monitor → REANCHOR).
+
+    Each cell in ``cells_to_split`` splits into two sub-cells anchored at
+    its residents of cosine-to-current-anchor rank ``cnt div 4`` and
+    ``(3*cnt) div 4`` (the quartile straddle, so the Voronoi bisector
+    lands near the occupancy median — measured on the 10x-skewed corpus
+    to halve the hot cell per pass where farthest-point splitting only
+    peels outliers; tests/test_ann_recall.py). Residents re-argmax over
+    the two sub-anchors only; sub-cell ids are ``cell`` (keeps the id)
+    and ``id_base + cell``. Everything else is FROZEN: one atomic
+    REPLACE commit swaps only the split cells' files — untouched cells
+    keep file identity (asserted in pytest), so at 100 TB a re-anchor
+    pass costs O(hot-cell data), never an index rebuild. Returns the
+    post-split anchor list.
+    """
+    from pyspark.sql import Window
+
+    m = mgr._load_manifest(table)
+    hot = set(int(c) for c in cells_to_split)
+    df, _planned, _total = mgr.scan(table, where=[("cell", "in", sorted(hot))])
+    adf = spark.createDataFrame(
+        [(aid, aemb) for aid, aemb in anchors if aid in hot],
+        "cell int, aemb array<double>",
+    )
+    scored = df.join(F.broadcast(adf), "cell").select(
+        "cell",
+        "vec_id",
+        "embedding",
+        cosine_similarity(F.col("embedding"), F.col("aemb")).alias("s"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("s").desc(), "vec_id")
+    ranked = scored.select(
+        "cell",
+        "vec_id",
+        "embedding",
+        (F.row_number().over(w) - F.lit(1)).alias("rk"),
+        F.count("*").over(Window.partitionBy("cell")).alias("cnt"),
+    )
+    picks = ranked.filter(
+        (F.col("rk") == F.expr("cnt div 4"))
+        | (F.col("rk") == F.expr("(3 * cnt) div 4"))
+    ).collect()  # <= 2 rows per split cell: trivial driver payload
+    sub_rows: list[tuple[int, int, list[float]]] = []
+    for r in picks:
+        emb_l = [float(v) for v in r["embedding"]]
+        if r["rk"] == r["cnt"] // 4:
+            sub_rows.append((r["cell"], r["cell"], emb_l))
+        if r["rk"] == (3 * r["cnt"]) // 4:
+            sub_rows.append((r["cell"], id_base + r["cell"], emb_l))
+    sdf = spark.createDataFrame(
+        sub_rows, "cell int, sub_cell int, semb array<double>"
+    )
+    order = F.struct(
+        cosine_similarity(F.col("embedding"), F.col("semb")).alias("s"),
+        (F.lit(0) - F.col("sub_cell")).alias("t"),
+    )
+    resub = (
+        df.join(F.broadcast(sdf), "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by("sub_cell", order).alias("cell"),
+        )
+        .select("vec_id", "embedding", "cell")
+    )
+    # ONE atomic REPLACE: untouched cells' entries carry over by
+    # reference (their manifest segments are reused byte-for-byte)
+    untouched = [
+        e for e in m["files"] if int(e["partition"]["cell"]) not in hot
+    ]
+    new_files = mgr._write_files(table, resub, mgr._spec(m))
+    m["files"] = untouched + new_files
+    m["operation"] = "replace"
+    m["parent"] = m["version"]
+    mgr._commit(table, m)
+    out = [(aid, aemb) for aid, aemb in anchors if aid not in hot]
+    out += [(sub_cell, semb) for _cell, sub_cell, semb in sub_rows]
+    return sorted(out)
+
+
+def _ann_reanchor_scan(spark: SparkSession, sf_dir: str):
+    """Full-corpus anchor-IVF build, then ONE re-anchor pass splitting
+    the ANN_RE_HOT highest-occupancy cells (manifest-counted, ties to
+    the smaller cell id), then the budgeted multi-probe over the
+    rebalanced index. Returns (df, planned, total, qemb, mgr,
+    untouched_pre_paths)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager, identity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"annre_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _ANN_RE_STATE:
+        n = emb.count()
+        anchors = _strided_anchors(emb, n // ANN_MP_CELLS)
+        shutil.rmtree(wh, ignore_errors=True)
+        cells = _assign_anchor_cells(spark, emb, anchors)
+        mgr.create_table("emb_ivf_re", cells.schema, [identity("cell")])
+        mgr.append("emb_ivf_re", cells)
+        # hot-cell selection from the MANIFEST (metadata-only — the
+        # q_sim_ann_occupancy signal): top-ANN_RE_HOT by records
+        m = mgr._load_manifest("emb_ivf_re")
+        occ: dict[int, int] = {}
+        for e in m["files"]:
+            c = int(e["partition"]["cell"])
+            occ[c] = occ.get(c, 0) + e["records"]
+        hot = [
+            c
+            for c, _cnt in sorted(occ.items(), key=lambda t: (-t[1], t[0]))[
+                :ANN_RE_HOT
+            ]
+        ]
+        pre_untouched = frozenset(
+            e["path"]
+            for e in m["files"]
+            if int(e["partition"]["cell"]) not in set(hot)
+        )
+        # query vector pinned from the PRE-split anchors: anchor 0 IS
+        # vec 0 at build time, but a split of cell 0 replaces its anchor
+        # with a resident's vector — the query must stay vec 0
+        qemb0 = next(a for aid, a in anchors if aid == 0)
+        anchors2 = reanchor_index(spark, mgr, "emb_ivf_re", anchors, hot)
+        _ANN_RE_STATE[wh] = (anchors2, pre_untouched, qemb0)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    anchors2, pre_untouched, qemb = _ANN_RE_STATE[wh]
+    probe = [aid for aid, _ in _probe_order(anchors2, qemb)[:ANN_MP_PROBE]]
+    df, planned, total = mgr.scan("emb_ivf_re", where=[("cell", "in", probe)])
+    return df, planned, total, qemb, mgr, pre_untouched
+
+
+@register(
+    "q_sim_ann_reanchor",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(COUNT(*) // {ANN_MP_CELLS} AS BIGINT) AS astep
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT CAST(vec_id // astep AS INT) AS aid, embedding AS aemb
+        FROM embeddings, params
+        WHERE vec_id % astep = 0 AND vec_id < astep * {ANN_MP_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, a.aid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, a.aid
+               ) AS rn
+        FROM embeddings e CROSS JOIN anchors a
+    ),
+    assign AS (
+        SELECT vec_id, embedding, aid AS cell FROM scored WHERE rn = 1
+    ),
+    hot AS (
+        SELECT cell FROM (
+            SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY cell
+        ) ORDER BY n_vecs DESC, cell LIMIT {ANN_RE_HOT}
+    ),
+    res AS (
+        SELECT s.vec_id, s.embedding, s.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.cell
+                   ORDER BY list_cosine_similarity(
+                       CAST(s.embedding AS DOUBLE[]),
+                       CAST(a.aemb AS DOUBLE[])) DESC, s.vec_id
+               ) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY s.cell) AS cnt
+        FROM assign s JOIN anchors a ON s.cell = a.aid
+        WHERE s.cell IN (SELECT cell FROM hot)
+    ),
+    subanch AS (
+        SELECT cell, CAST(cell AS INT) AS sub_cell, embedding AS semb
+        FROM res WHERE rk = cnt // 4
+        UNION ALL
+        SELECT cell, CAST({ANN_MP_CELLS} + cell AS INT), embedding
+        FROM res WHERE rk = (3 * cnt) // 4
+    ),
+    resub AS (
+        SELECT r.vec_id, r.embedding, s.sub_cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(r.embedding AS DOUBLE[]),
+                       CAST(s.semb AS DOUBLE[])) DESC, s.sub_cell
+               ) AS rn2
+        FROM res r JOIN subanch s ON r.cell = s.cell
+    ),
+    final_assign AS (
+        SELECT vec_id, embedding, cell FROM assign
+        WHERE cell NOT IN (SELECT cell FROM hot)
+        UNION ALL
+        SELECT vec_id, embedding, sub_cell AS cell FROM resub WHERE rn2 = 1
+    ),
+    final_anchors AS (
+        SELECT aid, aemb FROM anchors
+        WHERE aid NOT IN (SELECT cell FROM hot)
+        UNION ALL
+        SELECT sub_cell AS aid, semb AS aemb FROM subanch
+    ),
+    q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT aid FROM final_anchors, q
+        ORDER BY list_cosine_similarity(CAST(aemb AS DOUBLE[]),
+                                        CAST(qemb AS DOUBLE[])) DESC, aid
+        LIMIT {ANN_MP_PROBE}
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM final_assign c
+    JOIN probe p ON c.cell = p.aid
+    CROSS JOIN q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, c.vec_id
+    LIMIT {IVF_TOP_K}
+    """,
+    doc=f"ANN index RE-ANCHOR — the rebalance ACTION q_sim_ann_occupancy's "
+    f"hot flag triggers, completing the lifecycle (build → append → "
+    f"delete → monitor → reanchor): the {ANN_RE_HOT} highest-occupancy "
+    f"cells (counted from the MANIFEST, ties to the smaller id) each "
+    f"split into two sub-cells anchored at their own residents of "
+    f"cosine-to-anchor rank cnt div 4 and (3·cnt) div 4 — the quartile "
+    f"straddle puts the Voronoi bisector near the occupancy median, "
+    f"halving the hot cell per pass where farthest-point splitting only "
+    f"peels outliers (measured on the 10x-skewed corpus in "
+    f"tests/test_ann_recall.py: iterated passes return the fixed "
+    f"{ANN_MP_PROBE}-cell probe to <=55% scan with recall@5 back at the "
+    f"floor). Residents re-argmax over the two sub-anchors only; ONE "
+    f"atomic REPLACE commit swaps the split cells' files while every "
+    f"untouched cell keeps file identity (asserted in pytest) — at "
+    f"100 TB a re-anchor pass costs O(hot-cell data), never a rebuild. "
+    f"The query multi-probes the best {ANN_MP_PROBE} of the post-split "
+    f"anchor set. The oracle reproduces assignment, hot selection, "
+    f"quartile sub-anchors, re-assignment, probe, and top-k "
+    f"relationally.",
+)
+def q_sim_ann_reanchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _planned, _total, qemb, _mgr, _pre = _ann_reanchor_scan(
+        spark, sf_dir
+    )
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        df.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(IVF_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
 KNN_K = 3
 KNN_STRIDE = 50  # queries = every 50th vector
 # GEMM ranks candidates; the top-(k+pad) survivors are re-scored with the

@@ -364,3 +364,150 @@ def test_ann_delete_redacts_without_rebuild(spark):
         load_table(spark, SF_DIR, "embeddings").count()
     )
     assert survivors == {v for v in range(n) if v % 7 != 3}
+
+
+def test_reanchor_restores_scan_bound_on_skewed_corpus(spark):
+    """q_sim_ann_reanchor's contract, measured on the 10x occupancy-skewed
+    corpus (the test_multiprobe_recall_survives_10x_skewed_corpus fixture,
+    where the FIXED 24/48-cell probe balloons past 60% scan): iterating
+    the shipped split rule — top-occupancy cells, sub-anchors at
+    cosine-to-anchor rank cnt//4 and (3*cnt)//4, argmax reassignment
+    within the cell — returns the fixed-cell-count probe to <= 55% mean
+    scan with mean recall@5 >= 0.8, and actually flattens occupancy
+    (max cell occupancy drops by over 10x). The numpy model mirrors the
+    engine rule exactly (same ranks, same tie-breaks)."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    base_ids = np.array([r["vec_id"] for r in rows])
+    base = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    reps_ids, reps = [base_ids], [base]
+    drift = base[0] / np.linalg.norm(base[0])
+    for r in range(1, 10):
+        rng = np.random.default_rng(1000 + r)
+        jitter = rng.normal(0.0, 0.02, size=base.shape)
+        reps_ids.append(base_ids + r * 100_000_000)
+        reps.append(base + jitter + 0.12 * r * drift)
+    ids = np.concatenate(reps_ids)
+    E = np.concatenate(reps)
+    n = len(ids)
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    stride = n // ANN_MP_CELLS
+    anchors = norm[np.arange(ANN_MP_CELLS) * stride].copy()
+    cell_ids = list(range(ANN_MP_CELLS))
+    next_id = ANN_MP_CELLS
+    assign = (norm @ anchors.T).argmax(axis=1)  # row index into anchors
+
+    def split_round(n_split):
+        nonlocal anchors, assign, next_id
+        occ = np.bincount(assign, minlength=len(cell_ids))
+        order = sorted(
+            range(len(cell_ids)), key=lambda r: (-occ[r], cell_ids[r])
+        )
+        for row in order[:n_split]:
+            members = np.where(assign == row)[0]
+            if len(members) < 2:
+                continue
+            cs = norm[members] @ anchors[row]
+            rank = np.lexsort((ids[members], -cs))  # cos desc, tie vec_id
+            m = len(members)
+            s1 = norm[members[rank[m // 4]]]
+            s2 = norm[members[rank[(3 * m) // 4]]]
+            pick = (norm[members] @ s1) >= (norm[members] @ s2)
+            anchors[row] = s1
+            anchors = np.vstack([anchors, s2[None]])
+            cell_ids.append(next_id)
+            next_id += 1
+            assign[members[~pick]] = len(cell_ids) - 1
+
+    def stats():
+        recalls, fracs = [], []
+        occ = np.bincount(assign, minlength=len(cell_ids))
+        for qi in np.arange(0, n, max(1, n // N_PROBES)):
+            sims = norm @ norm[qi]
+            sims[qi] = -2
+            truth = set(ids[np.lexsort((ids, -sims))[:K]])
+            order = np.lexsort((np.array(cell_ids), -(anchors @ norm[qi])))
+            chosen = order[:ANN_MP_PROBE]
+            mask = np.isin(assign, chosen)
+            mask[qi] = False
+            cand = np.where(mask)[0]
+            cs = sims[cand]
+            ann = set(ids[cand[np.lexsort((ids[cand], -cs))[:K]]])
+            recalls.append(len(truth & ann) / K)
+            fracs.append(len(cand) / (n - 1))
+        return (
+            float(np.mean(recalls)),
+            float(np.mean(fracs)),
+            int(occ.max()),
+        )
+
+    _r0, f0, max0 = stats()
+    assert f0 > 0.6, f"skew fixture lost its bite: pre-split scan {f0:.0%}"
+    for _ in range(8):  # 8 passes x 4 hottest cells
+        split_round(4)
+    mean_r, mean_f, max_occ = stats()
+    assert mean_f <= 0.55, f"post-reanchor probe still scans {mean_f:.0%}"
+    assert mean_r >= 0.8, f"post-reanchor mean recall@{K} = {mean_r:.3f}"
+    assert max_occ * 10 < max0, (max0, max_occ)
+
+
+def test_reanchor_touches_only_split_cells(spark):
+    """Engine-side q_sim_ann_reanchor contract: (a) every untouched
+    cell's files keep byte identity through the re-anchor (ONE atomic
+    REPLACE commit swaps only the split cells' files); (b) the index
+    row-set is unchanged (rebalance moves vectors between sub-cells,
+    never adds/drops them); (c) split-cell residents really redistribute
+    across the two sub-cells; (d) the probe plan still prunes at the
+    manifest over the post-split cell set."""
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_RE_HOT,
+        _ann_reanchor_scan,
+    )
+
+    df, planned, total, _q, mgr, pre_untouched = _ann_reanchor_scan(
+        spark, SF_DIR
+    )
+    m = mgr._load_manifest("emb_ivf_re")
+    cur_by_cell: dict[int, set] = {}
+    for e in m["files"]:
+        cur_by_cell.setdefault(int(e["partition"]["cell"]), set()).add(
+            e["path"]
+        )
+    cur_paths = {p for ps in cur_by_cell.values() for p in ps}
+    # (a) untouched cells' files carried over byte-identically
+    assert pre_untouched <= cur_paths, "an untouched cell was rewritten"
+    # (b) same vectors before and after: the replace commit's parent is
+    # the build append; diff the row sets
+    parent = m["parent"]
+    pre_rows = {
+        (r["vec_id"],)
+        for r in mgr.read("emb_ivf_re", snapshot_id=parent)
+        .select("vec_id")
+        .collect()
+    }
+    post_rows = {
+        (r["vec_id"],)
+        for r in mgr.read("emb_ivf_re").select("vec_id").collect()
+    }
+    assert pre_rows == post_rows
+    assert m["operation"] == "replace"
+    # (c) both sub-cells of each split cell are populated (ids c and
+    # ANN_MP_CELLS + c), i.e. the split actually redistributes
+    new_cells = {c for c in cur_by_cell if c >= ANN_MP_CELLS}
+    assert len(new_cells) == ANN_RE_HOT, sorted(cur_by_cell)
+    for nc in new_cells:
+        assert nc - ANN_MP_CELLS in cur_by_cell, "old sub-cell emptied"
+    # (d) manifest pruning is intact over the post-split cell population
+    assert 0 < planned < total

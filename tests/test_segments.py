@@ -1,0 +1,181 @@
+"""Segmented-manifest gates (manifest-list indirection, r8 verdict lead
+item): commit metadata must be O(delta), not O(table) — a micro-append
+to an N-segment table reuses every base segment by reference and writes
+exactly ONE new segment; a delete-attach rewrites only the segment(s)
+holding the touched entries; merge policy bounds segment count under
+streaming micro-appends; expire_snapshots reaps unreferenced segments.
+
+The facade contract (``_load_manifest`` still returns a plain dict whose
+``files`` is the full materialized inventory) is exercised implicitly by
+every other suite; this file pins the metadata I/O shape itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_poc_spark.tables.manager import (
+    SEGMENT_MERGE_RUN_PROP,
+    SEGMENT_TARGET_PROP,
+    ParquetTableManager,
+)
+
+
+@pytest.fixture()
+def mgr(spark, tmp_path):
+    return ParquetTableManager(spark, str(tmp_path / "warehouse"))
+
+
+def _segments(mgr, name, version=None):
+    v = mgr._current_version(name) if version is None else version
+    return mgr._manifest_raw(name, v).get("segments", [])
+
+
+def _seg_files_on_disk(mgr, name):
+    d = mgr._segs_dir(name)
+    return set(os.listdir(d)) if os.path.isdir(d) else set()
+
+
+def _mk(spark, mgr, name, target=4, merge_run=100):
+    df = spark.range(0).select(F.col("id").alias("k"))
+    mgr.create_table(
+        name,
+        df.schema,
+        [],
+        properties={
+            SEGMENT_TARGET_PROP: str(target),
+            SEGMENT_MERGE_RUN_PROP: str(merge_run),
+        },
+    )
+    return df
+
+
+def test_micro_append_writes_exactly_one_new_segment(mgr, spark):
+    """The verdict gate: an append to an N-segment table reuses ALL base
+    segments by id and writes exactly one new segment file — commit
+    metadata I/O is O(delta) regardless of inventory size."""
+    _mk(spark, mgr, "t")
+    bulk = spark.range(200).select(F.col("id").alias("k")).repartition(8)
+    mgr.append("t", bulk)
+    base = _segments(mgr, "t")
+    assert len(base) == 2, base  # 8 files / target 4
+    disk_before = _seg_files_on_disk(mgr, "t")
+    mgr.append("t", spark.range(200, 201).select(F.col("id").alias("k")))
+    after = _segments(mgr, "t")
+    # every base segment reused by reference, in order
+    assert after[: len(base)] == base
+    assert len(after) == len(base) + 1
+    # exactly one new segment file hit the disk
+    disk_after = _seg_files_on_disk(mgr, "t")
+    new_files = disk_after - disk_before
+    assert len(new_files) == 1, new_files
+    # and the manifest JSON itself is O(segment ids), not O(files)
+    raw = mgr._manifest_raw("t", mgr._current_version("t"))
+    assert "files" not in raw
+    assert mgr.read("t").count() == 201
+
+
+def test_metadata_only_commit_reuses_all_segments(mgr, spark):
+    """A schema DDL (or any metadata-only commit) on a segmented table
+    rewrites ZERO segments — the O(1)-metadata-commit property that makes
+    DDL on a million-file table instant."""
+    _mk(spark, mgr, "t")
+    mgr.append(
+        "t", spark.range(64).select(F.col("id").alias("k")).repartition(8)
+    )
+    base = _segments(mgr, "t")
+    disk_before = _seg_files_on_disk(mgr, "t")
+    mgr.add_column("t", "tag", "string")
+    assert _segments(mgr, "t") == base
+    assert _seg_files_on_disk(mgr, "t") == disk_before
+
+
+def test_delete_attach_rewrites_only_its_segment(mgr, spark):
+    """An equality MoR delete whose keys stats-prune to one append's
+    files rewrites that append's segment only; the other segment keeps
+    file identity (the 'delete-attach touches only its segment' half of
+    the gate)."""
+    _mk(spark, mgr, "t")
+    lo = spark.range(0, 100).select(F.col("id").alias("k")).coalesce(4)
+    hi = spark.range(1000, 1100).select(F.col("id").alias("k")).coalesce(4)
+    mgr.append("t", lo)
+    mgr.append("t", hi)
+    seg_lo, seg_hi = _segments(mgr, "t")
+    keys = spark.createDataFrame([(5,)], "k long")
+    mgr.delete("t", equality=["k"], keys=keys, mode="mor")
+    after = _segments(mgr, "t")
+    assert seg_hi in after, (seg_hi, after)  # untouched segment reused
+    assert seg_lo not in after  # dirty segment rewritten
+    # the dirty segment's entries may split into two runs (the attach
+    # moves the touched entry to the list tail) — still O(touched), and
+    # strictly bounded: at most 2 new segments for a 1-entry attach
+    assert len(set(after) - {seg_hi}) <= 2, after
+    assert mgr.read("t").filter("k = 5").count() == 0
+    assert mgr.read("t").count() == 199
+
+
+def test_merge_run_bounds_segment_count(mgr, spark):
+    """Streaming micro-appends must not grow the segment list O(commits):
+    once merge-run consecutive small pieces accumulate, the commit
+    coalesces them into target-sized segments (amortized O(1) extra
+    writes per commit)."""
+    _mk(spark, mgr, "t", target=4, merge_run=4)
+    for i in range(20):
+        mgr.append(
+            "t",
+            spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1),
+        )
+    segs = _segments(mgr, "t")
+    m = mgr._load_manifest("t")
+    n_entries = len(m["files"])
+    # bound: the unavoidable full segments + at most one merge window of
+    # not-yet-coalesced small tails — NOT O(commits)
+    assert len(segs) <= -(-n_entries // 4) + 4, (len(segs), n_entries)
+    assert len(segs) < 20
+    assert mgr.read("t").count() == 20
+    # inventory order and content survive the merges
+    assert sorted({r.k for r in mgr.read("t").collect()}) == list(range(20))
+
+
+def test_expire_reaps_unreferenced_segments(mgr, spark):
+    """Segment files referenced by no surviving snapshot are removed by
+    expire_snapshots; live ones survive (metadata twin of the data-file
+    orphan reap)."""
+    _mk(spark, mgr, "t")
+    mgr.append(
+        "t", spark.range(16).select(F.col("id").alias("k")).repartition(4)
+    )
+    mgr.delete("t", where=[("k", "<", 100)], mode="cow")  # rewrites all
+    live = set(_segments(mgr, "t"))
+    mgr.expire_snapshots("t", keep_last=1)
+    on_disk = {fn[: -len(".json")] for fn in _seg_files_on_disk(mgr, "t")}
+    assert on_disk == live, (on_disk, live)
+    assert mgr.read("t").count() == 0
+
+
+def test_entry_replacement_is_isolated_and_persisted(mgr, spark):
+    """The facade's mutation contract: entries are SHARED with the
+    immutable segment cache, so changing one means copy-and-REPLACE
+    (`files[i] = {**e, ...}`) — the replacement must persist through a
+    commit, and must never leak into other loads of the base snapshot."""
+    _mk(spark, mgr, "t")
+    mgr.append("t", spark.range(8).select(F.col("id").alias("k")))
+    base_v = mgr._current_version("t")
+    m1 = mgr._load_manifest("t")
+    m1["files"][0] = {**m1["files"][0], "eq_deletes": [{"path": "d1"}]}
+    m1["operation"] = "delete-mor"
+    m1["parent"] = m1["version"]
+    v = mgr._commit("t", m1)
+    # persisted in the new snapshot...
+    got = mgr._load_manifest("t", v)["files"]
+    assert any(e.get("eq_deletes") == [{"path": "d1"}] for e in got)
+    # ...and invisible in the base snapshot (fresh manager = cold cache,
+    # proving disk state, not just cache state)
+    cold = ParquetTableManager(spark, mgr.warehouse)
+    assert all(
+        "eq_deletes" not in e
+        for e in cold._load_manifest("t", base_v)["files"]
+    )

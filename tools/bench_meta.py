@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Commit-metadata scaling bench (BENCH_META.json): measures the cost of
+a MICRO-APPEND commit against tables whose inventories span three orders
+of magnitude, plus the bytes the commit writes to _meta. The segmented
+manifest design (manifest-list indirection, r9) makes both flat in table
+size — this bench is the evidence the r8 verdict asked for ("a BENCH
+entry showing commit cost flat vs file count").
+
+Inventory setup fabricates manifest entries directly (the bench measures
+METADATA commit cost; the data files behind the synthetic entries are
+never opened), then times `_load_manifest + append-commit` end to end,
+exactly the path every streaming micro-append pays.
+
+Run from the repo root:  python tools/bench_meta.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def _meta_bytes(mgr, name: str) -> int:
+    total = 0
+    for root, _d, ff in os.walk(mgr._meta_dir(name)):
+        for f in ff:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_META.json"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.tables.manager import ParquetTableManager
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("bench-meta")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    for n_files in (1_000, 10_000, 100_000):
+        wh = tempfile.mkdtemp(prefix="bench_meta_")
+        mgr = ParquetTableManager(spark, wh)
+        df = spark.range(1).select(F.col("id").alias("k"))
+        mgr.create_table("t", df.schema, [])
+        seed = mgr.append("t", df)
+        # fabricate an N-file inventory in ONE bulk commit (its own cost
+        # is the O(table) initial segmentation every design pays once)
+        m = mgr._load_manifest("t", seed)
+        proto = m["files"][0]
+        synthetic = [
+            {
+                **proto,
+                "path": f"data/synth-{i:07d}.parquet",
+                "stats": {"mn_k": i, "mx_k": i},
+            }
+            for i in range(n_files - 1)
+        ]
+        m["files"] = m["files"] + synthetic
+        m["operation"] = "append"
+        m["parent"] = m["version"]
+        t0 = time.perf_counter()
+        mgr._commit("t", m)
+        bulk_sec = time.perf_counter() - t0
+
+        # steady-state micro-appends: the number that must be FLAT in N
+        fresh = ParquetTableManager(spark, wh)  # cold segment cache
+        bytes_before = _meta_bytes(fresh, "t")
+        reps = 20
+        t0 = time.perf_counter()
+        for r in range(reps):
+            fresh.append(
+                "t",
+                spark.range(r, r + 1).select(F.col("id").alias("k")),
+            )
+        micro_sec = (time.perf_counter() - t0) / reps
+        bytes_per_commit = (_meta_bytes(fresh, "t") - bytes_before) / reps
+        raw = fresh._manifest_raw("t", fresh._current_version("t"))
+        results[str(n_files)] = {
+            "bulk_commit_sec": round(bulk_sec, 3),
+            "micro_append_sec": round(micro_sec, 4),
+            "meta_bytes_per_commit": int(bytes_per_commit),
+            "segments": len(raw.get("segments", [])),
+            "inline_files_json_bytes": 0 if "files" not in raw else -1,
+        }
+        print(f"n_files={n_files}: {results[str(n_files)]}", flush=True)
+    lo = results["1000"]["micro_append_sec"]
+    hi = results["100000"]["micro_append_sec"]
+    summary = {
+        "metric": "micro_append_commit_flatness_100x_files",
+        "value": round(hi / lo, 2) if lo else None,
+        "unit": "x (1.0 = perfectly flat)",
+        "by_table_size": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
