@@ -1750,6 +1750,101 @@ def q_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- WAP branch diff (CDC)
+
+WAPD_BASE_MAX_YEAR = 1995  # base load on main: years <= 1995
+WAPD_APPEND_YEAR = 1996  # audit-branch commit 1: appends this year
+WAPD_OVR_YEAR = 1995  # audit-branch commit 2: overwrites this partition
+WAPD_PRIORITY = "1-URGENT"  # rows repriced in the branch overwrite
+
+
+def _setup_orders_wapd(spark: SparkSession, sf_dir: str) -> tuple:
+    """orders_wapd: base load on MAIN (years <= 1995), then an audit
+    branch carrying the unpublished backfill — an append of 1996 and a
+    partition overwrite repricing only the urgent rows of 1995 (the
+    other 1995 rows are rewritten carry-overs the diff must cancel).
+    Main never moves: the branch is the staged, reviewable state."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_wapd")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_wapd", orders.schema, [years("o_orderdate")])
+    base = mgr.append(
+        "orders_wapd",
+        orders.filter(F.year("o_orderdate") <= WAPD_BASE_MAX_YEAR),
+    )
+    mgr.create_branch("orders_wapd", "audit")
+    mgr.append(
+        "orders_wapd",
+        orders.filter(F.year("o_orderdate") == WAPD_APPEND_YEAR),
+        ref="audit",
+    )
+    ovr = orders.filter(F.year("o_orderdate") == WAPD_OVR_YEAR).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == WAPD_PRIORITY,
+            F.col("o_totalprice") + F.lit(10.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    mgr.overwrite_partitions("orders_wapd", ovr, ref="audit")
+    _READY[key] = {"base": base}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_cdc_branch_diff",
+    oracle=f"""
+    WITH chg AS (
+        SELECT 'insert' AS change_type, o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {WAPD_APPEND_YEAR}
+        UNION ALL
+        SELECT 'insert', o_orderdate, o_totalprice + 10
+        FROM orders WHERE year(o_orderdate) = {WAPD_OVR_YEAR}
+                      AND o_orderpriority = '{WAPD_PRIORITY}'
+        UNION ALL
+        SELECT 'delete', o_orderdate, o_totalprice
+        FROM orders WHERE year(o_orderdate) = {WAPD_OVR_YEAR}
+                      AND o_orderpriority = '{WAPD_PRIORITY}'
+    )
+    SELECT change_type,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM chg
+    GROUP BY 1, 2
+    """,
+    doc="Cross-ref changelog — the write-audit-publish REVIEW step: "
+    "diff the audit branch against main BEFORE fast_forward ('what "
+    "would publishing change?'), over a staged backfill holding an "
+    f"append ({WAPD_APPEND_YEAR}) and a partition overwrite that "
+    f"repriced only the urgent rows of {WAPD_OVR_YEAR} (its untouched "
+    "same-partition rows are rewritten carry-overs, cancelled "
+    "exceptAll-wise within the affected files). Main's head must be an "
+    "ancestor of the branch head — the fast_forward precondition — so "
+    "the diff is exactly what a publish makes visible; applying it to "
+    "main reproduces the branch head row-for-row (the fast-forward-"
+    "equivalence invariant, pytest in tests/test_table_manager.py). "
+    "The oracle reconstructs the expected +/- stream from raw parquet. "
+    "At 100 TB this is the data-platform review gate: the diff costs "
+    "O(branch commits' touched files), never a two-table comparison.",
+)
+def q_cdc_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_wapd(spark, sf_dir)
+    chg = mgr.diff_refs("orders_wapd", to_ref="audit")
+    return chg.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # --------------------------------------- incremental materialized view
 
 MV_BATCH_YEARS = (1996, 1998, 2001)  # upper bound (inclusive) per batch

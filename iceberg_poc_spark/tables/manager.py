@@ -1905,7 +1905,9 @@ class ParquetTableManager:
                     # record — only the direct committing caller raises
                     continue
 
-    def overwrite_partitions(self, name: str, df: DataFrame) -> int:
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, ref: str = "main"
+    ) -> int:
         """Dynamic partition overwrite (≙ Iceberg's dynamic ``overwrite``
         / Spark ``partitionOverwriteMode=dynamic``): atomically replace
         EXACTLY the partitions the new data touches; every other
@@ -1916,8 +1918,15 @@ class ParquetTableManager:
         Concurrency: rebases over commits that only touched OTHER
         partitions; a concurrent commit that added files into a partition
         being replaced aborts (its rows would be silently dropped —
-        Iceberg's validation semantics)."""
-        m = self._load_manifest(name)
+        Iceberg's validation semantics).
+
+        ``ref`` targets a branch — the write-audit-publish staging shape
+        for backfills: overwrite on the audit branch, diff it against
+        main (:meth:`diff_refs`), then :meth:`fast_forward`."""
+        _seq, head = self._ref_head(name, ref)
+        if head < 0:
+            raise ValueError(f"branch {ref!r} does not exist on {name!r}")
+        m = self._load_manifest(name, head)
         spec = self._spec(m)
         if not spec:
             raise ValueError(
@@ -1960,7 +1969,7 @@ class ParquetTableManager:
             out["parent"] = base["version"]
             return out
 
-        return self._commit(name, apply(m), rebase=apply)
+        return self._commit(name, apply(m), rebase=apply, ref=ref)
 
     def overwrite(self, name: str, df: DataFrame) -> int:
         m = self._load_manifest(name)
@@ -3643,28 +3652,69 @@ class ParquetTableManager:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
 
+    def diff_refs(
+        self, name: str, to_ref: str, from_ref: str = "main"
+    ) -> DataFrame:
+        """Row-level change stream between two REFS — "what would
+        publishing this branch change?", the write-audit-publish review
+        step: diff the audit branch against main BEFORE
+        :meth:`fast_forward`, inspect/validate the +/- rows, then
+        publish. Same per-commit manifest-diff semantics as
+        :meth:`changelog` (appends → inserts, overwrites → delete+insert
+        with carry-over cancellation, MoR deletes surfaced), and the
+        same precondition as fast_forward itself: ``from_ref``'s head
+        must be an ancestor of ``to_ref``'s head — so the diff is
+        exactly the commit chain a publish would make visible, and
+        applying it to ``from_ref`` reproduces the branch head
+        row-for-row (the fast-forward-equivalence invariant, pytest in
+        tests/test_table_manager.py)."""
+        _s, frm = self._ref_head(name, from_ref)
+        _s2, to = self._ref_head(name, to_ref)
+        if frm < 0:
+            raise ValueError(f"ref {from_ref!r} does not exist on {name!r}")
+        if to < 0:
+            raise ValueError(f"ref {to_ref!r} does not exist on {name!r}")
+        return self.changelog(name, from_snapshot=frm, to_snapshot=to)
+
     def expire_snapshots(
         self,
         name: str,
         keep_last: int = 1,
         orphan_ttl_s: float | None = None,
+        older_than: float | None = None,
     ) -> dict[str, int]:
-        """Retire all but the last ``keep_last`` snapshots and delete data
-        files no surviving snapshot references (≙ Iceberg
-        ``expire_snapshots`` + ``remove_orphan_files`` — the maintenance
-        loop that stops metadata and storage growing without bound under
-        streaming appends + compaction). Time travel remains valid only
-        for surviving snapshots. ``orphan_ttl_s`` additionally removes
-        crashed writers' staging dirs whose newest write is older than
-        the ttl (≙ remove_orphan_files' ``older_than`` guard: never set
-        it below the longest plausible in-flight write)."""
-        # keep: newest keep_last of the main chain, plus EVERYTHING
-        # reachable from any branch head or tag (Iceberg: refs pin history)
-        keep = set(
-            sorted(self._ancestors(name, self._current_version(name)))[
-                -keep_last:
-            ]
+        """Retire expired snapshots and delete data files no surviving
+        snapshot references (≙ Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` — the maintenance loop that stops
+        metadata and storage growing without bound under streaming
+        appends + compaction). Time travel remains valid only for
+        surviving snapshots.
+
+        Retention policy: without ``older_than``, keep the newest
+        ``keep_last`` snapshots of the main chain (count-based). With
+        ``older_than`` (epoch seconds), production AGE-based retention:
+        every main-chain snapshot committed at/after the cutoff survives,
+        plus the newest ``keep_last`` regardless of age (the head can
+        never expire) — ≙ Iceberg's ``expire_snapshots(older_than=...,
+        retain_last=...)``. Either way, EVERYTHING reachable from any
+        branch head or tag is ref-pinned and survives (Iceberg: refs pin
+        history). ``orphan_ttl_s`` additionally removes crashed writers'
+        staging dirs whose newest write is older than the ttl (≙
+        remove_orphan_files' ``older_than`` guard: never set it below
+        the longest plausible in-flight write)."""
+        main_chain = sorted(
+            self._ancestors(name, self._current_version(name))
         )
+        keep = set(main_chain[-keep_last:])
+        if older_than is not None:
+            # raw manifests: the age check must not materialize
+            # inventories for snapshots about to be dropped
+            keep |= {
+                v
+                for v in main_chain
+                if self._manifest_raw(name, v).get("committed_at", 0.0)
+                >= older_than
+            }
         heads = os.path.join(self._meta_dir(name), "heads")
         if os.path.isdir(heads):
             for b in os.listdir(heads):

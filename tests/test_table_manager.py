@@ -2203,3 +2203,145 @@ def test_initial_default_validated_at_ddl_time(mgr, spark):
     mgr.add_column("vd", "q", "double", default=5)
     mgr.add_column("vd", "tag", "string", default="x")
     assert {r.q for r in mgr.read("vd").collect()} == {5.0}
+
+
+def test_diff_refs_fast_forward_equivalence(mgr, spark):
+    """diff_refs' contract: the cross-ref changelog applied to main's
+    rows reproduces the branch head row-for-row (so reviewing the diff
+    IS reviewing the publish), and fast_forward then lands exactly that
+    state. Branch carries an append AND a partition overwrite (with
+    carry-over rows the diff must cancel)."""
+    from iceberg_poc_spark.tables import identity
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "k long, p long, v double"
+    )
+    mgr.create_table("wap", df.schema, [identity("p")])
+    mgr.append("wap", df)
+    mgr.create_branch("wap", "audit")
+    # branch: append a new partition + overwrite partition 1 repriced
+    mgr.append(
+        "wap",
+        spark.createDataFrame(
+            [(100 + i, 5, 0.5) for i in range(4)], "k long, p long, v double"
+        ),
+        ref="audit",
+    )
+    ovr = spark.createDataFrame(
+        [(i, 1, float(i) * 10 if i % 2 else float(i)) for i in range(30)
+         if i % 3 == 1],
+        "k long, p long, v double",
+    )
+    mgr.overwrite_partitions("wap", ovr, ref="audit")
+    diff = mgr.diff_refs("wap", to_ref="audit")
+    ins = {(r.k, r.p, r.v) for r in diff.filter("_change_type = 'insert'")
+           .select("k", "p", "v").collect()}
+    dels = {(r.k, r.p, r.v) for r in diff.filter("_change_type = 'delete'")
+            .select("k", "p", "v").collect()}
+    main_rows = {(r.k, r.p, r.v)
+                 for r in mgr.read("wap").select("k", "p", "v").collect()}
+    branch_rows = {(r.k, r.p, r.v)
+                   for r in mgr.read("wap", ref="audit")
+                   .select("k", "p", "v").collect()}
+    assert (main_rows - dels) | ins == branch_rows
+    assert dels <= main_rows and not (ins & main_rows)
+    # carry-overs cancelled: unchanged even-k rows of partition 1 are in
+    # neither side of the diff
+    carry = {t for t in main_rows if t[1] == 1 and t[0] % 2 == 0}
+    assert carry and not (carry & (ins | dels))
+    # publish: main lands exactly the reviewed state
+    mgr.fast_forward("wap", "audit")
+    after = {(r.k, r.p, r.v)
+             for r in mgr.read("wap").select("k", "p", "v").collect()}
+    assert after == branch_rows
+    # post-publish the diff is empty (heads coincide)
+    assert mgr.diff_refs("wap", to_ref="audit").count() == 0
+
+
+def test_diff_refs_requires_ancestry(mgr, spark):
+    """A branch whose base predates a later main commit is not
+    fast-forwardable; diff_refs must refuse the same way instead of
+    emitting a wrong one-sided stream."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("wd", df.schema, [])
+    mgr.append("wd", df)
+    mgr.create_branch("wd", "b")
+    mgr.append("wd", spark.createDataFrame([(2,)], "k long"))  # main moves
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        mgr.diff_refs("wd", to_ref="b")
+
+
+def test_expire_snapshots_older_than(mgr, spark):
+    """Age-based retention: snapshots older than the cutoff expire
+    (their unique files reaped) unless ref-pinned; everything at/after
+    the cutoff — and the head regardless of age — survives."""
+    import os as _os
+    import time as _time
+
+    df1 = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("ret", df1.schema, [])
+    v1 = mgr.append("ret", df1)
+    v2 = mgr.overwrite("ret", spark.createDataFrame([(2,)], "k long"))
+    _time.sleep(0.05)
+    cutoff = _time.time()
+    _time.sleep(0.05)
+    v3 = mgr.overwrite("ret", spark.createDataFrame([(3,)], "k long"))
+    v4 = mgr.append("ret", spark.createDataFrame([(4,)], "k long"))
+    v1_files = [e["path"] for e in mgr._load_manifest("ret", v1)["files"]]
+    out = mgr.expire_snapshots("ret", keep_last=1, older_than=cutoff)
+    assert out["snapshots"] >= 2  # v1, v2 (+ the create snapshot)
+    # pre-cutoff history is gone; post-cutoff survives
+    for v in (v1, v2):
+        assert not _os.path.exists(mgr._manifest_path("ret", v)), v
+    for v in (v3, v4):
+        assert _os.path.exists(mgr._manifest_path("ret", v)), v
+    # orphan-reap parity with the count-based path: the expired
+    # overwrite's unique files are deleted
+    assert all(
+        not _os.path.exists(_os.path.join(mgr._dir("ret"), p))
+        for p in v1_files
+    )
+    assert {r.k for r in mgr.read("ret").collect()} == {3, 4}
+
+
+def test_expire_older_than_ref_pinning(mgr, spark):
+    """A tag pins its snapshot AND reachable ancestry through age-based
+    expiry (same ref semantics as the count-based path): nothing at or
+    below the tag expires, however old."""
+    import os as _os
+    import time as _time
+
+    df = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("retp", df.schema, [])
+    v1 = mgr.append("retp", df)
+    v2 = mgr.overwrite("retp", spark.createDataFrame([(2,)], "k long"))
+    mgr.create_tag("retp", "pinned", at_snapshot=v2)
+    _time.sleep(0.05)
+    cutoff = _time.time()
+    _time.sleep(0.05)
+    v3 = mgr.overwrite("retp", spark.createDataFrame([(3,)], "k long"))
+    v2_files = [e["path"] for e in mgr._load_manifest("retp", v2)["files"]]
+    mgr.expire_snapshots("retp", keep_last=1, older_than=cutoff)
+    # the whole pinned ancestry survives the age cutoff
+    for v in (v1, v2, v3):
+        assert _os.path.exists(mgr._manifest_path("retp", v)), v
+    assert all(
+        _os.path.exists(_os.path.join(mgr._dir("retp"), p))
+        for p in v2_files
+    )
+    assert {r.k for r in mgr.read("retp", snapshot_id=v2).collect()} == {2}
+
+
+def test_expire_older_than_never_drops_head(mgr, spark):
+    """older_than in the future must still keep the head (and keep_last
+    newest) — a misconfigured cutoff can cost history, never the table."""
+    import time as _time
+
+    df = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("reth", df.schema, [])
+    mgr.append("reth", df)
+    mgr.append("reth", spark.createDataFrame([(2,)], "k long"))
+    mgr.expire_snapshots("reth", keep_last=1, older_than=_time.time() + 3600)
+    assert {r.k for r in mgr.read("reth").collect()} == {1, 2}
