@@ -275,8 +275,16 @@ _EDGES_PER_TASK = 2_000_000
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    return _propagate_labels(spark, pairs)
+
+
+def _propagate_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation over an undirected pair graph —
+    (doc_id, cluster_root = component minimum) for every node with at
+    least one edge. Shared by the full rebuild (q_dedup_clusters) and
+    the daily quotient-graph pass (q_dedup_clusters_incremental)."""
     # symmetrize map-side (explode both directions) — a union of the
-    # pairs plan with its swap would run the whole LSH pipeline twice.
+    # pairs plan with its swap would run the upstream pipeline twice.
     edges_raw = (
         pairs.select(
             F.explode(
@@ -299,8 +307,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tasks — but a trillion-edge graph must still fan out. ~_EDGES_PER_
     # TASK edges (~32 MB) per task, capped at the session's shuffle
     # parallelism (the cluster-scale knob). The count doubles as cache
-    # materialization, so the LSH pipeline runs exactly once. Hashing on
-    # b makes the cached partitioning satisfy the per-round join's
+    # materialization, so the upstream pipeline runs exactly once. Hashing
+    # on b makes the cached partitioning satisfy the per-round join's
     # distribution on the edges side — only the (shrinking) labels side
     # shuffles each round.
     n_edges = edges_raw.count()
@@ -343,6 +351,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_root"))
 
 
@@ -1336,6 +1345,248 @@ def _near_inc_oracle() -> str:
 _qni = _registry.REGISTRY["q_dedup_near_incremental"]
 _registry.REGISTRY["q_dedup_near_incremental"] = _registry.Query(
     name=_qni.name, fn=_qni.fn, oracle=_near_inc_oracle(), doc=_qni.doc
+)
+
+
+# -------------------------------- incremental connected components (daily)
+
+_CI_READY: set[str] = set()
+
+
+def _ci_db(spark: SparkSession, sf_dir: str) -> str:
+    """One-time corpus-side artifacts for incremental cluster
+    maintenance: the LSH posting index (band_idx), corpus signatures
+    (sig_idx), and — the piece q_dedup_near_incremental doesn't have —
+    the PERSISTED cluster assignment (assign_idx: corpus doc -> component
+    root from a corpus-only label propagation), all bucketed+sorted so
+    daily probes sort-merge-join with zero index-side Exchange."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.sources.bucketed import write_bucketed
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"ciwh_{os.getpid()}_{key}")
+    db = f"cinc_{key}"
+    if wh in _CI_READY:
+        return db
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    sigs = minhash_signatures(corpus).cache()
+    write_bucketed(_band_rows(sigs), "band_idx", "bk", 16, db, wh)
+    write_bucketed(
+        sigs.select(
+            F.col("doc_id").alias("corpus_id"),
+            *[F.col(_mh_name(i)).alias(f"cmh{i}") for i in range(N_HASHES)],
+        ),
+        "sig_idx",
+        "corpus_id",
+        16,
+        db,
+        wh,
+    )
+    # the one-time corpus cluster build (daily runs NEVER redo this):
+    # LSH pairs within the corpus -> min-label components
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    cpairs = (
+        lsh_candidate_pairs(sigs)
+        .join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(matches / F.lit(float(N_HASHES)) >= NI_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    assign = _propagate_labels(spark, cpairs)
+    write_bucketed(
+        assign.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("cluster_root").alias("root"),
+        ),
+        "assign_idx",
+        "corpus_id",
+        16,
+        db,
+        wh,
+    )
+    sigs.unpersist()
+    _CI_READY.add(wh)
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    return db
+
+
+def _ci_quotient_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily delta graph, BEFORE propagation: today's batch probes
+    the posting index for batch↔corpus near-dup pairs (verified against
+    the persisted signatures), corpus endpoints collapse to their
+    PERSISTED component root through assign_idx (unclustered corpus docs
+    stay themselves), and in-batch pairs join as-is. Every shuffle in
+    this plan hashes batch-derived keys; all three index scans read
+    bucket-aligned with zero Exchange (tests/test_plans.py gates
+    `Bucketed: true` x3)."""
+    db = _ci_db(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    batch = _ni_batch(d)
+    bsigs = minhash_signatures(batch.select("doc_id", "text")).cache()
+    cand = (
+        _band_rows(bsigs)
+        .join(
+            spark.table(f"{db}.band_idx")
+            .withColumnRenamed("doc_id", "corpus_id")
+            .hint("merge"),
+            "bk",
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(_mh_name(i)) == F.col(f"cmh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    pairs_bc = (
+        cand.join(spark.table(f"{db}.sig_idx").hint("merge"), "corpus_id")
+        .join(bsigs, "doc_id")
+        .filter(matches / F.lit(float(N_HASHES)) >= NI_THRESHOLD)
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    quotient_bc = (
+        pairs_bc.join(
+            spark.table(f"{db}.assign_idx").hint("merge"),
+            "corpus_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.coalesce("root", "corpus_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    xb = bsigs.alias("x")
+    yb = bsigs.alias("y")
+    matches_bb = sum(
+        F.when(F.col(f"x.mh{i}") == F.col(f"y.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    pairs_bb = (
+        lsh_candidate_pairs(bsigs)
+        .join(xb, F.col("doc_a") == F.col("x.doc_id"))
+        .join(yb, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(matches_bb / F.lit(float(N_HASHES)) >= NI_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    return quotient_bc.unionByName(pairs_bb)
+
+
+@register(
+    "q_dedup_clusters_incremental",
+    oracle=None,  # assembled below; see _clusters_inc_oracle()
+    doc="Incremental CONNECTED-COMPONENT maintenance — the fourth leg of "
+    "the incremental dedup triad (exact digests, LSH postings, ANN "
+    "cells): instead of label-propagating the FULL pair graph every run "
+    "(q_dedup_clusters), the daily batch unions only its NEW pairs "
+    "against the PERSISTED cluster assignment. Batch↔corpus pairs come "
+    "from the bucketed LSH posting index, corpus endpoints collapse to "
+    "their persisted component root (the QUOTIENT-graph trick: a "
+    "component is represented by its root, so merging k components "
+    "through a batch doc costs k quotient nodes, not their member "
+    "count), in-batch pairs join directly, and min-label propagation "
+    "runs on this delta graph only. Roots agree with a full rebuild "
+    "because every corpus member id >= its root: min over (batch ids + "
+    "touched roots) = min over the union component. Returns (doc_id, "
+    "cluster_root) for every batch doc in any component; the oracle "
+    "recomputes components over the ENTIRE union graph with a "
+    "recursive-CTE closure — quadratic at engine scale, which is "
+    "exactly what the quotient pass avoids. At 100 TB the daily "
+    "shuffles are O(batch bands + touched components); the corpus "
+    "contributes pre-bucketed postings, signatures, and one root row "
+    "per clustered doc — never documents, never its own pair graph.",
+)
+def q_dedup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = _ci_quotient_edges(spark, sf_dir)
+    labels = _propagate_labels(spark, edges)
+    # quotient nodes include corpus roots; report the BATCH docs
+    return labels.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= 1_000_000_000)
+    )
+
+
+def _clusters_inc_oracle() -> str:
+    """Components of the UNION graph (corpus ∪ today's batch) as a
+    recursive-CTE closure, reported for batch docs — the ground truth
+    the quotient pass must reproduce exactly."""
+    mh_exprs = ",\n           ".join(
+        f"min(substr(md5('{s}:' || shingle), {1 + 8 * w}, 8)) AS mh{s * WORDS_PER_MD5 + w}"
+        for s in range(N_SALTS)
+        for w in range(WORDS_PER_MD5)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS b, {cc} AS h FROM mh".format(
+            b=b,
+            cc=" || ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text || '{NI_SUFFIX}'
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 9 = 1
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct({shingles_sql()})) AS shingle
+        FROM docs
+    ),
+    mh AS (SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN mh x ON x.doc_id = doc_a
+        JOIN mh y ON y.doc_id = doc_b
+        WHERE ({match_sum}) / {float(N_HASHES)} >= {NI_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
+    SELECT n.doc_id, LEAST(n.doc_id, MIN(r.b)) AS cluster_root
+    FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+    GROUP BY n.doc_id
+    HAVING n.doc_id % 10 = 0 OR n.doc_id >= 1000000000
+    """
+
+
+_qci = _registry.REGISTRY["q_dedup_clusters_incremental"]
+_registry.REGISTRY["q_dedup_clusters_incremental"] = _registry.Query(
+    name=_qci.name, fn=_qci.fn, oracle=_clusters_inc_oracle(), doc=_qci.doc
 )
 
 

@@ -358,3 +358,20 @@ def test_dedup_near_incremental_index_side_zero_exchange(spark):
     # (`Bucketed: true`) when the join consumed the bucketing instead of
     # inserting an Exchange; two such scans = band_idx + sig_idx
     assert len(re.findall(r"Bucketed: true", plan)) == 2, plan
+
+
+def test_dedup_clusters_incremental_index_zero_exchange(spark):
+    """q_dedup_clusters_incremental's daily delta graph: ALL THREE
+    persisted index tables — band postings (bk), corpus signatures
+    (corpus_id), and the persisted cluster ASSIGNMENT (corpus_id) —
+    sort-merge-join bucket-aligned with zero index-side Exchange; every
+    Exchange in the plan hashes batch-derived keys. (The registered
+    query's final plan is the propagation loop's checkpoint scan, so the
+    gate targets the delta-graph subplan the daily pass actually
+    shuffles.)"""
+    from iceberg_poc_spark.operators.dedup import _ci_quotient_edges
+
+    plan = explain_str(_ci_quotient_edges(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"SortMergeJoin", plan)) >= 3, plan
+    assert len(re.findall(r"Bucketed: true", plan)) == 3, plan
