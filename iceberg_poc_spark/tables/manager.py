@@ -3784,6 +3784,26 @@ class ParquetTableManager:
             if os.path.exists(sp):
                 os.remove(sp)
             self._seg_cache.pop((name, sid), None)
+        # crash-orphaned segments: a writer that died between segment
+        # write and manifest create leaves segments NO manifest ever
+        # referenced — invisible to the drop-based reap above. Age-gate
+        # them like staging dirs (an in-flight commit's segments are
+        # always younger than any sane ttl).
+        if orphan_ttl_s is not None:
+            import time as _time
+
+            segs_dir = self._segs_dir(name)
+            if os.path.isdir(segs_dir):
+                now = _time.time()
+                for fn in os.listdir(segs_dir):
+                    sid = fn[: -len(".json")] if fn.endswith(".json") else fn
+                    p = os.path.join(segs_dir, fn)
+                    if (
+                        sid not in live_segs
+                        and now - os.path.getmtime(p) > orphan_ttl_s
+                    ):
+                        os.remove(p)
+                        self._seg_cache.pop((name, sid), None)
         # orphaned staging from crashed writers (≙ remove_orphan_files'
         # other half): a staging dir is invisible by design, so one whose
         # last write is older than orphan_ttl_s can only be a crash

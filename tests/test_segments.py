@@ -179,3 +179,33 @@ def test_entry_replacement_is_isolated_and_persisted(mgr, spark):
         "eq_deletes" not in e
         for e in cold._load_manifest("t", base_v)["files"]
     )
+
+
+def test_expire_reaps_crash_orphaned_segments(mgr, spark):
+    """A segment file no manifest ever referenced (crash between segment
+    write and manifest create) is reaped by the age-gated orphan sweep —
+    but only past the ttl, so an in-flight commit's fresh segments are
+    never touched."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    _mk(spark, mgr, "t")
+    mgr.append("t", spark.range(4).select(F.col("id").alias("k")))
+    live = set(_segments(mgr, "t"))
+    # fabricate the crash leftover
+    orphan = _os.path.join(mgr._segs_dir("t"), "s-deadbeefcafe0000.json")
+    with open(orphan, "w") as f:
+        f.write(_json.dumps([]))
+    old = _time.time() - 3600
+    _os.utime(orphan, (old, old))
+    # fresh orphan too: must SURVIVE the ttl guard
+    fresh = _os.path.join(mgr._segs_dir("t"), "s-deadbeefcafe0001.json")
+    with open(fresh, "w") as f:
+        f.write(_json.dumps([]))
+    mgr.expire_snapshots("t", keep_last=1, orphan_ttl_s=600)
+    assert not _os.path.exists(orphan)
+    assert _os.path.exists(fresh)
+    on_disk = {fn[: -len(".json")] for fn in _seg_files_on_disk(mgr, "t")}
+    assert live <= on_disk
+    assert mgr.read("t").count() == 4

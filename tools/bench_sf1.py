@@ -89,6 +89,7 @@ X100_SET = [
     "q_sim_topk",
     "q_sim_ann_incremental",
     "q_sim_ann_delete",
+    "q_sim_ann_reanchor",
     "q_stream_live_tumbling",
 ]
 
@@ -102,9 +103,12 @@ ALWAYS = [
     "q_sim_ann_mass_budget",
     "q_sim_ann_incremental",
     "q_sim_ann_delete",
+    "q_sim_ann_reanchor",
     "q_dedup_incremental",
     "q_dedup_near_incremental",
+    "q_dedup_clusters_incremental",
     "q_stream_upsert_table",
+    "q_cdc_branch_diff",
 ]
 
 
