@@ -1165,3 +1165,101 @@ def q_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.max("event_id").cast("bigint").alias("max_event"),
     )
+
+
+# ------------------------------------------- streaming write-audit-publish
+
+def _setup_events_wap(spark: SparkSession, sf_dir: str):
+    """events_wap: the corpus drains as three single-file micro-batches
+    written in mtime order [slice0, slice2, slice1] — so the THIRD batch
+    carries event_ids BELOW the published maximum and must fail the
+    monotonicity gate (the late/out-of-order-feed quality check an
+    ingestion pipeline actually runs). Batches 1 and 2 publish via
+    fast-forward; batch 3 is quarantined under a pinned tag and the
+    audit branch resets, so main holds exactly slices 0 and 2."""
+    import os
+
+    from iceberg_poc_spark.operators.tablelayer import _READY, _mgr_for
+    from iceberg_poc_spark.streaming.pipelines import (
+        load_events_stream,
+        run_to_table_wap,
+    )
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_wap")
+    if key in _READY:
+        return mgr
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    src = os.path.join(wh, "_src_wap")
+    slices = (
+        (0, n // 3),
+        (2 * (n // 3), None),  # arrives SECOND: publishes a high max
+        (n // 3, 2 * (n // 3)),  # arrives THIRD: below max -> quarantined
+    )
+    for lo, hi in slices:
+        cond = F.col("event_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("event_id") < hi)
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    stream = load_events_stream(spark, src, files_per_trigger=1)
+    mgr.create_table("events_wap", stream.schema, [])
+    mgr.create_branch("events_wap", "audit")
+
+    def monotonic_gate(delta, published) -> bool:
+        lo = delta.agg(F.min("event_id")).first()[0]
+        hi = published.agg(F.max("event_id")).first()[0]
+        return hi is None or (lo is not None and lo > hi)
+
+    run_to_table_wap(
+        stream,
+        mgr,
+        "events_wap",
+        checkpoint=os.path.join(wh, "_ckpt_wap"),
+        validate=monotonic_gate,
+    )
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_stream_wap_publish",
+    oracle="""
+    WITH p AS (SELECT COUNT(*) AS n FROM events),
+    pub AS (
+        SELECT e.* FROM events e, p
+        WHERE e.event_id < p.n // 3 OR e.event_id >= 2 * (p.n // 3)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM pub
+    GROUP BY 1
+    """,
+    doc="LIVE streaming WRITE-AUDIT-PUBLISH — the quality-gated "
+    "ingestion loop composed from the table layer's branch primitives: "
+    "each micro-batch appends to the AUDIT branch, the gate validates "
+    "the cross-ref changelog's insert stream (exactly what fast-forward "
+    "would publish) against the published state, and only passing "
+    "batches fast-forward main. The corpus drains as three file-ordered "
+    "batches with the MIDDLE id-slice arriving LAST, so the third batch "
+    "violates the id-monotonicity gate (the out-of-order-feed check): "
+    "it is quarantined under a pinned tag (readable forever, reapable "
+    "never) and the branch resets, leaving main holding exactly slices "
+    "one and two — which the oracle reconstructs relationally from the "
+    "slice predicate. A bad batch neither reaches readers of main nor "
+    "blocks subsequent publishes; pytest additionally pins the "
+    "quarantined rows and the branch/tag state "
+    "(tests/test_streaming.py). At 100 TB each epoch costs O(batch): "
+    "one branch append + one manifest-diff validation read + one "
+    "pointer CAS to publish.",
+)
+def q_stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_events_wap(spark, sf_dir)
+    df = mgr.read("events_wap")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("event_id").cast("bigint").alias("max_event"),
+    )

@@ -422,6 +422,59 @@ def run_to_table_upsert(
     q.awaitTermination()
 
 
+def run_to_table_wap(
+    stream_df: DataFrame,
+    mgr: ParquetTableManager,
+    table: str,
+    checkpoint: str,
+    validate,
+    branch: str = "audit",
+) -> None:
+    """Streaming WRITE-AUDIT-PUBLISH sink — the quality-gated ingestion
+    loop: each micro-batch appends to the AUDIT branch (invisible to
+    readers of main), ``validate(delta_df, published_df)`` inspects the
+    would-be-published rows (the cross-ref changelog's insert stream —
+    exactly what a fast-forward would make visible) against the current
+    published state, and only a passing batch fast-forwards main. A
+    FAILING batch is quarantined: its branch snapshot is pinned under a
+    ``quarantine-<epoch>`` tag (forensics/backfill can read it forever;
+    expire_snapshots won't reap it), and the branch resets to main's
+    head so later good batches publish cleanly — main NEVER exposes a
+    bad batch, and one bad batch never blocks the stream. At 100 TB
+    this is the shape a production bronze→silver gate runs: per-epoch
+    cost is O(batch) (append + one manifest-diff validation read), and
+    the audit/publish atomicity comes from the branch CAS, not a lock."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        published = mgr.read(table)
+        mgr.append(table, batch_df, ref=branch)
+        delta = (
+            mgr.diff_refs(table, to_ref=branch)
+            .filter(F.col("_change_type") == "insert")
+            .drop("_change_type", "_snapshot_id")
+        )
+        if validate(delta, published):
+            mgr.fast_forward(table, branch)
+            return
+        _seq, bad = mgr._ref_head(table, branch)
+        try:
+            mgr.create_tag(table, f"quarantine-{epoch_id}", at_snapshot=bad)
+        except ValueError:
+            pass  # replayed epoch already quarantined — idempotent
+        mgr.drop_branch(table, branch)
+        mgr.create_branch(table, branch)  # reset to main's head
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def rate_events(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
     """Synthetic live event stream from the deterministic rate-micro-batch
     source — the streaming twin of the reference's synthetic event

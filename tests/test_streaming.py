@@ -454,3 +454,46 @@ def test_stream_to_table_self_heals_fragmentation(spark, tmp_path):
     assert mgr.read("ev_heal").count() == ev.count()
     got = sorted(r.event_id for r in mgr.read("ev_heal").collect())
     assert got == sorted(r.event_id for r in ev.collect())
+
+
+def test_stream_wap_quarantines_bad_batch(spark):
+    """q_stream_wap_publish's branch/tag contract: the out-of-order batch
+    never reaches main, lands pinned under a quarantine tag holding
+    exactly the rejected slice, the audit branch ends reset to main's
+    head, and the two good batches published via fast-forward (append-only
+    main ancestry)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.operators.sessionize import _setup_events_wap
+    from iceberg_poc_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    mgr = _setup_events_wap(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "events").count()
+    lo, hi = n // 3, 2 * (n // 3)
+    # main holds exactly slices 0 and 2
+    pub = {r.event_id for r in mgr.read("events_wap").select("event_id").collect()}
+    assert pub == {i for i in range(n) if i < lo or i >= hi}
+    # the quarantine tag pins main-at-publish + the rejected slice
+    refs = {r.ref: (r.type, r.snapshot_id) for r in mgr.refs("events_wap").collect()}
+    qtags = [r for r in refs if r.startswith("quarantine-")]
+    assert len(qtags) == 1, refs
+    qsnap = refs[qtags[0]][1]
+    qrows = {
+        r.event_id
+        for r in mgr.read("events_wap", snapshot_id=qsnap)
+        .select("event_id")
+        .collect()
+    }
+    assert qrows == pub | set(range(lo, hi))
+    # branch reset to main's head
+    assert refs["audit"][1] == mgr._current_version("events_wap")
+    # main's ancestry is pure appends (publishes), never the bad commit
+    ops, v = [], mgr._load_manifest("events_wap")
+    while v.get("parent") is not None:
+        ops.append(v["operation"])
+        v = mgr._load_manifest("events_wap", v["parent"])
+    assert ops == ["append", "append"], ops
+    # quarantined snapshot survives expiry (tag-pinned)
+    mgr.expire_snapshots("events_wap", keep_last=1)
+    assert mgr.read("events_wap", snapshot_id=qsnap).count() == len(qrows)
