@@ -665,6 +665,15 @@ class ParquetTableManager:
     # does. Commit-time segment reuse is decided by entry-object identity
     # runs, so an in-place mutation would be lost to segment reuse even
     # before cache aliasing is considered (test_segments.py pins both).
+    #
+    # Remaining read-side ceiling (scope honesty): a scan still iterates
+    # the full materialized entry list driver-side to prune; with the
+    # segment cache that is O(table) cheap Python refs per query, not
+    # JSON — but per-SEGMENT partition summaries in the manifest (skip
+    # whole segments before touching their entries, Iceberg's
+    # manifest-file partition-summary trick) would make partition-scoped
+    # scans O(matching segments). Planned next if the read path ever
+    # shows up in BENCH_META.
 
     def _segs_dir(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "segs")
