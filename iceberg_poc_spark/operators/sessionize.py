@@ -1169,8 +1169,8 @@ def q_stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- streaming write-audit-publish
 
-def _setup_events_wap(spark: SparkSession, sf_dir: str):
-    """events_wap: the corpus drains as three single-file micro-batches
+def _setup_events_wap_stream(spark: SparkSession, sf_dir: str):
+    """events_wap_stream: the corpus drains as three single-file micro-batches
     written in mtime order [slice0, slice2, slice1] — so the THIRD batch
     carries event_ids BELOW the published maximum and must fail the
     monotonicity gate (the late/out-of-order-feed quality check an
@@ -1186,7 +1186,7 @@ def _setup_events_wap(spark: SparkSession, sf_dir: str):
     )
 
     mgr, wh = _mgr_for(spark, sf_dir)
-    key = (wh, "events_wap")
+    key = (wh, "events_wap_stream")
     if key in _READY:
         return mgr
     ev = load_table(spark, sf_dir, "events")
@@ -1203,8 +1203,8 @@ def _setup_events_wap(spark: SparkSession, sf_dir: str):
             cond = cond & (F.col("event_id") < hi)
         ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
     stream = load_events_stream(spark, src, files_per_trigger=1)
-    mgr.create_table("events_wap", stream.schema, [])
-    mgr.create_branch("events_wap", "audit")
+    mgr.create_table("events_wap_stream", stream.schema, [])
+    mgr.create_branch("events_wap_stream", "audit")
 
     def monotonic_gate(delta, published) -> bool:
         lo = delta.agg(F.min("event_id")).first()[0]
@@ -1214,7 +1214,7 @@ def _setup_events_wap(spark: SparkSession, sf_dir: str):
     run_to_table_wap(
         stream,
         mgr,
-        "events_wap",
+        "events_wap_stream",
         checkpoint=os.path.join(wh, "_ckpt_wap"),
         validate=monotonic_gate,
     )
@@ -1256,8 +1256,8 @@ def _setup_events_wap(spark: SparkSession, sf_dir: str):
     "pointer CAS to publish.",
 )
 def q_stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mgr = _setup_events_wap(spark, sf_dir)
-    df = mgr.read("events_wap")
+    mgr = _setup_events_wap_stream(spark, sf_dir)
+    df = mgr.read("events_wap_stream")
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("value"), 2).alias("sum_value"),

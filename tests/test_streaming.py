@@ -464,36 +464,36 @@ def test_stream_wap_quarantines_bad_batch(spark):
     main ancestry)."""
     from pyspark.sql import functions as F
 
-    from iceberg_poc_spark.operators.sessionize import _setup_events_wap
+    from iceberg_poc_spark.operators.sessionize import _setup_events_wap_stream
     from iceberg_poc_spark.sources import load_table
     from tests.conftest import SF_DIR
 
-    mgr = _setup_events_wap(spark, SF_DIR)
+    mgr = _setup_events_wap_stream(spark, SF_DIR)
     n = load_table(spark, SF_DIR, "events").count()
     lo, hi = n // 3, 2 * (n // 3)
     # main holds exactly slices 0 and 2
-    pub = {r.event_id for r in mgr.read("events_wap").select("event_id").collect()}
+    pub = {r.event_id for r in mgr.read("events_wap_stream").select("event_id").collect()}
     assert pub == {i for i in range(n) if i < lo or i >= hi}
     # the quarantine tag pins main-at-publish + the rejected slice
-    refs = {r.ref: (r.type, r.snapshot_id) for r in mgr.refs("events_wap").collect()}
+    refs = {r.ref: (r.type, r.snapshot_id) for r in mgr.refs("events_wap_stream").collect()}
     qtags = [r for r in refs if r.startswith("quarantine-")]
     assert len(qtags) == 1, refs
     qsnap = refs[qtags[0]][1]
     qrows = {
         r.event_id
-        for r in mgr.read("events_wap", snapshot_id=qsnap)
+        for r in mgr.read("events_wap_stream", snapshot_id=qsnap)
         .select("event_id")
         .collect()
     }
     assert qrows == pub | set(range(lo, hi))
     # branch reset to main's head
-    assert refs["audit"][1] == mgr._current_version("events_wap")
+    assert refs["audit"][1] == mgr._current_version("events_wap_stream")
     # main's ancestry is pure appends (publishes), never the bad commit
-    ops, v = [], mgr._load_manifest("events_wap")
+    ops, v = [], mgr._load_manifest("events_wap_stream")
     while v.get("parent") is not None:
         ops.append(v["operation"])
-        v = mgr._load_manifest("events_wap", v["parent"])
+        v = mgr._load_manifest("events_wap_stream", v["parent"])
     assert ops == ["append", "append"], ops
     # quarantined snapshot survives expiry (tag-pinned)
-    mgr.expire_snapshots("events_wap", keep_last=1)
-    assert mgr.read("events_wap", snapshot_id=qsnap).count() == len(qrows)
+    mgr.expire_snapshots("events_wap_stream", keep_last=1)
+    assert mgr.read("events_wap_stream", snapshot_id=qsnap).count() == len(qrows)

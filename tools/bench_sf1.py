@@ -108,6 +108,7 @@ ALWAYS = [
     "q_dedup_near_incremental",
     "q_dedup_clusters_incremental",
     "q_stream_upsert_table",
+    "q_stream_wap_publish",
     "q_cdc_branch_diff",
 ]
 
