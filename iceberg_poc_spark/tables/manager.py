@@ -146,6 +146,44 @@ def _stats_may_match(entry: dict, col: str, op: str, lit_v: Any) -> bool:
         return True
 
 
+def _seg_may_match(
+    spec: list["Transform"], stats: dict | None, where: list
+) -> bool:
+    """Can ANY file in this segment match? Conservative segment-level
+    pre-prune over the segment's [min, max] partition-value summary —
+    IDENTITY transforms only (derived transforms' value ordering doesn't
+    follow the source column's, so per-file _may_match keeps those).
+    Unknown stats, unknown ops, or incomparable types keep the segment;
+    every surviving entry is still checked per-file."""
+    if not stats:
+        return True
+    parts = stats.get("p")
+    if not parts:
+        return True
+    ident = {t.source: t.field_name for t in spec if t.kind == "identity"}
+    for col, op, lit in where:
+        fname = ident.get(col)
+        if fname is None or fname not in parts:
+            continue
+        mn, mx = parts[fname]
+        try:
+            # boundary partitions are KEPT for > / < exactly like the
+            # per-entry rule (_may_match), so the segment filter is
+            # always a superset of the per-entry result — planned-file
+            # counts are identical with or without segment summaries
+            if op == "==" and not (mn <= lit <= mx):
+                return False
+            if op == "in" and not any(mn <= v <= mx for v in lit):
+                return False
+            if op in (">", ">=") and not mx >= lit:
+                return False
+            if op in ("<", "<=") and not mn <= lit:
+                return False
+        except TypeError:
+            continue  # incomparable literal: keep the segment
+    return True
+
+
 def _may_match(spec: list["Transform"], entry: dict, where: list) -> bool:
     """Can this data file contain rows satisfying ALL predicates? Maps each
     predicate bound into partition-value space via the spec's transforms
@@ -666,14 +704,16 @@ class ParquetTableManager:
     # runs, so an in-place mutation would be lost to segment reuse even
     # before cache aliasing is considered (test_segments.py pins both).
     #
-    # Remaining read-side ceiling (scope honesty): a scan still iterates
-    # the full materialized entry list driver-side to prune; with the
-    # segment cache that is O(table) cheap Python refs per query, not
-    # JSON — but per-SEGMENT partition summaries in the manifest (skip
-    # whole segments before touching their entries, Iceberg's
-    # manifest-file partition-summary trick) would make partition-scoped
-    # scans O(matching segments). Planned next if the read path ever
-    # shows up in BENCH_META.
+    # Read side: per-SEGMENT partition summaries ("seg_stats": [min,max]
+    # per identity-partition value, computed once at segment write) let
+    # scan() skip whole segments before touching their entries —
+    # Iceberg's manifest-file partition-summary trick — so a partition-
+    # scoped scan's pruning loop is O(segments + matching entries), not
+    # O(table), and BENCH_META.json shows point-scan planning flat
+    # across a 100x file-count spread. The one remaining O(table) term
+    # is the ref-extend materialization per _load_manifest (cheap Python
+    # refs, no JSON); a fully lazy facade isn't worth the consumer-
+    # contract risk at current scales.
 
     def _segs_dir(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "segs")
@@ -704,6 +744,10 @@ class ParquetTableManager:
             m = json.load(f)
         if "segments" in m:
             seg_ids = m.pop("segments")
+            # per-segment partition summaries ride along for scan-time
+            # segment pruning; stashed under a helper key so consumer
+            # dict(m) copies can never persist a stale copy
+            m["_seg_stats"] = m.pop("seg_stats", {})
             files: list[dict] = []
             layout: list[tuple[str, int]] = []
             for sid in seg_ids:
@@ -772,7 +816,43 @@ class ParquetTableManager:
             plan.append((None, buf))
         return plan
 
-    def _write_segments(self, name: str, manifest: dict) -> list[str]:
+    @staticmethod
+    def _seg_summary(entries: list[dict]) -> dict:
+        """Per-segment partition summary for scan-time segment pruning:
+        entry count + [min, max] of each partition value whose type is
+        homogeneous and orderable. Computed ONCE when a segment is
+        written (O(delta)); carried by reference afterwards."""
+        summary: dict = {"n": len(entries)}
+        parts: dict[str, list] = {}
+        cols: set[str] | None = None
+        for e in entries:
+            p = e.get("partition") or {}
+            cols = set(p) if cols is None else cols & set(p)
+        for c in cols or set():
+            vals = [e["partition"][c] for e in entries]
+            if any(v is None for v in vals):
+                continue
+            # partition values serialize as strings (hive layout);
+            # min/max must live in the domain predicates compare in, so
+            # coerce numerics (lexicographic "13" < "2" would otherwise
+            # wrongly bound the segment)
+            for cast in (int, float):
+                try:
+                    vals = [cast(v) for v in vals]
+                    break
+                except (TypeError, ValueError):
+                    continue
+            try:
+                parts[c] = [min(vals), max(vals)]
+            except TypeError:
+                continue  # mixed types: no summary for this column
+        if parts:
+            summary["p"] = parts
+        return summary
+
+    def _write_segments(
+        self, name: str, manifest: dict
+    ) -> tuple[list[str], dict]:
         """Persist a manifest's inventory as segment files; returns the
         ordered segment-id list. Reused segments cost zero I/O. Runs of
         >= merge-run consecutive small pieces (tiny reused segments from
@@ -796,7 +876,9 @@ class ParquetTableManager:
         # amortized extra write per commit stays O(delta)
         small = target - 1
         plan = self._plan_segments(name, manifest)
+        prior_stats = manifest.get("_seg_stats") or {}
         out_ids: list[str] = []
+        out_stats: dict[str, dict] = {}
 
         def emit_new(entries: list[dict]) -> None:
             if not entries:
@@ -809,6 +891,13 @@ class ParquetTableManager:
                     json.dump(chunk, f)
                 self._seg_cache[(name, sid)] = [dict(e) for e in chunk]
                 out_ids.append(sid)
+                out_stats[sid] = self._seg_summary(chunk)
+
+        def reuse(sid: str, es: list[dict]) -> None:
+            out_ids.append(sid)
+            # carry the summary by reference; compute once for segments
+            # predating the stats format (migration, never repeated)
+            out_stats[sid] = prior_stats.get(sid) or self._seg_summary(es)
 
         run: list[tuple[str | None, list[dict]]] = []
 
@@ -820,7 +909,7 @@ class ParquetTableManager:
             else:
                 for sid, es in run:
                     if sid is not None:
-                        out_ids.append(sid)
+                        reuse(sid, es)
                     else:
                         emit_new(es)
             run.clear()
@@ -831,11 +920,11 @@ class ParquetTableManager:
             else:
                 flush()
                 if sid is not None:
-                    out_ids.append(sid)
+                    reuse(sid, es)
                 else:
                     emit_new(es)
         flush()
-        return out_ids
+        return out_ids, out_stats
 
     def _max_manifest_version(self, name: str) -> int:
         meta = self._meta_dir(name)
@@ -863,13 +952,15 @@ class ParquetTableManager:
         no matter how many files the table holds. The in-memory manifest
         dict (facade "files" + reuse bookkeeping) is left intact for the
         caller's CAS retry loop."""
-        seg_ids = self._write_segments(name, manifest)
+        seg_ids, seg_stats = self._write_segments(name, manifest)
         persist = {
             k: v
             for k, v in manifest.items()
-            if k not in ("files", "_base_entries", "_seg_layout")
+            if k
+            not in ("files", "_base_entries", "_seg_layout", "_seg_stats")
         }
         persist["segments"] = seg_ids
+        persist["seg_stats"] = seg_stats
         while True:
             v = self._max_manifest_version(name) + 1
             manifest["version"] = v
@@ -3426,7 +3517,25 @@ class ParquetTableManager:
         spec = self._spec(m)
         files = m["files"]
         total = len(files)
-        files = [e for e in files if _may_match(spec, e, where or [])]
+        # SEGMENT-level pre-prune (Iceberg's manifest-file partition-
+        # summary trick): identity-partition predicates are checked once
+        # against each segment's [min, max] partition summary, so a
+        # partition-scoped scan of a million-file table evaluates
+        # per-entry predicates only over the matching segments' entries
+        # — O(segments + survivors), not O(table). Purely an upper-bound
+        # filter: every surviving entry still passes _may_match below.
+        layout = m.get("_seg_layout")
+        seg_stats = m.get("_seg_stats")
+        if layout and seg_stats and where:
+            cand: list[dict] = []
+            off = 0
+            for sid, cnt in layout:
+                if _seg_may_match(spec, seg_stats.get(sid), where):
+                    cand.extend(files[off : off + cnt])
+                off += cnt
+        else:
+            cand = files
+        files = [e for e in cand if _may_match(spec, e, where or [])]
         files = self._prune_buckets(m, spec, files, where or [])
         df = self._read_files(name, m, files)
         pred = _predicate(where or [])

@@ -209,3 +209,90 @@ def test_expire_reaps_crash_orphaned_segments(mgr, spark):
     on_disk = {fn[: -len(".json")] for fn in _seg_files_on_disk(mgr, "t")}
     assert live <= on_disk
     assert mgr.read("t").count() == 4
+
+
+def test_seg_stats_written_and_carried(mgr, spark):
+    """Every persisted segment carries a partition summary; a later
+    commit CARRIES reused segments' summaries by reference (computed
+    once at segment write, never recomputed — monkeypatch-counted)."""
+    from unittest import mock
+
+    from iceberg_poc_spark.tables import identity
+    from iceberg_poc_spark.tables import manager as M
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "k long, cell long"
+    )
+    mgr.create_table(
+        "t",
+        df.schema,
+        [identity("cell")],
+        properties={M.SEGMENT_TARGET_PROP: "4", M.SEGMENT_MERGE_RUN_PROP: "100"},
+    )
+    mgr.append("t", df)
+    raw = mgr._manifest_raw("t", mgr._current_version("t"))
+    assert set(raw["seg_stats"]) == set(raw["segments"])
+    m = mgr._load_manifest("t")
+    assert sum(s["n"] for s in raw["seg_stats"].values()) == len(m["files"])
+    for s in raw["seg_stats"].values():
+        mn, mx = s["p"]["cell"]
+        assert 0 <= mn <= mx <= 3
+    # a micro-append computes a summary ONLY for its own new segment
+    real = M.ParquetTableManager.__dict__["_seg_summary"].__wrapped__
+    with mock.patch.object(
+        M.ParquetTableManager,
+        "_seg_summary",
+        side_effect=real,
+    ) as spy:
+        mgr.append(
+            "t", spark.createDataFrame([(100, 9)], "k long, cell long")
+        )
+    assert spy.call_count == 1, spy.call_count
+    raw2 = mgr._manifest_raw("t", mgr._current_version("t"))
+    assert set(raw2["seg_stats"]) == set(raw2["segments"])
+    # reused segments kept their summaries verbatim
+    for sid in raw["segments"]:
+        if sid in raw2["seg_stats"]:
+            assert raw2["seg_stats"][sid] == raw["seg_stats"][sid]
+
+
+def test_scan_prunes_whole_segments(mgr, spark):
+    """A partition-scoped scan evaluates per-entry predicates ONLY over
+    segments whose summary can match — counted via a _may_match spy —
+    and returns exactly the right rows (the segment filter is a pure
+    upper bound)."""
+    from unittest import mock
+
+    from iceberg_poc_spark.tables import identity
+    from iceberg_poc_spark.tables import manager as M
+
+    lo = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "k long, cell long"
+    )
+    hi = spark.createDataFrame(
+        [(1000 + i, 10 + i % 4) for i in range(40)], "k long, cell long"
+    )
+    mgr.create_table(
+        "t",
+        lo.schema,
+        [identity("cell")],
+        properties={M.SEGMENT_TARGET_PROP: "8", M.SEGMENT_MERGE_RUN_PROP: "100"},
+    )
+    mgr.append("t", lo)   # cells 0..3
+    mgr.append("t", hi)   # cells 10..13
+    m = mgr._load_manifest("t")
+    layout = dict(m["_seg_layout"])
+    n_hi_entries = sum(
+        1 for e in m["files"] if int(e["partition"]["cell"]) >= 10
+    )
+    real = M._may_match
+    with mock.patch.object(
+        M, "_may_match", side_effect=real
+    ) as spy:
+        df, planned, total = mgr.scan("t", where=[("cell", "==", 11)])
+        rows = {r.k for r in df.collect()}
+    assert rows == {1000 + i for i in range(40) if 10 + i % 4 == 11}
+    assert total == len(m["files"])
+    # per-entry checks ran only over the hi-range segments' entries
+    assert spy.call_count == n_hi_entries, (spy.call_count, layout)
+    assert 0 < planned < total

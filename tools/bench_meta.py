@@ -85,12 +85,51 @@ def main() -> int:
         micro_sec = (time.perf_counter() - t0) / reps
         bytes_per_commit = (_meta_bytes(fresh, "t") - bytes_before) / reps
         raw = fresh._manifest_raw("t", fresh._current_version("t"))
+        # partition-scoped SCAN PLANNING cost (the read-side twin):
+        # identity-partitioned synthetic inventory, point predicate —
+        # segment summaries confine the per-entry pruning loop to the
+        # matching segments, so this stays flat in table size too
+        from iceberg_poc_spark.tables import identity
+
+        wp = tempfile.mkdtemp(prefix="bench_meta_p_")
+        mp = ParquetTableManager(spark, wp)
+        pdf = spark.createDataFrame([(0, 0)], "k long, cell long")
+        mp.create_table("tp", pdf.schema, [identity("cell")])
+        seedp = mp.append("tp", pdf)
+        man = mp._load_manifest("tp", seedp)
+        protop = man["files"][0]
+        n_cells = max(1, n_files // 1000)  # ~1000 files per partition
+        # the probed partition's entries all point at the REAL seed file
+        # (scan's DataFrame construction resolves paths eagerly); other
+        # partitions keep synthetic paths — they are never planned
+        man["files"] = man["files"] + [
+            {
+                **protop,
+                "path": protop["path"]
+                if i % n_cells == 0
+                else f"data/cell={i % n_cells}/synth-{i:07d}.parquet",
+                "partition": {"cell": str(i % n_cells)},
+                "stats": {"mn_k": i, "mx_k": i},
+            }
+            for i in range(n_files - 1)
+        ]
+        man["operation"] = "append"
+        man["parent"] = man["version"]
+        mp._commit("tp", man)
+        planner = ParquetTableManager(spark, wp)  # cold cache
+        planner.scan("tp", where=[("cell", "==", 0)])  # warm the parse
+        t0 = time.perf_counter()
+        for _ in range(10):
+            _df, planned, _tot = planner.scan("tp", where=[("cell", "==", 0)])
+        scan_sec = (time.perf_counter() - t0) / 10
         results[str(n_files)] = {
             "bulk_commit_sec": round(bulk_sec, 3),
             "micro_append_sec": round(micro_sec, 4),
             "meta_bytes_per_commit": int(bytes_per_commit),
             "segments": len(raw.get("segments", [])),
             "inline_files_json_bytes": 0 if "files" not in raw else -1,
+            "scan_point_plan_sec": round(scan_sec, 4),
+            "scan_point_planned_files": planned,
         }
         print(f"n_files={n_files}: {results[str(n_files)]}", flush=True)
     lo = results["1000"]["micro_append_sec"]
