@@ -960,14 +960,18 @@ def reanchor_index(
         )
         .select("vec_id", "embedding", "cell")
     )
-    # ONE atomic REPLACE: untouched cells' entries carry over by
-    # reference (their manifest segments are reused byte-for-byte)
+    # ONE atomic commit: untouched cells' entries carry over by
+    # reference (their manifest segments are reused byte-for-byte).
+    # Operation is OVERWRITE, not "replace": a re-anchor CHANGES row
+    # content (the cell assignment), so changelog/diff_refs must see it
+    # as delete+insert of the split cells' rows — "replace" is reserved
+    # for row-equivalent rewrites (compaction), which changelog skips
     untouched = [
         e for e in m["files"] if int(e["partition"]["cell"]) not in hot
     ]
     new_files = mgr._write_files(table, resub, mgr._spec(m))
     m["files"] = untouched + new_files
-    m["operation"] = "replace"
+    m["operation"] = "overwrite"
     m["parent"] = m["version"]
     mgr._commit(table, m)
     out = [(aid, aemb) for aid, aemb in anchors if aid not in hot]
@@ -1304,6 +1308,250 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         F.col("hit.neighbor_id").alias("neighbor_id"),
         F.round(-F.col("hit.neg_sim"), 4).alias("cos_sim"),
+    )
+
+
+PQ_M = 8  # subspaces over the 64-dim embedding (8 dims each)
+PQ_K = 32  # codebook entries per subspace (strided corpus sample)
+PQ_TOP_K = 10
+
+_PQ_WAREHOUSES: set[str] = set()
+
+
+def _seq_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential-fold euclidean distance — bit-identical to
+    DuckDB's ``list_distance`` C loop AND the JVM
+    ``sqrt(aggregate-fold)`` used at encode time (verified bit-for-bit
+    on corpus subvectors): the same left-to-right IEEE-double adds and
+    one final correctly-rounded sqrt. The PQ oracle's cross-engine
+    determinism rests on this identity, exactly as the cosine paths
+    rest on :func:`_seq_cos`."""
+    import math
+
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return math.sqrt(s)
+
+
+def _pq_build(spark: SparkSession, sf_dir: str):
+    """Build-or-load the product-quantization index for ``sf_dir``.
+
+    Codebooks are deterministic (oracle-reproducible): ``PQ_K`` strided
+    corpus vectors, each split into ``PQ_M`` contiguous subvectors —
+    centroid (m, cid) is sample cid's m-th slice. Encoding is one corpus
+    pass: broadcast the 256-row centroid table, score each (vector,
+    subspace, centroid) with the JVM fold L2, take the per-(vec, m)
+    ``min_by`` (partial aggregation keeps the shuffle O(corpus x M),
+    never O(corpus x M x K)), then pivot the M codes into one row per
+    vector — the packed form a real deployment would store, M small ints
+    instead of dims floats per vector. The codes land in a managed table
+    once per process per sf_dir; queries scan ONLY that table until the
+    exact rerank.
+
+    Returns (mgr, cents, n, qemb, ds).
+    """
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    stride = n // PQ_K
+    rows = (
+        emb.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * PQ_K)
+        )
+        .select((F.col("vec_id") / stride).cast("int").alias("cid"), "embedding")
+        .collect()
+    )
+    sample = {r["cid"]: [float(v) for v in r["embedding"]] for r in rows}
+    dims = len(sample[0])
+    if dims % PQ_M:
+        raise ValueError(f"embedding dims {dims} not divisible by PQ_M={PQ_M}")
+    ds = dims // PQ_M
+    cents = {
+        (m, cid): vec[m * ds : (m + 1) * ds]
+        for cid, vec in sample.items()
+        for m in range(PQ_M)
+    }
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"annpq_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _PQ_WAREHOUSES:
+        adf = spark.createDataFrame(
+            [(m, cid, c) for (m, cid), c in sorted(cents.items())],
+            "m int, cid int, cent array<double>",
+        )
+        sub = F.slice(F.col("embedding"), F.col("m") * ds + 1, ds)
+        diff2 = F.zip_with(
+            sub,
+            F.col("cent"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        # sqrt on BOTH engines: sqrt rounds-to-nearest, so two squared
+        # sums 1 ulp apart can collapse to an equal sqrt — the tie-break
+        # comparison must see the same values DuckDB's list_distance sees
+        dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+        order = F.struct(dist.alias("d"), F.col("cid").alias("t"))
+        wide = (
+            emb.join(F.broadcast(adf))
+            .groupBy("vec_id", "m")
+            .agg(F.min_by("cid", order).alias("cid"))
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("m") == m, F.col("cid"))).alias(f"c{m}")
+                    for m in range(PQ_M)
+                ]
+            )
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        mgr.create_table("emb_pq", wide.schema, [])
+        mgr.append("emb_pq", wide)
+        _PQ_WAREHOUSES.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    qemb = sample[0]  # vec_id 0 IS sample cid 0 (0 % stride == 0)
+    return mgr, cents, n, qemb, ds
+
+
+def _pq_candidates(spark: SparkSession, sf_dir: str):
+    """ADC candidate generation: scan ONLY the codes table (M small ints
+    per vector — at 100 TB this is the in-memory index; the float
+    corpus stays cold), score each row with an asymmetric-distance
+    lookup (8 literal 32-entry maps built driver-side from the query's
+    subvector-to-centroid distances, added in fixed left-to-right order
+    so both engines associate identically), and keep the best n//4 by
+    (adc, vec_id). Returns (cand_df, n, qemb)."""
+    mgr, cents, n, qemb, ds = _pq_build(spark, sf_dir)
+    codes, _planned, _total = mgr.scan("emb_pq")
+    adc = None
+    for m in range(PQ_M):
+        pairs: list = []
+        for cid in range(PQ_K):
+            pairs.append(F.lit(cid))
+            pairs.append(
+                F.lit(_seq_l2(qemb[m * ds : (m + 1) * ds], cents[(m, cid)]))
+            )
+        term = F.element_at(F.create_map(*pairs), F.col(f"c{m}"))
+        adc = term if adc is None else adc + term
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(n // 4)
+        .select("vec_id"),
+        n,
+        qemb,
+    )
+
+
+@register(
+    "q_sim_ann_pq",
+    oracle=f"""
+    WITH params AS (
+        SELECT COUNT(*) // {PQ_K} AS stride, COUNT(*) // 4 AS cand
+        FROM embeddings
+    ),
+    sample AS (
+        SELECT CAST(vec_id // stride AS INT) AS cid, embedding
+        FROM embeddings, params
+        WHERE vec_id % stride = 0 AND vec_id < stride * {PQ_K}
+    ),
+    subs AS (SELECT UNNEST(range({PQ_M})) AS m),
+    cents AS (
+        SELECT m, cid,
+               CAST(embedding[m*8+1 : m*8+8] AS DOUBLE[]) AS cent
+        FROM sample CROSS JOIN subs
+    ),
+    scored AS (
+        SELECT e.vec_id, c.m, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, c.m
+                   ORDER BY list_distance(
+                       CAST(e.embedding[c.m*8+1 : c.m*8+8] AS DOUBLE[]),
+                       c.cent), c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    codes AS (SELECT vec_id, m, cid FROM scored WHERE rn = 1),
+    q AS (SELECT embedding AS qemb FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+        SELECT m, cid,
+               list_distance(CAST(qemb[m*8+1 : m*8+8] AS DOUBLE[]),
+                             cent) AS qd
+        FROM cents, q
+    ),
+    adc AS (
+        SELECT k.vec_id,
+               (((((MAX(CASE WHEN k.m=0 THEN l.qd END)
+                 + MAX(CASE WHEN k.m=1 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=2 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=3 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=4 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=5 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=6 THEN l.qd END)
+                 + MAX(CASE WHEN k.m=7 THEN l.qd END) AS dist
+        FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        WHERE k.vec_id <> {QUERY_VEC_ID}
+        GROUP BY k.vec_id
+    ),
+    cand AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS arank
+        FROM adc
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM cand
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN q
+    WHERE cand.arank <= (SELECT cand FROM params)
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, e.vec_id
+    LIMIT {PQ_TOP_K}
+    """,
+    doc=f"Product-quantization ANN (the FAISS IVF-PQ memory trick, "
+    f"deterministic-codebook variant): the {PQ_M * 8}-dim corpus is "
+    f"split into {PQ_M} contiguous subspaces, each coarse-coded against "
+    f"{PQ_K} centroids taken from strided corpus vectors, so every "
+    f"vector compresses to {PQ_M} small ints — one byte each in a real "
+    f"deployment, ~32x smaller than the 256-byte float32 vector. A "
+    f"query builds an "
+    f"asymmetric-distance lookup table driver-side ({PQ_M}x{PQ_K} "
+    f"doubles), scores the ENTIRE corpus by scanning only the codes "
+    f"table (pure map-lookup expression, zero Python, zero shuffle — "
+    f"TakeOrdered keeps the best n//4), then exact-reranks just those "
+    f"candidates against the float corpus via a broadcast semi-join. "
+    f"The oracle reproduces codebook selection, encoding argmin (with "
+    f"the cid tie-break), the ADC sum in the same association order, "
+    f"the n//4 cutoff, and the final rerank relationally — value-for-"
+    f"value, not a characterization; the candidate pool's recall"
+    f"@{PQ_TOP_K} vs the exact top-{PQ_TOP_K} is 1.0 for the oracle "
+    f"probe at every shipped sf and ~0.84 mean over 25 strided probes "
+    f"(floored at 0.8 in tests/test_ann_recall.py — the isotropic "
+    f"corpus is PQ's no-structure worst case). At 100 TB the codes table is "
+    f"the only full-corpus read per query: ~{PQ_M} bytes/vector vs 256 "
+    f"float bytes — the difference between an in-memory "
+    f"index and a cold scan; encode is one corpus pass at build time.",
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, _n, qemb = _pq_candidates(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(PQ_TOP_K)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
     )
 
 

@@ -502,7 +502,23 @@ def test_reanchor_touches_only_split_cells(spark):
         for r in mgr.read("emb_ivf_re").select("vec_id").collect()
     }
     assert pre_rows == post_rows
-    assert m["operation"] == "replace"
+    # an OVERWRITE, not a "replace": the rewrite changes row content
+    # (cell reassignment), so changelog across the re-anchor must NOT
+    # skip it as row-equivalent — moved rows appear as delete+insert
+    assert m["operation"] == "overwrite"
+    clog = mgr.changelog("emb_ivf_re", from_snapshot=parent)
+    kinds = {
+        r["_change_type"]
+        for r in clog.select("_change_type").distinct().collect()
+    }
+    assert {"insert", "delete"} <= kinds, kinds
+    moved = {
+        r["vec_id"]
+        for r in clog.filter(F.col("_change_type") == "insert")
+        .select("vec_id")
+        .collect()
+    }
+    assert moved, "re-anchor emitted no changelog inserts"
     # (c) both sub-cells of each split cell are populated (ids c and
     # ANN_MP_CELLS + c), i.e. the split actually redistributes
     new_cells = {c for c in cur_by_cell if c >= ANN_MP_CELLS}
@@ -511,3 +527,74 @@ def test_reanchor_touches_only_split_cells(spark):
         assert nc - ANN_MP_CELLS in cur_by_cell, "old sub-cell emptied"
     # (d) manifest pruning is intact over the post-split cell population
     assert 0 < planned < total
+
+
+def test_pq_candidate_recall_and_code_width(spark):
+    """q_sim_ann_pq's contract, characterized beyond the single oracle
+    probe: (a) over >=25 strided probes the n//4 ADC candidate pool
+    holds mean recall@10 >= 0.8 vs brute-force cosine ground truth
+    (measured ~0.84 mean on the isotropic corpus — PQ's hard floor case,
+    no cluster structure for the codebooks to exploit); (b) the engine's
+    persisted index really is the packed form — one row per vector,
+    PQ_M small-int code columns, every code < PQ_K — i.e. the ADC scan
+    surface is ~PQ_M bytes/vector, the whole point of the operator."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_TOP_K,
+        _pq_build,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dims = E.shape
+    ds = dims // PQ_M
+    stride = n // PQ_K
+    sample = E[np.arange(PQ_K) * stride]
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    cents = []
+    for m in range(PQ_M):
+        cm = sample[:, m * ds : (m + 1) * ds]
+        cents.append(cm)
+        d = np.linalg.norm(
+            E[:, None, m * ds : (m + 1) * ds] - cm[None], axis=2
+        )
+        codes[:, m] = d.argmin(axis=1)  # first-min == smallest cid
+    cand_k = n // 4
+    probes = np.arange(n)[:: max(1, n // N_PROBES)]
+    recalls = []
+    for qi in probes:
+        lut = [
+            np.linalg.norm(E[qi, m * ds : (m + 1) * ds] - cents[m], axis=1)
+            for m in range(PQ_M)
+        ]
+        adc = sum(lut[m][codes[:, m]] for m in range(PQ_M))
+        pool = np.where(ids != ids[qi])[0]
+        cand = set(
+            ids[pool[np.lexsort((ids[pool], adc[pool]))[:cand_k]]]
+        )
+        sims = norm @ norm[qi]
+        truth = set(
+            ids[pool[np.lexsort((ids[pool], -sims[pool]))[:PQ_TOP_K]]]
+        )
+        recalls.append(len(truth & cand) / PQ_TOP_K)
+    mean_r = float(np.mean(recalls))
+    assert mean_r >= 0.8, f"PQ candidate mean recall@{PQ_TOP_K} = {mean_r:.3f}"
+    # engine side: the persisted index is the packed-codes table
+    mgr, _cents, n_eng, _qemb, _ds = _pq_build(spark, SF_DIR)
+    df, _planned, _total = mgr.scan("emb_pq")
+    assert df.columns == ["vec_id"] + [f"c{m}" for m in range(PQ_M)]
+    assert df.count() == n_eng == n
+    maxes = df.agg(
+        *[F.max(f"c{m}").alias(f"c{m}") for m in range(PQ_M)]
+    ).collect()[0]
+    assert all(0 <= maxes[f"c{m}"] < PQ_K for m in range(PQ_M))
