@@ -443,28 +443,19 @@ def run_to_table_wap(
     bad batch, and one bad batch never blocks the stream. At 100 TB
     this is the shape a production bronze→silver gate runs: per-epoch
     cost is O(batch) (append + one manifest-diff validation read), and
-    the audit/publish atomicity comes from the branch CAS, not a lock."""
+    the audit/publish atomicity comes from the branch CAS, not a lock.
+
+    Replay idempotence: the audit append carries its epoch id INSIDE the
+    commit (``streaming.last-epoch``, the connector sink's marker — see
+    sources/pyds.py); a crash-replayed epoch is detected from the
+    branch/main head markers and resumes at the right step instead of
+    re-appending, so at-least-once delivery yields exactly-once
+    PUBLISHED state at every crash point (pinned in
+    tests/test_streaming.py). Single streaming writer per table, as with
+    every epoch-marker sink."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        published = mgr.read(table)
-        mgr.append(table, batch_df, ref=branch)
-        delta = (
-            mgr.diff_refs(table, to_ref=branch)
-            .filter(F.col("_change_type") == "insert")
-            .drop("_change_type", "_snapshot_id")
-        )
-        if validate(delta, published):
-            mgr.fast_forward(table, branch)
-            return
-        _seq, bad = mgr._ref_head(table, branch)
-        try:
-            mgr.create_tag(table, f"quarantine-{epoch_id}", at_snapshot=bad)
-        except ValueError:
-            pass  # replayed epoch already quarantined — idempotent
-        mgr.drop_branch(table, branch)
-        mgr.create_branch(table, branch)  # reset to main's head
+        wap_sink_epoch(mgr, table, branch, validate, batch_df, epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -473,6 +464,71 @@ def run_to_table_wap(
         .start()
     )
     q.awaitTermination()
+
+
+def wap_sink_epoch(
+    mgr: ParquetTableManager,
+    table: str,
+    branch: str,
+    validate,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One write-audit-publish epoch, safe to re-run at ANY crash point
+    (the foreachBatch body of :func:`run_to_table_wap`, importable so
+    replay is testable without crashing a real stream):
+
+    - crash after the audit append → the branch head carries this
+      epoch's marker → skip the append, resume at validate;
+    - crash after fast-forward → MAIN's head carries the marker → the
+      epoch is already published, return;
+    - crash between quarantine tag and branch reset → marker on branch,
+      validate fails again, the existing tag is kept, reset completes;
+    - crash after the reset → the branch lost the marker with the bad
+      snapshot, so the batch re-stages and re-quarantines — converging,
+      and main never saw it.
+    """
+    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
+
+    if batch_df.isEmpty():
+        return
+
+    def head_epoch(ref_name: str) -> int:
+        _seq, v = mgr._ref_head(table, ref_name)
+        if v < 0:
+            return -1
+        props = mgr._manifest_raw(table, v).get("properties") or {}
+        try:
+            return int(props.get(STREAM_EPOCH_PROP, -1))
+        except (TypeError, ValueError):
+            return -1
+
+    if head_epoch("main") >= epoch_id:
+        return  # replayed epoch already PUBLISHED
+    published = mgr.read(table)
+    if head_epoch(branch) < epoch_id:
+        mgr.append(
+            table,
+            batch_df,
+            ref=branch,
+            snapshot_properties={STREAM_EPOCH_PROP: str(epoch_id)},
+        )
+    # else: replay — the batch is already staged on the audit branch
+    delta = (
+        mgr.diff_refs(table, to_ref=branch)
+        .filter(F.col("_change_type") == "insert")
+        .drop("_change_type", "_snapshot_id")
+    )
+    if validate(delta, published):
+        mgr.fast_forward(table, branch)
+        return
+    _seq, bad = mgr._ref_head(table, branch)
+    try:
+        mgr.create_tag(table, f"quarantine-{epoch_id}", at_snapshot=bad)
+    except ValueError:
+        pass  # replayed epoch already quarantined — idempotent
+    mgr.drop_branch(table, branch)
+    mgr.create_branch(table, branch)  # reset to main's head
 
 
 def rate_events(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:

@@ -842,6 +842,14 @@ class ParquetTableManager:
                     break
                 except (TypeError, ValueError):
                     continue
+            # NaN poisons min()/max() (every comparison is False, so the
+            # first element wins regardless of the rest): a [nan, nan]
+            # bound would prune segments whose OTHER values match —
+            # breaking the summary-is-a-superset invariant. No summary
+            # for a column carrying NaN; per-entry _may_match still
+            # applies its own NaN rules.
+            if any(isinstance(v, float) and v != v for v in vals):
+                continue
             try:
                 parts[c] = [min(vals), max(vals)]
             except TypeError:
@@ -1474,6 +1482,7 @@ class ParquetTableManager:
         df: DataFrame,
         ref: str = "main",
         merge_schema: bool = False,
+        snapshot_properties: dict[str, str] | None = None,
     ) -> int:
         """Atomic multi-file append: all files of this call become visible
         in ONE commit (reference #20/#21: the whole parallel bulk load lands
@@ -1486,6 +1495,13 @@ class ParquetTableManager:
         ``merge_schema=True`` first auto-evolves the table to fit the
         batch (see :meth:`_merge_schema`), so new columns land instead
         of being dropped.
+
+        ``snapshot_properties`` merge into the committed manifest's
+        properties ATOMICALLY with the data (rebase-safe) — the
+        snapshot-summary-property shape streaming sinks use to carry an
+        epoch marker inside the very commit it marks (a separate
+        set-properties commit would leave a crash window where the data
+        landed unmarked and a replay duplicates it).
 
         Auto-maintenance: with the ``write.compact-threshold`` table
         property set (an int), an append that leaves any partition's
@@ -1524,6 +1540,11 @@ class ParquetTableManager:
         m["files"] = m["files"] + new_files
         m["operation"] = "append"
         m["parent"] = m["version"]
+        if snapshot_properties:
+            m["properties"] = {
+                **(m.get("properties") or {}),
+                **snapshot_properties,
+            }
 
         def rebase(cur_m: dict) -> dict:
             # lost-update protection: re-stage OUR files on the advanced
@@ -1532,6 +1553,11 @@ class ParquetTableManager:
             out["files"] = cur_m["files"] + new_files
             out["operation"] = "append"
             out["parent"] = cur_m["version"]
+            if snapshot_properties:
+                out["properties"] = {
+                    **(cur_m.get("properties") or {}),
+                    **snapshot_properties,
+                }
             return out
 
         v = self._commit(name, m, rebase=rebase, ref=ref)
@@ -1554,12 +1580,15 @@ class ParquetTableManager:
                 counts[k] = counts.get(k, 0) + 1
             if any(c >= thresh for c in counts.values()):
                 try:
-                    # return the compaction COMMIT's version, not a fresh
-                    # head read (a concurrent foreign commit may have
-                    # advanced the head past our maintenance snapshot)
-                    v = self.compact_partitions(name, min_files=thresh)[
-                        "version"
-                    ]
+                    # adopt the compaction COMMIT's version only if it
+                    # actually rewrote: the no-op path (a concurrent
+                    # compaction already defragmented) returns the head
+                    # it examined, which can be a FOREIGN commit's id —
+                    # callers pin the returned version for tags/time
+                    # travel, so it must be a snapshot this call made
+                    res = self.compact_partitions(name, min_files=thresh)
+                    if res.get("rewritten"):
+                        v = res["version"]
                 except CompactionConflict:
                     # two concurrent appends both crossed the threshold
                     # and raced their compactions: the loser's rewrite
@@ -1737,7 +1766,12 @@ class ParquetTableManager:
                             applied, v = False, cur
                             while v is not None:
                                 try:
-                                    mm = self._load_manifest(name, v)
+                                    # metadata-only walk: raw manifest
+                                    # (txn/txn_entry/parent), never the
+                                    # materialized inventory — a deep
+                                    # ancestry scan must stay O(history),
+                                    # not O(history x files)
+                                    mm = self._manifest_raw(name, v)
                                 except FileNotFoundError:
                                     # expired history: dangling parent
                                     # pointer — stop the walk (never
@@ -2428,15 +2462,26 @@ class ParquetTableManager:
         commit-triggered table maintenance)."""
         entry = self._stage_upsert(name, df, keys)
         v = self._apply_upsert(name, ref, entry)
-        thresh = int(
-            self.properties(name).get(DELETE_COMPACT_THRESHOLD_PROP, 0)
-        )
+        # defensive parse (the data-compact twin's discipline): a bad
+        # property value must never fail the upsert AFTER its commit
+        try:
+            thresh = int(
+                self.properties(name).get(DELETE_COMPACT_THRESHOLD_PROP, 0)
+            )
+        except (TypeError, ValueError):
+            thresh = 0
         if thresh > 0 and ref == "main" and self.spark is not None:
             m = self._load_manifest(name)
             if any(
                 len(e.get("eq_deletes", [])) >= thresh for e in m["files"]
             ):
-                v = self.compact_deletes(name)
+                # adopt the fold COMMIT's version only if it actually
+                # folded — the no-op path (a concurrent fold already
+                # flattened the stacks) returns the head it examined,
+                # which can be a foreign commit's id
+                nv, did = self._compact_deletes(name)
+                if did:
+                    v = nv
         return v
 
     def _stage_upsert(
@@ -2618,6 +2663,12 @@ class ParquetTableManager:
         return births
 
     def compact_deletes(self, name: str) -> int:
+        """Public wrapper over :meth:`_compact_deletes` (same contract,
+        version-only return — the int every existing caller expects)."""
+        v, _changed = self._compact_deletes(name)
+        return v
+
+    def _compact_deletes(self, name: str) -> tuple[int, bool]:
         """Fold stacked merge-on-read delete files into SEQUENCE-SCOPED
         GLOBAL deletes without touching any data file (≙ Iceberg's v2
         equality-delete design, where one delete file + sequence numbers
@@ -2653,7 +2704,7 @@ class ParquetTableManager:
         has_eq = any(e.get("eq_deletes") for e in m["files"])
         has_pos = any(e.get("pos_deletes") for e in m["files"])
         if not has_eq and not has_pos:
-            return m["version"]
+            return m["version"], False
         files = [dict(e) for e in m["files"]]
         changed = False
         # stamp every known-birth entry's data sequence number up front —
@@ -2845,11 +2896,11 @@ class ParquetTableManager:
                 changed = True
 
         if not changed:
-            return m["version"]
+            return m["version"], False
         m["files"] = files
         m["operation"] = "compact-deletes"
         m["parent"] = m["version"]
-        return self._commit(name, m)
+        return self._commit(name, m), True
 
     def update(
         self,
@@ -3862,8 +3913,8 @@ class ParquetTableManager:
         live: set[str] = set()
         live_segs: set[str] = set()
         for v in keep:
-            live_segs.update(self._manifest_raw(name, v).get("segments", []))
             mm = self._load_manifest(name, v)
+            live_segs.update(sid for sid, _ in mm.get("_seg_layout") or [])
             for e in mm["files"]:
                 live.update(_paths(e))
             live.update(
@@ -3876,8 +3927,8 @@ class ParquetTableManager:
         removed_files = removed_snaps = 0
         drop_segs: set[str] = set()
         for v in drop:
-            drop_segs.update(self._manifest_raw(name, v).get("segments", []))
             dm = self._load_manifest(name, v)
+            drop_segs.update(sid for sid, _ in dm.get("_seg_layout") or [])
             dropped_paths = [p for e in dm["files"] for p in _paths(e)] + [
                 g["path"]
                 for g in (

@@ -296,3 +296,33 @@ def test_scan_prunes_whole_segments(mgr, spark):
     # per-entry checks ran only over the hi-range segments' entries
     assert spy.call_count == n_hi_entries, (spy.call_count, layout)
     assert 0 < planned < total
+
+
+def test_nan_partition_value_disables_summary_not_correctness(mgr, spark):
+    """NaN poisons Python min()/max() (every comparison False — the
+    first element wins), so a segment whose identity-partition values
+    include NaN must carry NO summary for that column; a scan for a
+    real value that shares a segment with NaN rows still returns it.
+    Regression gate for the summary-is-a-superset invariant."""
+    from iceberg_poc_spark.tables import identity
+    from iceberg_poc_spark.tables import manager as M
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 7.0)], "k long, cell double"
+    )
+    mgr.create_table(
+        "t",
+        df.schema,
+        [identity("cell")],
+        properties={
+            M.SEGMENT_TARGET_PROP: "16",
+            M.SEGMENT_MERGE_RUN_PROP: "100",
+        },
+    )
+    mgr.append("t", df)
+    raw = mgr._manifest_raw("t", mgr._current_version("t"))
+    for s in raw["seg_stats"].values():
+        assert "cell" not in s.get("p", {}), s
+    got, planned, total = mgr.scan("t", where=[("cell", "==", 5.0)])
+    assert {r.k for r in got.collect()} == {2}
+    assert planned >= 1

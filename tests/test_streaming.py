@@ -497,3 +497,63 @@ def test_stream_wap_quarantines_bad_batch(spark):
     # quarantined snapshot survives expiry (tag-pinned)
     mgr.expire_snapshots("events_wap_stream", keep_last=1)
     assert mgr.read("events_wap_stream", snapshot_id=qsnap).count() == len(qrows)
+
+
+def test_wap_epoch_replay_is_exactly_once(spark, tmp_path):
+    """wap_sink_epoch's crash-replay matrix: a re-delivered epoch (the
+    at-least-once case Structured Streaming guarantees after a crash
+    between the foreachBatch body and the checkpoint commit) never
+    duplicates rows on MAIN, at every crash point — after publish,
+    after the audit append, between quarantine tag and branch reset,
+    and after the reset. The audit append carries its epoch id inside
+    the commit (streaming.last-epoch), which is what makes each resume
+    point detectable."""
+    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
+    from iceberg_poc_spark.streaming.pipelines import wap_sink_epoch
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    df0 = spark.createDataFrame([(1, 10)], "event_id long, v long")
+    mgr.create_table("t", df0.schema, [])
+    mgr.create_branch("t", "audit")
+
+    def good(_delta, _pub):
+        return True
+
+    def bad(_delta, _pub):
+        return False
+
+    # crash point B: epoch fully published, then re-delivered
+    wap_sink_epoch(mgr, "t", "audit", good, df0, 0)
+    assert mgr.read("t").count() == 1
+    wap_sink_epoch(mgr, "t", "audit", good, df0, 0)
+    assert mgr.read("t").count() == 1, "replayed published epoch duplicated"
+
+    # crash point A: audit append landed, publish never ran
+    df1 = spark.createDataFrame([(2, 20)], "event_id long, v long")
+    mgr.append(
+        "t", df1, ref="audit",
+        snapshot_properties={STREAM_EPOCH_PROP: "1"},
+    )
+    wap_sink_epoch(mgr, "t", "audit", good, df1, 1)  # resumes at validate
+    assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
+
+    # crash point C: bad batch tagged but branch not yet reset
+    df2 = spark.createDataFrame([(3, 30)], "event_id long, v long")
+    mgr.append(
+        "t", df2, ref="audit",
+        snapshot_properties={STREAM_EPOCH_PROP: "2"},
+    )
+    _s, badsnap = mgr._ref_head("t", "audit")
+    mgr.create_tag("t", "quarantine-2", at_snapshot=badsnap)
+    wap_sink_epoch(mgr, "t", "audit", bad, df2, 2)
+    assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
+    refs = {r.ref: r.snapshot_id for r in mgr.refs("t").collect()}
+    assert refs["quarantine-2"] == badsnap, "replay moved the quarantine tag"
+    assert refs["audit"] == mgr._current_version("t"), "branch not reset"
+
+    # crash point D: reset completed, checkpoint never committed — the
+    # replay re-stages the bad batch and re-quarantines; main stays clean
+    wap_sink_epoch(mgr, "t", "audit", bad, df2, 2)
+    assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
+    assert {r.ref for r in mgr.refs("t").collect()} >= {"audit", "quarantine-2"}
