@@ -387,6 +387,94 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_IDX_READY: set[str] = set()
+
+
+@register(
+    "q_vocab_incremental",
+    oracle=f"""
+    WITH cidx AS (
+        SELECT word, COUNT(*) AS cn
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 10 <> 0)
+        GROUP BY word
+    ),
+    bc AS (
+        SELECT word, COUNT(*) AS bn
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 10 = 0)
+        GROUP BY word
+    )
+    SELECT COALESCE(c.word, b.word) AS word,
+           CAST(COALESCE(c.cn, 0) + COALESCE(b.bn, 0) AS BIGINT) AS n,
+           c.word IS NULL AS is_new
+    FROM cidx c FULL OUTER JOIN bc b ON c.word = b.word
+    ORDER BY n DESC, COALESCE(c.word, b.word)
+    LIMIT {VOCAB_TOP_K}
+    """,
+    doc=f"Incremental vocabulary maintenance — the STATISTICS leg of the "
+    f"incremental family (exact dedup / LSH / cluster / ANN legs: "
+    f"q_dedup_incremental, q_dedup_near_incremental, "
+    f"q_dedup_clusters_incremental, q_sim_ann_incremental): corpus word "
+    f"counts live in a persisted table bucketed+sorted on word; a daily "
+    f"batch tokenizes ONLY its own documents, counts map-side, and "
+    f"full-outer sort-merge-joins the index with ZERO Exchange on the "
+    f"index side (plan-gated in tests/test_plans.py) — merged counts are "
+    f"coalesce(corpus,0)+coalesce(batch,0), never a corpus re-tokenize. "
+    f"is_new marks words the corpus had never seen (the OOV/tokenizer-"
+    f"drift signal a production vocab refresh watches). Surface: the "
+    f"merged top-{VOCAB_TOP_K} (exact integer counts, ties by word). "
+    f"At 100 TB the corpus tokenize happens once at index build; every "
+    f"refresh costs O(batch) + O(vocab) — the difference between a "
+    f"nightly job and a nightly full-corpus pass.",
+)
+def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.sources.bucketed import write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"vincwh_{os.getpid()}_{key}")
+    db = f"vinc_{key}"
+    idx = f"{db}.vocab_counts"
+    if wh not in _VOCAB_IDX_READY:
+        corpus_counts = (
+            d.filter(F.col("doc_id") % 10 != 0)
+            .select(F.explode(words_col()).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cn"))
+        )
+        write_bucketed(corpus_counts, "vocab_counts", "word", 32, db, wh)
+        _VOCAB_IDX_READY.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("bn"))
+    )
+    merged = spark.table(idx).hint("merge").join(batch, "word", "full_outer")
+    return (
+        merged.select(
+            "word",
+            (
+                F.coalesce(F.col("cn"), F.lit(0))
+                + F.coalesce(F.col("bn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n"),
+            F.col("cn").isNull().alias("is_new"),
+        )
+        .orderBy(F.col("n").desc(), "word")
+        .limit(VOCAB_TOP_K)
+    )
+
+
 TFIDF_TOP_K = 3
 
 

@@ -375,3 +375,15 @@ def test_dedup_clusters_incremental_index_zero_exchange(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"SortMergeJoin", plan)) >= 3, plan
     assert len(re.findall(r"Bucketed: true", plan)) == 3, plan
+
+
+def test_vocab_incremental_index_side_zero_exchange(spark):
+    """q_vocab_incremental: the persisted vocab-counts index is
+    bucketed+sorted on word, so the full-outer sort-merge merge gets NO
+    Exchange on the index side — the batch tokenize/count is the only
+    shuffled input, and the top-k is a TakeOrdered, never a global
+    sort."""
+    plan = explain_str(Q["q_vocab_incremental"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert len(re.findall(r"Bucketed: true", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
