@@ -15,7 +15,7 @@ order for the oracle diff (SURVEY.md §7.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
@@ -317,6 +317,131 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionByName(merged)
+
+
+HISTQ_BUCKETS = 64
+
+
+@register(
+    "q_agg_hist_quantile",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(o_totalprice) AS mn,
+               (MAX(o_totalprice) - MIN(o_totalprice)) / {HISTQ_BUCKETS}.0
+                   AS w
+        FROM orders
+    ),
+    hist AS (
+        SELECT o_orderpriority AS scope,
+               LEAST(CAST(FLOOR((o_totalprice - mn) / w) AS BIGINT),
+                     {HISTQ_BUCKETS - 1}) AS b,
+               COUNT(*) AS cnt
+        FROM orders, mm GROUP BY 1, 2
+    ),
+    uh AS (
+        SELECT scope, b, CAST(cnt AS BIGINT) AS cnt FROM hist
+        UNION ALL
+        SELECT 'ALL', b, CAST(SUM(cnt) AS BIGINT) FROM hist GROUP BY b
+    ),
+    cum AS (
+        SELECT scope, b,
+               SUM(cnt) OVER (PARTITION BY scope ORDER BY b) AS cum,
+               SUM(cnt) OVER (PARTITION BY scope) AS n
+        FROM uh
+    ),
+    med AS (
+        SELECT scope, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(b) AS INT) AS med_bucket
+        FROM cum WHERE cum >= (n + 1) // 2 GROUP BY scope
+    ),
+    exact AS (
+        SELECT o_orderpriority AS scope,
+               quantile_cont(o_totalprice, 0.5) AS m
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', quantile_cont(o_totalprice, 0.5) FROM orders
+    )
+    SELECT med.scope, med.n, med.med_bucket,
+           {dround("exact.m", 2)} AS exact_med,
+           (exact.m >= mn + (med_bucket - 1) * w
+            AND exact.m <= mn + (med_bucket + 2) * w) AS within_bound
+    FROM med JOIN exact ON med.scope = exact.scope CROSS JOIN mm
+    """,
+    doc=f"Mergeable histogram quantiles — the partial-state property "
+    f"q_agg_hll_merge demonstrates for COUNT DISTINCT, applied to "
+    f"QUANTILES (the t-digest/KLL pattern, in closed form so the oracle "
+    f"can recompute it value-for-value): one corpus pass builds per-"
+    f"segment equi-width histograms ({HISTQ_BUCKETS} buckets over the "
+    f"global [min,max]); per-segment medians come from each segment's "
+    f"cumulative counts, and the ALL row is answered by SUMMING the "
+    f"bucket counts — merging partial states, never rescanning rows. "
+    f"Bucket assignment is identical floating-point in both engines "
+    f"(exact min/max, one division for the width, one floor per row), "
+    f"so med_bucket is value-checked, not characterized; within_bound "
+    f"pins the histogram error envelope (estimate within one bucket "
+    f"width of the exact interpolated median, both recomputed "
+    f"relationally). At 100 TB: histograms are a few KB per segment, "
+    f"merge any subset (day, tenant, all) without a second pass — "
+    f"exact percentiles need the group's values sorted, every time.",
+)
+def q_agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    ).collect()[0]
+    mn = float(mm["mn"])
+    w = (float(mm["mx"]) - mn) / HISTQ_BUCKETS
+    b = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(w)),
+        F.lit(HISTQ_BUCKETS - 1),
+    ).cast("bigint")
+    # the partial states: one histogram row per (segment, bucket),
+    # materialized once — both consumers below read the counts, the
+    # rows never again
+    hist = (
+        o.groupBy(F.col("o_orderpriority").alias("scope"), b.alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    merged = hist.groupBy("b").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("ALL").alias("scope"), "b", "cnt"
+    )
+    uh = hist.select("scope", "b", "cnt").unionByName(merged)
+    wspec = Window.partitionBy("scope").orderBy("b")
+    cum = uh.select(
+        "scope",
+        "b",
+        F.sum("cnt").over(wspec).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("scope")).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        .groupBy("scope")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min("b").cast("int").alias("med_bucket"),
+        )
+    )
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("scope"))
+        .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
+        .unionByName(
+            o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m")).select(
+                F.lit("ALL").alias("scope"), "m"
+            )
+        )
+    )
+    est_lo = F.lit(mn) + (F.col("med_bucket") - 1) * F.lit(w)
+    est_hi = F.lit(mn) + (F.col("med_bucket") + 2) * F.lit(w)
+    return med.join(exact, "scope").select(
+        "scope",
+        "n",
+        "med_bucket",
+        F.round("m", 2).alias("exact_med"),
+        ((F.col("m") >= est_lo) & (F.col("m") <= est_hi)).alias(
+            "within_bound"
+        ),
+    )
 
 
 @register(
