@@ -3192,3 +3192,61 @@ def q_txn_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_legacy"),
         F.round(F.sum("quality"), 2).alias("sum_quality"),
     )
+
+
+ADD_FILES_PRICE_FLOOR = 100000.0
+
+
+def _setup_orders_ext(spark: SparkSession, sf_dir: str):
+    """orders_ext: a managed table whose data is the RAW testdata
+    orders.parquet registered in place via add_files — zero rows read,
+    zero bytes copied at setup (one footer open), the migrate shape."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_ext")
+    if key in _READY:
+        return mgr
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(orders_path).schema
+    mgr.create_table("orders_ext", schema, [])
+    mgr.add_files("orders_ext", [orders_path])
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_add_files",
+    oracle=f"""
+    SELECT o_orderpriority AS scope,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice >= {ADD_FILES_PRICE_FLOOR}
+    GROUP BY o_orderpriority
+    """,
+    doc=f"Zero-copy onboarding (≙ Iceberg's add_files procedure / "
+    f"migrate, the reference's bulk-registration endgame): the raw "
+    f"orders parquet registers into a managed table in ONE footer-only "
+    f"commit — no row read, no byte copied; the manifest entry carries "
+    f"the file's ABSOLUTE path, an external-ownership marker "
+    f"(expire_snapshots never reaps data the table doesn't own — "
+    f"pytest-pinned even after a compaction rewrites it out of the "
+    f"head), and the same footer stats a written file gets, so min/max "
+    f"pruning works from the first scan (multi-file pruning + "
+    f"hive-layout partition-value parsing with manifest-restored "
+    f"partition columns pinned in tests/test_table_manager.py). The "
+    f"query reads the registered table through a stats-filtered scan "
+    f"and aggregates — the oracle runs on the raw file, so any "
+    f"registration drift (lost rows, stats-pruned rows the residual "
+    f"should have kept) hash-diverges. At 100 TB this is how existing "
+    f"data lakes adopt the table format: seconds of metadata, not a "
+    f"rewrite.",
+)
+def q_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_orders_ext(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "orders_ext", where=[("o_totalprice", ">=", ADD_FILES_PRICE_FLOOR)]
+    )
+    return df.groupBy(F.col("o_orderpriority").alias("scope")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

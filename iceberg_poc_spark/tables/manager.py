@@ -1602,6 +1602,108 @@ class ParquetTableManager:
                     pass
         return v
 
+    def add_files(
+        self,
+        name: str,
+        paths: list[str],
+        partition_values: dict[str, Any] | None = None,
+        ref: str = "main",
+    ) -> int:
+        """Zero-copy onboarding of EXISTING parquet files (≙ Iceberg's
+        ``add_files`` procedure / ``migrate``): register the files in one
+        atomic commit without reading or rewriting a single data row —
+        only footers are opened, yielding the same manifest metadata a
+        written file gets (row counts, per-column min/max, null counts),
+        so stats/partition pruning works on registered files from the
+        first scan. This is how 100 TB of raw hive parquet becomes a
+        managed table in seconds instead of a full rewrite.
+
+        The files stay where they are: entries carry ABSOLUTE paths and
+        an ``external`` marker, and :meth:`expire_snapshots` never
+        deletes data the table doesn't own (delete files later attached
+        to them are still owned and reaped normally). Bloom indexes are
+        not built (that would need a data pass — the zero-copy point);
+        stats pruning still applies.
+
+        Partition values for pruning: hive-style ``col=value`` path
+        segments matching IDENTITY partition fields are parsed per file;
+        ``partition_values`` overrides/supplies values for all files.
+        Identity fields with no value from either source raise (pruning
+        would silently degrade); non-identity (derived) transform fields
+        must come via ``partition_values`` if at all — absent values
+        only cost pruning, never correctness, since scan predicates are
+        always re-applied row-level as residuals. Schema discipline:
+        each file must share at least one column with the table schema;
+        absent table columns resolve exactly like evolved-away columns
+        (NULL / initial-default), extra file columns are ignored by the
+        explicit read schema.
+        """
+        import pyarrow.parquet as pq
+
+        _seq, head = self._ref_head(name, ref)
+        if head < 0:
+            raise ValueError(f"branch {ref!r} does not exist on {name!r}")
+        m = self._load_manifest(name, head)
+        spec = self._spec(m)
+        ident = {t.field_name for t in spec if t.kind == "identity"}
+        schema_cols = {
+            f.name for f in self.schema(name, m if ref == "main" else None).fields
+        }
+        entries: list[dict] = []
+        for p in paths:
+            ap = os.path.abspath(p)
+            md = pq.ParquetFile(ap).metadata
+            fcols = [
+                c for c in md.schema.to_arrow_schema().names if c in schema_cols
+            ]
+            if not fcols:
+                raise ValueError(
+                    f"{ap}: no column overlaps the table schema"
+                )
+            pvals: dict[str, Any] = {}
+            for seg in ap.split(os.sep)[:-1]:
+                k, eq, v = seg.partition("=")
+                if eq and k in ident:
+                    pvals[k] = v
+            if partition_values:
+                pvals.update(partition_values)
+            missing = ident - set(pvals)
+            if missing:
+                raise ValueError(
+                    f"{ap}: no partition value for identity field(s) "
+                    f"{sorted(missing)} — pass partition_values or use a "
+                    f"hive col=value layout"
+                )
+            pvals = {
+                k: v
+                for k, v in pvals.items()
+                if k in {t.field_name for t in spec}
+            }
+            entries.append(
+                {
+                    "path": ap,
+                    "partition": pvals,
+                    "records": md.num_rows,
+                    "bytes": os.path.getsize(ap),
+                    "stats": _collect_column_stats(md),
+                    "nulls": _collect_null_counts(md),
+                    "cols": fcols,
+                    "external": True,
+                }
+            )
+        m["files"] = m["files"] + entries
+        m["operation"] = "add-files"
+        m["parent"] = m["version"]
+
+        def rebase(cur_m: dict) -> dict:
+            out = dict(cur_m)
+            out["files"] = cur_m["files"] + entries
+            out["operation"] = "add-files"
+            out["parent"] = cur_m["version"]
+            return out
+
+        return self._commit(name, m, rebase=rebase, ref=ref)
+
     # ------------------------------------------------- multi-table commits
     def _txns_dir(self) -> str:
         return os.path.join(self.warehouse, "_txns")
@@ -3132,12 +3234,29 @@ class ParquetTableManager:
                     if ecols is not None and not (dflt_names[c] & set(ecols))
                 )
             )
+            ext = bool(e.get("external"))
+            # external groups additionally split by partition VALUES and
+            # by file column set: hive-layout files don't physically
+            # carry identity partition columns, so the read restores
+            # them from the manifest — which needs one literal per
+            # group, i.e. value-homogeneous groups
+            extkey = (
+                (
+                    ext,
+                    tuple(sorted(e["partition"].items())),
+                    tuple(e.get("cols") or ()),
+                )
+                if ext
+                else (ext, (), ())
+            )
             groups.setdefault(
-                (tuple(sorted(e["partition"])), dkey, ekey, pkey, absent), []
+                (tuple(sorted(e["partition"])), dkey, ekey, pkey, absent, extkey),
+                [],
             ).append(e)
 
         parts: list[DataFrame] = []
-        for (layout, dkey, ekey, pkey, absent), entries in groups.items():
+        for (layout, dkey, ekey, pkey, absent, extkey), entries in groups.items():
+            external = extkey[0]
             hidden = [k for k in layout if k not in names]
             read_schema = StructType(
                 [
@@ -3151,13 +3270,34 @@ class ParquetTableManager:
                 ]
                 + [StructField(h, StringType(), True) for h in hidden]
             )
-            df = (
-                self.spark.read.option(
+            # external (add_files-registered) entries live OUTSIDE the
+            # table dir: no basePath (Spark requires every input under
+            # it), no hive path parsing — their partition metadata is
+            # manifest-only, and identity partition columns are
+            # physically present in the files
+            reader = self.spark.read
+            if not external:
+                reader = reader.option(
                     "basePath", os.path.join(self._dir(name), "data")
                 )
-                .schema(read_schema)
-                .parquet(*[os.path.join(self._dir(name), e["path"]) for e in entries])
+            df = reader.schema(read_schema).parquet(
+                *[os.path.join(self._dir(name), e["path"]) for e in entries]
             )
+            if external:
+                # restore identity partition columns hive layouts strip
+                # from the data files: manifest value -> typed literal
+                # (the group is partition-value- and column-homogeneous
+                # by construction of extkey above)
+                evals = dict(extkey[1])
+                ecols = set(extkey[2])
+                for f in schema.fields:
+                    if f.name in evals and f.name not in ecols:
+                        df = df.withColumn(
+                            f.name,
+                            F.lit(evals[f.name]).cast(
+                                _nested_nullable(f.dataType)
+                            ),
+                        )
             pos_dels = json.loads(pkey)
             meta_cols = (
                 [
@@ -3901,11 +4041,20 @@ class ParquetTableManager:
             for v in range(self._max_manifest_version(name) + 1)
             if v not in keep and os.path.exists(self._manifest_path(name, v))
         ]
-        def _paths(entry: dict) -> list[str]:
+        def _paths(entry: dict, owned_only: bool = False) -> list[str]:
             # a manifest entry references its data file AND any
-            # equality-/position-delete files attached to it — all live
+            # equality-/position-delete files attached to it — all live.
+            # owned_only (the REMOVAL walk) excludes external data files
+            # (add_files-registered): the table never owns them, so
+            # expiry must never delete them — their attached delete
+            # files ARE table-owned and reap normally
+            data = (
+                []
+                if owned_only and entry.get("external")
+                else [entry["path"]]
+            )
             return (
-                [entry["path"]]
+                data
                 + [d["path"] for d in entry.get("eq_deletes", [])]
                 + [d["path"] for d in entry.get("pos_deletes", [])]
             )
@@ -3929,7 +4078,9 @@ class ParquetTableManager:
         for v in drop:
             dm = self._load_manifest(name, v)
             drop_segs.update(sid for sid, _ in dm.get("_seg_layout") or [])
-            dropped_paths = [p for e in dm["files"] for p in _paths(e)] + [
+            dropped_paths = [
+                p for e in dm["files"] for p in _paths(e, owned_only=True)
+            ] + [
                 g["path"]
                 for g in (
                     dm.get("global_eq_deletes", [])

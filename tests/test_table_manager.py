@@ -2345,3 +2345,78 @@ def test_expire_older_than_never_drops_head(mgr, spark):
     mgr.append("reth", spark.createDataFrame([(2,)], "k long"))
     mgr.expire_snapshots("reth", keep_last=1, older_than=_time.time() + 3600)
     assert {r.k for r in mgr.read("reth").collect()} == {1, 2}
+
+
+def test_add_files_zero_copy_read_prune_and_expiry_safety(mgr, spark, tmp_path):
+    """add_files (≙ Iceberg's add_files procedure / migrate): existing
+    parquet registers into the table in one footer-only commit — no data
+    copied (table data/ stays empty, entries carry absolute external
+    paths), reads are row-exact, footer min/max stats prune scans, and
+    expire_snapshots NEVER deletes files the table doesn't own even
+    after a compaction rewrites them out of the head."""
+    import glob
+    import os
+
+    src = str(tmp_path / "ext")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartitionByRange(4, "k").write.parquet(src)
+    paths = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(paths) == 4
+    mgr.create_table("ext", df.schema, [])
+    mgr.add_files("ext", paths)
+    m = mgr._load_manifest("ext")
+    assert all(e["external"] and os.path.isabs(e["path"]) for e in m["files"])
+    data_dir = os.path.join(mgr._dir("ext"), "data")
+    assert not (
+        os.path.isdir(data_dir)
+        and any(f.endswith(".parquet") for _r, _d, fs in os.walk(data_dir) for f in fs)
+    ), "add_files copied data"
+    got = {(r.k, r.v) for r in mgr.read("ext").collect()}
+    assert got == {(i, 2 * i) for i in range(400)}
+    # footer stats prune: the 4 files cover disjoint k ranges
+    sdf, planned, total = mgr.scan("ext", where=[("k", ">=", 300)])
+    assert total == 4 and planned < total
+    assert {r.k for r in sdf.collect()} == set(range(300, 400))
+    # expiry safety: compact rewrites externals out of the head; the
+    # dropped external files must survive the reap
+    mgr.compact("ext")
+    mgr.expire_snapshots("ext", keep_last=1)
+    assert all(os.path.exists(p) for p in paths), "expiry deleted external data"
+    assert mgr.read("ext").count() == 400
+
+
+def test_add_files_hive_layout_partition_values(mgr, spark, tmp_path):
+    """add_files over a hive col=value layout: identity partition values
+    parse from the path, prune at the manifest, and the partition column
+    (physically absent from hive data files) is restored from the
+    manifest on read. A file with no value for an identity field
+    raises."""
+    import glob
+    import os
+
+    src = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(90)], "k long, cat int, s string"
+    )
+    df.write.partitionBy("cat").parquet(src)
+    paths = sorted(glob.glob(os.path.join(src, "cat=*", "*.parquet")))
+    assert len(paths) >= 3
+    mgr.create_table("h", df.schema, [identity("cat")])
+    mgr.add_files("h", paths)
+    got = {(r.k, r.cat, r.s) for r in mgr.read("h").collect()}
+    assert got == {(i, i % 3, f"r{i}") for i in range(90)}
+    sdf, planned, total = mgr.scan("h", where=[("cat", "==", 1)])
+    assert planned < total
+    assert {r.k for r in sdf.collect()} == {i for i in range(90) if i % 3 == 1}
+    # no identity value anywhere -> hard error, not silent unpruned
+    flat = str(tmp_path / "flat")
+    df.drop("cat").write.parquet(flat)
+    fp = sorted(glob.glob(os.path.join(flat, "*.parquet")))
+    with pytest.raises(ValueError, match="identity"):
+        mgr.add_files("h", fp[:1])
+    # explicit partition_values unblocks the same files
+    mgr.add_files("h", fp, partition_values={"cat": 7})
+    sdf7, _p, _t = mgr.scan("h", where=[("cat", "==", 7)])
+    assert sdf7.count() == 90
