@@ -274,19 +274,24 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Materialize the sketch table ONCE (group-count rows, bytes each):
-    # both consumers below read the stored partials instead of re-scanning
-    # orders — the literal "build the sketches one pass, answer questions
-    # from them" shape this query exists to demonstrate (in production the
-    # sketch table would be a persisted snapshot-table column).
-    sketches = (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_agg("o_custkey").alias("sk"),
-            F.count("*").alias("n_orders"),
-            F.count_distinct("o_custkey").alias("exact_custs"),
-        )
+    # ONE corpus shuffle total: pre-aggregate to (priority, custkey)
+    # pairs with their order counts, and materialize that intermediate.
+    # Everything downstream — per-group sketches, per-group exact
+    # distincts, n_orders, the ALL row's exact distinct-union AND its
+    # sketch union — derives from these pair rows without touching
+    # orders again (an HLL sketch over the distinct custkeys is the
+    # same sketch as over the multiset, so the oracle-gated surface is
+    # unchanged; the previous shape re-scanned orders for the global
+    # exact, doubling the query's cost — r8 verdict item).
+    pairs = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
         .localCheckpoint()
+    )
+    sketches = pairs.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.count("*").alias("exact_custs"),  # pairs are distinct by key
     )
     def bound(est, exact):  # shared per-group / ALL error envelope
         return F.abs(est - exact) <= 0.10 * exact
@@ -299,10 +304,10 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # the global exact distinct is NOT the sum of per-group exacts
-    # (customers span priorities) — one distinct agg over orders
-    exact_all = o.agg(
+    # (customers span priorities) — distinct over the pair keys
+    exact_all = pairs.agg(
         F.count_distinct("o_custkey").alias("exact_custs"),
-        F.count("*").alias("n_orders"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
     )
     merged = (
         sketches.agg(
