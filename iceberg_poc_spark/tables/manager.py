@@ -1649,9 +1649,25 @@ class ParquetTableManager:
         schema_cols = {
             f.name for f in self.schema(name, m if ref == "main" else None).fields
         }
-        entries: list[dict] = []
+        # directories expand to their parquet files recursively (the
+        # hive-layout onboarding shape: pass the dataset root, partition
+        # values parse from each file's own col=value segments)
+        flat: list[str] = []
         for p in paths:
             ap = os.path.abspath(p)
+            if os.path.isdir(ap):
+                for root, _dirs, fns in sorted(os.walk(ap)):
+                    flat.extend(
+                        os.path.join(root, fn)
+                        for fn in sorted(fns)
+                        if fn.endswith(".parquet")
+                    )
+            else:
+                flat.append(ap)
+        if not flat:
+            raise ValueError(f"add_files: no parquet files under {paths!r}")
+        entries: list[dict] = []
+        for ap in flat:
             md = pq.ParquetFile(ap).metadata
             fcols = [
                 c for c in md.schema.to_arrow_schema().names if c in schema_cols

@@ -598,3 +598,74 @@ def test_pq_candidate_recall_and_code_width(spark):
         *[F.max(f"c{m}").alias(f"c{m}") for m in range(PQ_M)]
     ).collect()[0]
     assert all(0 <= maxes[f"c{m}"] < PQ_K for m in range(PQ_M))
+
+
+def test_ivfpq_recall_and_manifest_pruning(spark):
+    """q_sim_ann_ivfpq's contract: (a) over >=25 strided probes the
+    two-level candidate pool (coarse cell routing -> PQ-ADC top n//8
+    within probed cells) holds mean recall@10 >= 0.7 vs brute-force
+    ground truth (measured ~0.8 on the isotropic corpus — the pool is
+    bounded by BOTH the 24/48-cell probe's recall and PQ distortion);
+    (b) the engine really scans two-level: unprobed cells' code files
+    prune at the manifest (planned < total)."""
+    import numpy as np
+
+    from iceberg_poc_spark.operators.similarity import (
+        ANN_MP_CELLS,
+        ANN_MP_PROBE,
+        IVFPQ_CAND_DIV,
+        PQ_K,
+        PQ_M,
+        PQ_TOP_K,
+        _ivfpq_scan,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dims = E.shape
+    ds = dims // PQ_M
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    anchors = norm[np.arange(ANN_MP_CELLS) * (n // ANN_MP_CELLS)]
+    assign = (norm @ anchors.T).argmax(axis=1)  # first-max == smallest aid
+    sample = E[np.arange(PQ_K) * (n // PQ_K)]
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    cents = []
+    for m in range(PQ_M):
+        cm = sample[:, m * ds : (m + 1) * ds]
+        cents.append(cm)
+        d = np.linalg.norm(E[:, None, m * ds : (m + 1) * ds] - cm[None], axis=2)
+        codes[:, m] = d.argmin(axis=1)
+    cand_k = n // IVFPQ_CAND_DIV
+    probes = np.arange(n)[:: max(1, n // N_PROBES)]
+    recalls = []
+    for qi in probes:
+        probe_cells = set(np.argsort(-(anchors @ norm[qi]))[:ANN_MP_PROBE])
+        lut = [
+            np.linalg.norm(E[qi, m * ds : (m + 1) * ds] - cents[m], axis=1)
+            for m in range(PQ_M)
+        ]
+        adc = sum(lut[m][codes[:, m]] for m in range(PQ_M))
+        pool = np.array(
+            [i for i in range(n) if ids[i] != ids[qi]]
+        )
+        in_probe = pool[np.isin(assign[pool], list(probe_cells))]
+        cand = set(
+            ids[in_probe[np.lexsort((ids[in_probe], adc[in_probe]))[:cand_k]]]
+        )
+        sims = norm @ norm[qi]
+        truth = set(
+            ids[pool[np.lexsort((ids[pool], -sims[pool]))[:PQ_TOP_K]]]
+        )
+        recalls.append(len(truth & cand) / PQ_TOP_K)
+    mean_r = float(np.mean(recalls))
+    assert mean_r >= 0.7, f"IVF-PQ candidate mean recall@{PQ_TOP_K} = {mean_r:.3f}"
+    # engine side: the two-level scan prunes unprobed cells at the manifest
+    _cand, n_eng, _q, planned, total = _ivfpq_scan(spark, SF_DIR)
+    assert n_eng == n
+    assert 0 < planned < total, (planned, total)

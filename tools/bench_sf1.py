@@ -90,6 +90,8 @@ X100_SET = [
     "q_sim_ann_incremental",
     "q_sim_ann_delete",
     "q_sim_ann_reanchor",
+    "q_sim_ann_pq",
+    "q_sim_ann_ivfpq",
     "q_stream_live_tumbling",
 ]
 
@@ -110,6 +112,11 @@ ALWAYS = [
     "q_stream_upsert_table",
     "q_stream_wap_publish",
     "q_cdc_branch_diff",
+    "q_sim_ann_pq",
+    "q_sim_ann_ivfpq",
+    "q_vocab_incremental",
+    "q_agg_hist_quantile",
+    "q_add_files",
 ]
 
 
