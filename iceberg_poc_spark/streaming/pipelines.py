@@ -360,15 +360,35 @@ def run_to_table(
     mgr: ParquetTableManager,
     table: str,
     checkpoint: str,
+    transform=None,
 ) -> None:
-    """Stream -> snapshot table: each micro-batch lands as ONE atomic
-    append (foreachBatch), giving all-or-nothing visibility per epoch —
-    the streaming version of the reference's atomic bulk commit."""
+    """Stream -> snapshot table: each micro-batch (optionally put through
+    ``transform``, a batch-local DataFrame->DataFrame fn — enrichment,
+    index assignment, routing) lands as ONE atomic append stamped with
+    its epoch id inside the commit (``streaming.last-epoch`` via
+    append's atomic ``snapshot_properties``), so a crash-replayed epoch
+    is detected from the table's own marker and skipped — at-least-once
+    foreachBatch delivery yields exactly-once TABLE state carried by the
+    table itself, the same guarantee as the connector streaming sink
+    (sources/pyds.py). Single streaming writer per table, as with every
+    epoch-marker sink."""
+    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        mgr.append(table, batch_df)
+        try:
+            last = int(mgr.properties(table).get(STREAM_EPOCH_PROP, -1))
+        except (TypeError, ValueError):
+            last = -1
+        if last >= epoch_id:
+            return  # replayed epoch: already committed
+        out = transform(batch_df) if transform is not None else batch_df
+        mgr.append(
+            table,
+            out,
+            snapshot_properties={STREAM_EPOCH_PROP: str(epoch_id)},
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -557,3 +557,65 @@ def test_wap_epoch_replay_is_exactly_once(spark, tmp_path):
     wap_sink_epoch(mgr, "t", "audit", bad, df2, 2)
     assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
     assert {r.ref for r in mgr.refs("t").collect()} >= {"audit", "quarantine-2"}
+
+
+def test_stream_ann_ingest_appends_and_replay_skip(spark):
+    """q_stream_ann_ingest's index lifecycle: the live index is built as
+    pure epoch-stamped appends (one per micro-batch, ancestry has no
+    rewrites), every corpus vector lands exactly once, the probe prunes
+    unprobed cells at the manifest, and a manually replayed epoch is a
+    no-op (the table's own marker skips it — exactly-once index state)."""
+    from iceberg_poc_spark.operators.sessionize import _setup_emb_ann_stream
+    from iceberg_poc_spark.sources import load_table
+    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
+    from iceberg_poc_spark.streaming.pipelines import run_to_table
+    from tests.conftest import SF_DIR
+
+    mgr, anchors = _setup_emb_ann_stream(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert mgr.read("emb_ann_stream").count() == n
+    assert (
+        mgr.read("emb_ann_stream").select("vec_id").distinct().count() == n
+    )
+    ops, v = [], mgr._load_manifest("emb_ann_stream")
+    while v.get("parent") is not None:
+        ops.append(v["operation"])
+        v = mgr._load_manifest("emb_ann_stream", v["parent"])
+    assert set(ops) == {"append"} and len(ops) == 3, ops
+    # the REAL replay drill: re-drain the whole source under a FRESH
+    # checkpoint (the worst at-least-once case — every epoch
+    # re-delivered from scratch); the table's own marker must skip all
+    # of them, leaving head, row count, and ancestry untouched
+    import os
+    import tempfile
+
+    from iceberg_poc_spark.operators.similarity import _assign_anchor_cells
+    from iceberg_poc_spark.operators.tablelayer import _warehouse
+
+    head_before = mgr._current_version("emb_ann_stream")
+    assert int(mgr.properties("emb_ann_stream")[STREAM_EPOCH_PROP]) >= 0
+    src = os.path.join(_warehouse(SF_DIR), "_src_ann_stream")
+    emb_schema = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_table(
+        stream,
+        mgr,
+        "emb_ann_stream",
+        checkpoint=tempfile.mkdtemp(prefix="ann_replay_ckpt_"),
+        transform=lambda b: _assign_anchor_cells(spark, b, anchors),
+    )
+    assert mgr._current_version("emb_ann_stream") == head_before
+    assert mgr.read("emb_ann_stream").count() == n
+    # probe prunes at the manifest
+    _df, planned, total = mgr.scan(
+        "emb_ann_stream", where=[("cell", "in", [0, 1])]
+    )
+    assert 0 < planned < total
