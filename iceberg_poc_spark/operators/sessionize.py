@@ -1192,12 +1192,12 @@ def _setup_emb_ann_stream(spark: SparkSession, sf_dir: str):
     from iceberg_poc_spark.tables import identity
 
     mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "emb_ann_stream")
+    if key in _READY:
+        return mgr, _READY[key]["anchors"]
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
     anchors = _strided_anchors(emb, n // ANN_MP_CELLS)
-    key = (wh, "emb_ann_stream")
-    if key in _READY:
-        return mgr, anchors
     src = os.path.join(wh, "_src_ann_stream")
     for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, None)):
         cond = F.col("vec_id") >= lo
@@ -1218,7 +1218,7 @@ def _setup_emb_ann_stream(spark: SparkSession, sf_dir: str):
         checkpoint=os.path.join(wh, "_ckpt_ann_stream"),
         transform=lambda b: _assign_anchor_cells(spark, b, anchors),
     )
-    _READY[key] = {}
+    _READY[key] = {"anchors": anchors}
     return mgr, anchors
 
 

@@ -1434,6 +1434,26 @@ def _pq_build(spark: SparkSession, sf_dir: str):
     return mgr, cents, n, qemb, ds
 
 
+def _exact_rerank(
+    emb: DataFrame, cand: DataFrame, qemb: list[float], k: int
+) -> DataFrame:
+    """The shared exact-rerank tail of every candidate-generating ANN
+    path: broadcast semi-join the candidate ids to the float corpus,
+    exact fold cosine vs the query literal, (sim desc, vec_id) top-k,
+    round 4. ONE definition — the tie-break and rounding here are a
+    cross-engine contract (see :func:`_seq_cos`); a change must land in
+    every oracle at once."""
+    qlit = F.array(*[F.lit(v) for v in qemb])
+    sim = cosine_similarity(F.col("embedding"), qlit)
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
+    )
+
+
 def _pq_adc_col(cents: dict, ds: int, qemb: list[float]):
     """The asymmetric-distance expression over packed code columns:
     PQ_M literal 32-entry maps built driver-side from the query's
@@ -1571,15 +1591,7 @@ def _pq_candidates(spark: SparkSession, sf_dir: str):
 def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _n, qemb = _pq_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    qlit = F.array(*[F.lit(v) for v in qemb])
-    sim = cosine_similarity(F.col("embedding"), qlit)
-    return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .select("vec_id", sim.alias("sim_raw"))
-        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
-        .limit(PQ_TOP_K)
-        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
-    )
+    return _exact_rerank(emb, cand, qemb, PQ_TOP_K)
 
 
 IVFPQ_CAND_DIV = 8  # ADC keeps the best n//8 of the probed cells' rows
@@ -1747,15 +1759,7 @@ def _ivfpq_scan(spark: SparkSession, sf_dir: str):
 def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _n, qemb, _planned, _total = _ivfpq_scan(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    qlit = F.array(*[F.lit(v) for v in qemb])
-    sim = cosine_similarity(F.col("embedding"), qlit)
-    return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .select("vec_id", sim.alias("sim_raw"))
-        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
-        .limit(PQ_TOP_K)
-        .select("vec_id", F.round("sim_raw", 4).alias("cos_sim"))
-    )
+    return _exact_rerank(emb, cand, qemb, PQ_TOP_K)
 
 
 QUANT_LEVELS = 127  # symmetric int8

@@ -355,6 +355,53 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def _stream_marker_key(checkpoint: str) -> str:
+    """The per-STREAM epoch-marker property key: the base marker name
+    scoped by a hash of the checkpoint location. Epoch ids are only
+    meaningful within one checkpoint's lifetime (a fresh checkpoint
+    restarts at 0), so a table-global marker would make a LATER stream
+    into the same table silently drop its first batches; scoping by
+    checkpoint keeps the crash-replay guard airtight per stream while
+    sequential/independent streams append normally."""
+    import hashlib
+
+    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
+
+    return f"{STREAM_EPOCH_PROP}.{hashlib.md5(checkpoint.encode()).hexdigest()[:8]}"
+
+
+def table_sink_epoch(
+    mgr: ParquetTableManager,
+    table: str,
+    transform,
+    marker_key: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One append-sink epoch, safe to re-run (the foreachBatch body of
+    :func:`run_to_table`, importable so crash replay is testable without
+    crashing a real stream): the batch (optionally transformed
+    batch-locally) lands as ONE atomic append stamped with its epoch id
+    inside the commit, and a replayed epoch is detected from the table's
+    own marker and skipped — at-least-once delivery yields exactly-once
+    TABLE state carried by the table itself, the same guarantee as the
+    connector streaming sink (sources/pyds.py)."""
+    if batch_df.isEmpty():
+        return
+    try:
+        last = int(mgr.properties(table).get(marker_key, -1))
+    except (TypeError, ValueError):
+        last = -1
+    if last >= epoch_id:
+        return  # replayed epoch: already committed
+    out = transform(batch_df) if transform is not None else batch_df
+    mgr.append(
+        table,
+        out,
+        snapshot_properties={marker_key: str(epoch_id)},
+    )
+
+
 def run_to_table(
     stream_df: DataFrame,
     mgr: ParquetTableManager,
@@ -364,31 +411,14 @@ def run_to_table(
 ) -> None:
     """Stream -> snapshot table: each micro-batch (optionally put through
     ``transform``, a batch-local DataFrame->DataFrame fn — enrichment,
-    index assignment, routing) lands as ONE atomic append stamped with
-    its epoch id inside the commit (``streaming.last-epoch`` via
-    append's atomic ``snapshot_properties``), so a crash-replayed epoch
-    is detected from the table's own marker and skipped — at-least-once
-    foreachBatch delivery yields exactly-once TABLE state carried by the
-    table itself, the same guarantee as the connector streaming sink
-    (sources/pyds.py). Single streaming writer per table, as with every
-    epoch-marker sink."""
-    from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
+    index assignment, routing) lands through :func:`table_sink_epoch` —
+    one atomic epoch-stamped append per batch, crash-replay idempotent
+    per stream (marker scoped by checkpoint, see
+    :func:`_stream_marker_key`)."""
+    marker_key = _stream_marker_key(checkpoint)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        try:
-            last = int(mgr.properties(table).get(STREAM_EPOCH_PROP, -1))
-        except (TypeError, ValueError):
-            last = -1
-        if last >= epoch_id:
-            return  # replayed epoch: already committed
-        out = transform(batch_df) if transform is not None else batch_df
-        mgr.append(
-            table,
-            out,
-            snapshot_properties={STREAM_EPOCH_PROP: str(epoch_id)},
-        )
+        table_sink_epoch(mgr, table, transform, marker_key, batch_df, epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -474,8 +504,12 @@ def run_to_table_wap(
     tests/test_streaming.py). Single streaming writer per table, as with
     every epoch-marker sink."""
 
+    marker_key = _stream_marker_key(checkpoint)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        wap_sink_epoch(mgr, table, branch, validate, batch_df, epoch_id)
+        wap_sink_epoch(
+            mgr, table, branch, validate, batch_df, epoch_id, marker_key
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -493,6 +527,7 @@ def wap_sink_epoch(
     validate,
     batch_df: DataFrame,
     epoch_id: int,
+    marker_key: str | None = None,
 ) -> None:
     """One write-audit-publish epoch, safe to re-run at ANY crash point
     (the foreachBatch body of :func:`run_to_table_wap`, importable so
@@ -506,10 +541,20 @@ def wap_sink_epoch(
       validate fails again, the existing tag is kept, reset completes;
     - crash after the reset → the branch lost the marker with the bad
       snapshot, so the batch re-stages and re-quarantines — converging,
-      and main never saw it.
+      and main never saw it;
+    - crash BETWEEN drop_branch and create_branch → the branch is
+      momentarily gone; the replay recreates it at main's head (the
+      reset's second half) and then re-stages as above.
+
+    ``marker_key`` scopes the epoch marker per stream (see
+    :func:`_stream_marker_key`); epoch ids restart at 0 under a fresh
+    checkpoint, so an unscoped marker would make a later WAP stream
+    into the same table silently skip its first publishes.
     """
     from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
 
+    if marker_key is None:
+        marker_key = STREAM_EPOCH_PROP
     if batch_df.isEmpty():
         return
 
@@ -519,19 +564,22 @@ def wap_sink_epoch(
             return -1
         props = mgr._manifest_raw(table, v).get("properties") or {}
         try:
-            return int(props.get(STREAM_EPOCH_PROP, -1))
+            return int(props.get(marker_key, -1))
         except (TypeError, ValueError):
             return -1
 
     if head_epoch("main") >= epoch_id:
         return  # replayed epoch already PUBLISHED
+    if mgr._ref_head(table, branch)[1] < 0:
+        # resume a reset that crashed between drop and re-create
+        mgr.create_branch(table, branch)
     published = mgr.read(table)
     if head_epoch(branch) < epoch_id:
         mgr.append(
             table,
             batch_df,
             ref=branch,
-            snapshot_properties={STREAM_EPOCH_PROP: str(epoch_id)},
+            snapshot_properties={marker_key: str(epoch_id)},
         )
     # else: replay — the batch is already staged on the audit branch
     delta = (

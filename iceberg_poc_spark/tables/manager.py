@@ -835,13 +835,18 @@ class ParquetTableManager:
             # partition values serialize as strings (hive layout);
             # min/max must live in the domain predicates compare in, so
             # coerce numerics (lexicographic "13" < "2" would otherwise
-            # wrongly bound the segment)
-            for cast in (int, float):
-                try:
-                    vals = [cast(v) for v in vals]
-                    break
-                except (TypeError, ValueError):
-                    continue
+            # wrongly bound the segment). Coerce ONLY when strings are
+            # present: int() on an already-numeric 7.5 silently
+            # truncates to 7 and the [7,7] bound would prune the
+            # segment a ==7.5 scan needs (raw numeric values reach the
+            # manifest via add_files' partition_values)
+            if any(isinstance(v, str) for v in vals):
+                for cast in (int, float):
+                    try:
+                        vals = [cast(v) for v in vals]
+                        break
+                    except (TypeError, ValueError):
+                        continue
             # NaN poisons min()/max() (every comparison is False, so the
             # first element wins regardless of the rest): a [nan, nan]
             # bound would prune segments whose OTHER values match —
@@ -1666,6 +1671,19 @@ class ParquetTableManager:
                 flat.append(ap)
         if not flat:
             raise ValueError(f"add_files: no parquet files under {paths!r}")
+        # duplicate guard (Iceberg add_files' check_duplicate_files):
+        # re-registering a path would double every row on read.
+        # Basename COLLISIONS are allowed — Spark's partitionBy reuses
+        # one task file name across partition dirs, so hive datasets
+        # collide routinely — but the row-level MoR machinery keys rows
+        # by basename (_file_name), so ITS entry points refuse tables
+        # with colliding basenames (_require_unique_basenames; compact()
+        # rewrites externals into uuid names and clears the state)
+        known_paths = {e["path"] for e in m["files"]}
+        for ap in flat:
+            if ap in known_paths:
+                raise ValueError(f"add_files: {ap} is already registered")
+            known_paths.add(ap)
         entries: list[dict] = []
         for ap in flat:
             md = pq.ParquetFile(ap).metadata
@@ -1680,7 +1698,15 @@ class ParquetTableManager:
             for seg in ap.split(os.sep)[:-1]:
                 k, eq, v = seg.partition("=")
                 if eq and k in ident:
-                    pvals[k] = v
+                    # hive escaping: writers percent-encode specials and
+                    # spell NULL as __HIVE_DEFAULT_PARTITION__; the raw
+                    # token would round-trip corrupted (and the null
+                    # marker would defeat the missing-value error below)
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        continue
+                    from urllib.parse import unquote
+
+                    pvals[k] = unquote(v)
             if partition_values:
                 pvals.update(partition_values)
             missing = ident - set(pvals)
@@ -2471,6 +2497,25 @@ class ParquetTableManager:
         m = self._load_manifest(name, self._resolve(name, snapshot_id, ref, tag))
         return self._read_files(name, m, m["files"], with_positions=True)
 
+    def _require_unique_basenames(self, name: str, m: dict, op: str) -> None:
+        """Row-level MoR machinery (positional-delete coordinates,
+        sequence-number scoping) keys files by BASENAME (``_file_name``)
+        — unique by construction for managed writes (uuid names), but
+        externally registered files (:meth:`add_files`) may collide
+        (Spark's partitionBy reuses one task file name across partition
+        dirs). Refuse with a remedy instead of corrupting silently."""
+        seen: set[str] = set()
+        for e in m["files"]:
+            bn = os.path.basename(e["path"])
+            if bn in seen:
+                raise ValueError(
+                    f"{op}: table {name!r} holds files with colliding "
+                    f"basenames ({bn!r}, externally registered) — "
+                    f"row-level deletes key rows by file name; run "
+                    f"compact() first to rewrite them under unique names"
+                )
+            seen.add(bn)
+
     def delete_positions(self, name: str, positions: DataFrame) -> int:
         """POSITIONAL delete, merge-on-read (≙ Iceberg v2 position-delete
         files — the third delete class next to predicate and equality
@@ -2497,6 +2542,7 @@ class ParquetTableManager:
                 f"{positions.columns}"
             )
         m = self._load_manifest(name)
+        self._require_unique_basenames(name, m, "delete_positions")
         by_fn = {os.path.basename(e["path"]): e for e in m["files"]}
         dpos = positions.distinct()
         touched = [r["_file_name"] for r in dpos.select("_file_name").distinct().collect()]
@@ -2618,6 +2664,7 @@ class ParquetTableManager:
         upsert staged after an add_column writes the evolved shape
         instead of silently dropping the new column."""
         m = self._load_manifest(name)
+        self._require_unique_basenames(name, m, "upsert")
         schema = StructType.fromJson(schema_json or m["schema"])
         schema_cols = [f.name for f in schema.fields]
         missing = [c for c in keys if c not in schema_cols]

@@ -558,6 +558,19 @@ def test_wap_epoch_replay_is_exactly_once(spark, tmp_path):
     assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
     assert {r.ref for r in mgr.refs("t").collect()} >= {"audit", "quarantine-2"}
 
+    # crash point E: reset crashed BETWEEN drop_branch and create_branch
+    # — the branch is gone; the replay must recreate it and converge,
+    # never wedge the stream or touch main
+    mgr.drop_branch("t", "audit")
+    wap_sink_epoch(mgr, "t", "audit", bad, df2, 2)
+    assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2]
+    refs2 = {r.ref: r.snapshot_id for r in mgr.refs("t").collect()}
+    assert refs2["audit"] == mgr._current_version("t"), "branch not re-reset"
+    # and a GOOD epoch publishes normally after the recovered reset
+    df3 = spark.createDataFrame([(4, 40)], "event_id long, v long")
+    wap_sink_epoch(mgr, "t", "audit", good, df3, 3)
+    assert sorted(r.event_id for r in mgr.read("t").collect()) == [1, 2, 4]
+
 
 def test_stream_ann_ingest_appends_and_replay_skip(spark):
     """q_stream_ann_ingest's index lifecycle: the live index is built as
@@ -582,37 +595,54 @@ def test_stream_ann_ingest_appends_and_replay_skip(spark):
         ops.append(v["operation"])
         v = mgr._load_manifest("emb_ann_stream", v["parent"])
     assert set(ops) == {"append"} and len(ops) == 3, ops
-    # the REAL replay drill: re-drain the whole source under a FRESH
-    # checkpoint (the worst at-least-once case — every epoch
-    # re-delivered from scratch); the table's own marker must skip all
-    # of them, leaving head, row count, and ancestry untouched
+    # the REAL replay drill: re-deliver already-committed epochs through
+    # the sink body itself (the exact at-least-once window — crash after
+    # append, before the checkpoint commit); the table's own
+    # stream-scoped marker must skip every one of them
     import os
-    import tempfile
 
     from iceberg_poc_spark.operators.similarity import _assign_anchor_cells
     from iceberg_poc_spark.operators.tablelayer import _warehouse
+    from iceberg_poc_spark.streaming.pipelines import (
+        _stream_marker_key,
+        table_sink_epoch,
+    )
 
+    wh = _warehouse(SF_DIR)
+    marker_key = _stream_marker_key(os.path.join(wh, "_ckpt_ann_stream"))
+    last_epoch = int(mgr.properties("emb_ann_stream")[marker_key])
+    assert last_epoch == 2  # three drained batches: epochs 0..2
     head_before = mgr._current_version("emb_ann_stream")
-    assert int(mgr.properties("emb_ann_stream")[STREAM_EPOCH_PROP]) >= 0
-    src = os.path.join(_warehouse(SF_DIR), "_src_ann_stream")
-    emb_schema = (
+    batch = (
         load_table(spark, SF_DIR, "embeddings")
         .select("vec_id", "embedding")
-        .schema
+        .limit(7)
     )
-    stream = (
-        spark.readStream.schema(emb_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    run_to_table(
-        stream,
+    for replayed in range(last_epoch + 1):
+        table_sink_epoch(
+            mgr,
+            "emb_ann_stream",
+            lambda b: _assign_anchor_cells(spark, b, anchors),
+            marker_key,
+            batch,
+            replayed,
+        )
+    assert mgr._current_version("emb_ann_stream") == head_before
+    assert mgr.read("emb_ann_stream").count() == n
+    # a genuinely NEW epoch still lands (the guard is a replay filter,
+    # not a write blocker)
+    table_sink_epoch(
         mgr,
         "emb_ann_stream",
-        checkpoint=tempfile.mkdtemp(prefix="ann_replay_ckpt_"),
-        transform=lambda b: _assign_anchor_cells(spark, b, anchors),
+        lambda b: _assign_anchor_cells(spark, b, anchors),
+        marker_key,
+        batch,
+        last_epoch + 1,
     )
-    assert mgr._current_version("emb_ann_stream") == head_before
+    assert mgr.read("emb_ann_stream").count() == n + 7
+    # restore the shared fixture table (other tests and the registered
+    # query read it from the same process-cached warehouse)
+    mgr.rollback("emb_ann_stream", head_before)
     assert mgr.read("emb_ann_stream").count() == n
     # probe prunes at the manifest
     _df, planned, total = mgr.scan(

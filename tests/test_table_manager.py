@@ -2420,3 +2420,57 @@ def test_add_files_hive_layout_partition_values(mgr, spark, tmp_path):
     mgr.add_files("h", fp, partition_values={"cat": 7})
     sdf7, _p, _t = mgr.scan("h", where=[("cat", "==", 7)])
     assert sdf7.count() == 90
+
+
+def test_add_files_guards_duplicates_escaping_and_mor_basenames(
+    mgr, spark, tmp_path
+):
+    """add_files hardening: (a) re-registering a path is a hard error
+    (Iceberg check_duplicate_files); (b) hive percent-escaped partition
+    values unescape, and __HIVE_DEFAULT_PARTITION__ (null) counts as NO
+    value (the identity hard-error fires unless explicit values are
+    passed); (c) hive datasets legitimately collide on file BASENAMES
+    (partitionBy reuses one task file name per partition dir), so
+    registration allows them — but the row-level MoR machinery, which
+    keys rows by basename, refuses such tables with a compact() remedy,
+    and compact() really clears the state."""
+    import glob
+    import os
+
+    src = str(tmp_path / "hive2")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, None), (4, "plain")],
+        "k long, cat string",
+    )
+    df.coalesce(1).write.partitionBy("cat").parquet(src)
+    paths = sorted(glob.glob(os.path.join(src, "cat=*", "*.parquet")))
+    assert len(paths) == 3
+    # basenames collide across the partition dirs (the partitionBy shape)
+    assert len({os.path.basename(p) for p in paths}) == 1
+    from iceberg_poc_spark.tables import identity
+
+    mgr.create_table("h2", df.schema, [identity("cat")])
+    null_dir = [p for p in paths if "__HIVE_DEFAULT_PARTITION__" in p]
+    val_dirs = [p for p in paths if "__HIVE_DEFAULT_PARTITION__" not in p]
+    mgr.add_files("h2", val_dirs)
+    # (a) duplicate registration refused
+    with pytest.raises(ValueError, match="already registered"):
+        mgr.add_files("h2", val_dirs[:1])
+    # (b) escaped value unescaped: equality scan on the TRUE value works
+    got, _p, _t = mgr.scan("h2", where=[("cat", "==", "a b")])
+    assert {r.k for r in got.collect()} == {1, 2}
+    assert {r.cat for r in got.collect()} == {"a b"}
+    # null marker is NOT a value -> identity hard error without explicit
+    with pytest.raises(ValueError, match="identity"):
+        mgr.add_files("h2", null_dir)
+    # (c) MoR machinery refuses colliding basenames, compact() remedies
+    with pytest.raises(ValueError, match="compact"):
+        mgr.upsert_equality(
+            "h2", spark.createDataFrame([(9, "x")], df.schema), ["k"]
+        )
+    mgr.compact("h2")
+    mgr.upsert_equality(
+        "h2", spark.createDataFrame([(1, "z z")], df.schema), ["k"]
+    )
+    rows = {(r.k, r.cat) for r in mgr.read("h2").collect()}
+    assert rows == {(1, "z z"), (2, "a b"), (4, "plain")}
