@@ -3250,3 +3250,65 @@ def q_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+def _setup_events_ext_hive(spark: SparkSession, sf_dir: str):
+    """events_ext: a hive col=value dataset (written once under the
+    warehouse as the stand-in for an existing data lake) registered
+    ZERO-COPY into a partitioned managed table — partition values parse
+    from the paths, the partition column (which hive layouts strip from
+    the data files) is restored from the manifest on read."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_ext")
+    if key in _READY:
+        return mgr
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = os.path.join(wh, "_src_events_hive")
+    ev.coalesce(1).write.partitionBy("event_type").parquet(src)
+    mgr.create_table("events_ext", ev.schema, [identity("event_type")])
+    mgr.add_files("events_ext", [src])
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_add_files_hive",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY event_type
+    """,
+    doc="Zero-copy onboarding of a HIVE-PARTITIONED dataset (the "
+    "partitioned half of q_add_files, driver-gated rather than "
+    "pytest-only): an existing events lake laid out as "
+    "event_type=<v>/ dirs registers into an identity-partitioned "
+    "managed table in one footer-only commit; partition values parse "
+    "from the col=value path segments (percent-unescaped, "
+    "__HIVE_DEFAULT_PARTITION__ = no value), scans prune non-matching "
+    "partitions at the MANIFEST before any file opens, and the "
+    "partition column — physically absent from hive data files — is "
+    "restored from the manifest so the read surface is whole. The "
+    "oracle recomputes the partition-scoped aggregate from the raw "
+    "corpus: a mis-parsed value, an unpruned-but-unrestored column, or "
+    "a lost partition all hash-diverge. At 100 TB this is the "
+    "onboarding path for every hive-era dataset: metadata seconds, "
+    "zero rewrite, pruning from day one.",
+)
+def q_add_files_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_events_ext_hive(spark, sf_dir)
+    df, _planned, _total = mgr.scan(
+        "events_ext", where=[("event_type", "==", "click")]
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("user_id").cast("bigint")).cast("bigint").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
