@@ -14,7 +14,10 @@ the structural invariants the design rests on:
   expire_snapshots reaps history;
 - the segment-summary scan is row-identical to the per-entry scan
   (the superset rule: segment pruning may only skip provably-empty
-  segments).
+  segments);
+- externally REGISTERED files (add_files) ride inside segments like any
+  entry — reused by identity, rewritten away by compaction — and their
+  data files survive every expire_snapshots (the table never owns them).
 """
 
 from __future__ import annotations
@@ -53,6 +56,7 @@ batch = st.lists(kv, min_size=1, max_size=5)
 
 op = st.one_of(
     st.tuples(st.just("append"), batch),
+    st.tuples(st.just("add_files"), st.integers(0, 3), batch),
     st.tuples(st.just("delete_part_mor"), st.integers(0, 3)),
     st.tuples(st.just("delete_v"), st.integers(0, 100)),
     st.tuples(st.just("overwrite"), batch),
@@ -111,9 +115,26 @@ def test_segment_layer_matches_model_under_random_ops(spark, ops, probe):
             },
         )
         model: list[tuple[int, int, int]] = []
+        ext_dirs: list[str] = []
+        ext_files: list[str] = []
         for o in ops:
             kind = o[0]
-            if kind == "append":
+            if kind == "add_files":
+                import glob as _glob
+
+                p, pairs = o[1], o[2]
+                rows = [(k, p, v) for k, v in pairs]
+                ext = tempfile.mkdtemp(prefix="segmodel_ext_")
+                ext_dirs.append(ext)
+                sub = os.path.join(ext, "d")
+                spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+                    sub
+                )
+                fps = sorted(_glob.glob(os.path.join(sub, "*.parquet")))
+                mgr.add_files("t", fps, partition_values={"part": p})
+                ext_files.extend(fps)
+                model.extend(rows)
+            elif kind == "append":
                 rows = _rows(o[1])
                 mgr.append("t", spark.createDataFrame(rows, SCHEMA))
                 model.extend(rows)
@@ -150,5 +171,10 @@ def test_segment_layer_matches_model_under_random_ops(spark, ops, probe):
         want = Counter(r for r in model if r[1] == probe)
         assert got == want
         assert 0 <= planned <= total
+        # the table never owns registered data: every external file
+        # survived all interleaved compactions and expiries
+        assert all(os.path.exists(p) for p in ext_files)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+        for d in ext_dirs:
+            shutil.rmtree(d, ignore_errors=True)
