@@ -117,6 +117,8 @@ ALWAYS = [
     "q_vocab_incremental",
     "q_agg_hist_quantile",
     "q_add_files",
+    "q_add_files_hive",
+    "q_stream_ann_ingest",
 ]
 
 
