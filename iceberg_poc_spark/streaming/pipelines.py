@@ -367,7 +367,10 @@ def _stream_marker_key(checkpoint: str) -> str:
 
     from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
 
-    return f"{STREAM_EPOCH_PROP}.{hashlib.md5(checkpoint.encode()).hexdigest()[:8]}"
+    # normalize so a trailing-slash respelling of the same checkpoint
+    # can't silently fork the marker (and lose the replay guard)
+    norm = checkpoint.rstrip("/")
+    return f"{STREAM_EPOCH_PROP}.{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
 def table_sink_epoch(
