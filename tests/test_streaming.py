@@ -649,3 +649,49 @@ def test_stream_ann_ingest_appends_and_replay_skip(spark):
         "emb_ann_stream", where=[("cell", "in", [0, 1])]
     )
     assert 0 < planned < total
+
+
+def test_sequential_streams_same_table_do_not_skip(spark, tmp_path):
+    """Epoch markers are scoped PER STREAM (checkpoint): a later stream
+    writing to the same table restarts its epoch ids at 0, and an
+    unscoped marker would silently drop its first batches. Drill both
+    sinks: the append sink (table_sink_epoch) and the WAP sink
+    (wap_sink_epoch) must land a second stream's epoch 0 after a first
+    stream already committed epochs 0..2."""
+    from iceberg_poc_spark.streaming.pipelines import (
+        _stream_marker_key,
+        table_sink_epoch,
+        wap_sink_epoch,
+    )
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    df = lambda k: spark.createDataFrame([(k, k * 10)], "k long, v long")  # noqa: E731
+    mgr.create_table("t", df(0).schema, [])
+    key_a = _stream_marker_key(str(tmp_path / "ckpt_a"))
+    key_b = _stream_marker_key(str(tmp_path / "ckpt_b"))
+    assert key_a != key_b
+    for e in range(3):
+        table_sink_epoch(mgr, "t", None, key_a, df(e), e)
+    assert mgr.read("t").count() == 3
+    # stream B, fresh checkpoint, epoch ids restart at 0 — must land
+    table_sink_epoch(mgr, "t", None, key_b, df(100), 0)
+    assert mgr.read("t").count() == 4
+    # …and stream B's own replay of epoch 0 is still skipped
+    table_sink_epoch(mgr, "t", None, key_b, df(100), 0)
+    assert mgr.read("t").count() == 4
+
+    # same drill through the WAP sink
+    mgr.create_table("w", df(0).schema, [])
+    mgr.create_branch("w", "audit")
+
+    def good(_d, _p):
+        return True
+
+    for e in range(2):
+        wap_sink_epoch(mgr, "w", "audit", good, df(e), e, key_a)
+    assert mgr.read("w").count() == 2
+    wap_sink_epoch(mgr, "w", "audit", good, df(200), 0, key_b)
+    assert mgr.read("w").count() == 3, "second WAP stream's epoch 0 skipped"
+    wap_sink_epoch(mgr, "w", "audit", good, df(200), 0, key_b)  # replay
+    assert mgr.read("w").count() == 3
