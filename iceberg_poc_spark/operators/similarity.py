@@ -1594,6 +1594,169 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(emb, cand, qemb, PQ_TOP_K)
 
 
+_PQ_INC_WAREHOUSES: set[str] = set()
+
+
+def _pq_inc_scan(spark: SparkSession, sf_dir: str):
+    """Incremental PQ index: codebooks FROZEN at bootstrap (strided over
+    the BASE slice vec_id%5!=4 — strided ids landing in the batch slice
+    are simply absent, the sparse-codebook rule), base codes committed
+    once, then the daily batch (vec_id%5==4) encoded AGAINST THE FROZEN
+    CODEBOOKS batch-locally and appended — no codebook recompute, no
+    base re-encode (base file identity + pure-append ancestry pinned in
+    tests/test_ann_recall.py). PQ codes are order-independent given
+    frozen codebooks, so the incrementally-built index is value-
+    identical to a from-scratch build — which is exactly what lets the
+    oracle reproduce it relationally. Returns (cand_df, n, qemb)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    n = emb.count()
+    n_base = base.count()
+    stride = n_base // PQ_K
+    rows = (
+        emb.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * PQ_K)
+            & (F.col("vec_id") % 5 != 4)
+        )
+        .select((F.col("vec_id") / stride).cast("int").alias("cid"), "embedding")
+        .collect()
+    )
+    sample = {r["cid"]: [float(v) for v in r["embedding"]] for r in rows}
+    dims = len(sample[0])
+    ds = dims // PQ_M
+    cents = {
+        (m, cid): vec[m * ds : (m + 1) * ds]
+        for cid, vec in sample.items()
+        for m in range(PQ_M)
+    }
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wh = os.path.join(tempfile.gettempdir(), f"annpqinc_{os.getpid()}_{key}")
+    mgr = ParquetTableManager(spark, wh)
+    if wh not in _PQ_INC_WAREHOUSES:
+        base_codes = _pq_codes_wide(spark, base, cents, ds)
+        shutil.rmtree(wh, ignore_errors=True)
+        mgr.create_table("emb_pq_inc", base_codes.schema, [])
+        mgr.append("emb_pq_inc", base_codes)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+        mgr.append("emb_pq_inc", _pq_codes_wide(spark, batch, cents, ds))
+        _PQ_INC_WAREHOUSES.add(wh)
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    qemb = sample[0]  # vec_id 0 is base (0%5!=4) and sample cid 0
+    codes, _planned, _total = mgr.scan("emb_pq_inc")
+    adc = _pq_adc_col(cents, ds, qemb)
+    cand = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(n // 4)
+        .select("vec_id")
+    )
+    return cand, n, qemb, mgr
+
+
+@register(
+    "q_sim_ann_pq_incremental",
+    oracle=f"""
+    WITH params AS (
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 4)
+                   // {PQ_K} AS stride,
+               COUNT(*) // 4 AS cand
+        FROM embeddings
+    ),
+    sample AS (
+        SELECT CAST(vec_id // stride AS INT) AS cid, embedding
+        FROM embeddings, params
+        WHERE vec_id % stride = 0 AND vec_id < stride * {PQ_K}
+          AND vec_id % 5 <> 4
+    ),
+    subs AS (SELECT UNNEST(range({PQ_M})) AS m),
+    cents AS (
+        SELECT m, cid,
+               CAST(embedding[m*8+1 : m*8+8] AS DOUBLE[]) AS cent
+        FROM sample CROSS JOIN subs
+    ),
+    scored AS (
+        SELECT e.vec_id, c.m, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, c.m
+                   ORDER BY list_distance(
+                       CAST(e.embedding[c.m*8+1 : c.m*8+8] AS DOUBLE[]),
+                       c.cent), c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    codes AS (SELECT vec_id, m, cid FROM scored WHERE rn = 1),
+    q AS (SELECT embedding AS qemb FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+        SELECT m, cid,
+               list_distance(CAST(qemb[m*8+1 : m*8+8] AS DOUBLE[]),
+                             cent) AS qd
+        FROM cents, q
+    ),
+    adc AS (
+        SELECT k.vec_id,
+               (((((MAX(CASE WHEN k.m=0 THEN l.qd END)
+                 + MAX(CASE WHEN k.m=1 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=2 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=3 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=4 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=5 THEN l.qd END))
+                 + MAX(CASE WHEN k.m=6 THEN l.qd END)
+                 + MAX(CASE WHEN k.m=7 THEN l.qd END) AS dist
+        FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        WHERE k.vec_id <> {QUERY_VEC_ID}
+        GROUP BY k.vec_id
+    ),
+    cand AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS arank
+        FROM adc
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qemb AS DOUBLE[])), 4) AS cos_sim
+    FROM cand
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN q
+    WHERE cand.arank <= (SELECT cand FROM params)
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qemb AS DOUBLE[])) DESC, e.vec_id
+    LIMIT {PQ_TOP_K}
+    """,
+    doc=f"Incremental PQ index maintenance — the append leg of the "
+    f"quantized-index lifecycle (build: q_sim_ann_pq; two-level: "
+    f"q_sim_ann_ivfpq; live arrival: q_stream_ann_ingest): codebooks "
+    f"FREEZE at bootstrap (strided over the base slice — strided ids "
+    f"falling in the future batch are simply absent, the sparse-"
+    f"codebook rule), the daily batch encodes against the frozen "
+    f"codebooks batch-locally — O(batch x {PQ_M}x{PQ_K}), never a "
+    f"codebook retrain or base re-encode — and appends as one atomic "
+    f"commit (base code files keep byte identity, pure-append "
+    f"ancestry, pytest-pinned). PQ codes are order-independent under "
+    f"frozen codebooks, so the incrementally-grown index is value-"
+    f"identical to a from-scratch build — which is what lets the "
+    f"oracle reproduce codebooks/encoding/ADC/cutoff/rerank "
+    f"relationally over the full corpus. At 100 TB this is the nightly "
+    f"embedding-index refresh: the float corpus is touched only for "
+    f"the new batch; the query-side ADC scan still reads ~{PQ_M} "
+    f"bytes/vector.",
+)
+def q_sim_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, _n, qemb, _mgr = _pq_inc_scan(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _exact_rerank(emb, cand, qemb, PQ_TOP_K)
+
+
 IVFPQ_CAND_DIV = 8  # ADC keeps the best n//8 of the probed cells' rows
 
 _IVFPQ_WAREHOUSES: set[str] = set()

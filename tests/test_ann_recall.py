@@ -669,3 +669,41 @@ def test_ivfpq_recall_and_manifest_pruning(spark):
     _cand, n_eng, _q, planned, total = _ivfpq_scan(spark, SF_DIR)
     assert n_eng == n
     assert 0 < planned < total, (planned, total)
+
+
+def test_pq_incremental_append_without_reencode(spark):
+    """q_sim_ann_pq_incremental's contract: the batch append leaves every
+    BASE code file byte-identical (no re-encode), the ancestry is pure
+    appends, the final index covers the whole corpus exactly once, and
+    the codebooks are frozen from the base slice (every code < PQ_K,
+    sparse-codebook cids allowed)."""
+    import os
+
+    from iceberg_poc_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_inc_scan,
+    )
+
+    _cand, n, _q, mgr = _pq_inc_scan(spark, SF_DIR)
+    m = mgr._load_manifest("emb_pq_inc")
+    ops, v = [], m
+    while v.get("parent") is not None:
+        ops.append(v["operation"])
+        v = mgr._load_manifest("emb_pq_inc", v["parent"])
+    assert set(ops) == {"append"} and len(ops) == 2, ops
+    # base commit's files all survive byte-identically at the head
+    base_m = mgr._load_manifest("emb_pq_inc", m["parent"])
+    head_paths = {e["path"] for e in m["files"]}
+    for e in base_m["files"]:
+        assert e["path"] in head_paths, "base code file rewritten"
+        fp = os.path.join(mgr._dir("emb_pq_inc"), e["path"])
+        assert os.path.getsize(fp) == e["bytes"]
+    # full coverage, exactly once, codes in range
+    df = mgr.read("emb_pq_inc")
+    assert df.count() == n
+    assert df.select("vec_id").distinct().count() == n
+    maxes = df.agg(
+        *[F.max(f"c{m_}").alias(f"c{m_}") for m_ in range(PQ_M)]
+    ).collect()[0]
+    assert all(0 <= maxes[f"c{m_}"] < PQ_K for m_ in range(PQ_M))

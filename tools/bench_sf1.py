@@ -114,6 +114,7 @@ ALWAYS = [
     "q_cdc_branch_diff",
     "q_sim_ann_pq",
     "q_sim_ann_ivfpq",
+    "q_sim_ann_pq_incremental",
     "q_vocab_incremental",
     "q_agg_hist_quantile",
     "q_add_files",
