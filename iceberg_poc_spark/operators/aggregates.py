@@ -383,9 +383,13 @@ HISTQ_BUCKETS = 64
     f"Bucket assignment is identical floating-point in both engines "
     f"(exact min/max, one division for the width, one floor per row), "
     f"so med_bucket is value-checked, not characterized; within_bound "
-    f"pins the histogram error envelope (estimate within one bucket "
-    f"width of the exact interpolated median, both recomputed "
-    f"relationally). At 100 TB: histograms are a few KB per segment, "
+    f"compares the bucket estimate against the exact interpolated "
+    f"median, COMPUTED identically in both engines (for even n the "
+    f"interpolated median can sit in a data gap wider than a bucket, "
+    f"so the flag is a data-dependent quality signal — TRUE across "
+    f"the shipped corpus — while the invariant that always holds, "
+    f"lower median inside the chosen bucket, is hypothesis-fuzzed in "
+    f"tests/test_new_op_properties.py). At 100 TB: histograms are a few KB per segment, "
     f"merge any subset (day, tenant, all) without a second pass — "
     f"exact percentiles need the group's values sorted, every time.",
 )
