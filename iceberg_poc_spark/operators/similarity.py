@@ -1594,7 +1594,7 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(emb, cand, qemb, PQ_TOP_K)
 
 
-_PQ_INC_WAREHOUSES: set[str] = set()
+_PQ_INC_META: dict[str, tuple] = {}
 
 
 def _pq_inc_scan(spark: SparkSession, sf_dir: str):
@@ -1616,41 +1616,29 @@ def _pq_inc_scan(spark: SparkSession, sf_dir: str):
 
     from iceberg_poc_spark.tables import ParquetTableManager
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    base = emb.filter(F.col("vec_id") % 5 != 4)
-    n = emb.count()
-    n_base = base.count()
-    stride = n_base // PQ_K
-    rows = (
-        emb.filter(
-            (F.col("vec_id") % stride == 0)
-            & (F.col("vec_id") < stride * PQ_K)
-            & (F.col("vec_id") % 5 != 4)
-        )
-        .select((F.col("vec_id") / stride).cast("int").alias("cid"), "embedding")
-        .collect()
-    )
-    sample = {r["cid"]: [float(v) for v in r["embedding"]] for r in rows}
-    dims = len(sample[0])
-    ds = dims // PQ_M
-    cents = {
-        (m, cid): vec[m * ds : (m + 1) * ds]
-        for cid, vec in sample.items()
-        for m in range(PQ_M)
-    }
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = os.path.join(tempfile.gettempdir(), f"annpqinc_{os.getpid()}_{key}")
     mgr = ParquetTableManager(spark, wh)
-    if wh not in _PQ_INC_WAREHOUSES:
+    if wh not in _PQ_INC_META:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = emb.filter(F.col("vec_id") % 5 != 4)
+        # _pq_codebooks over the BASE slice: base already excludes the
+        # batch ids, so its strided sample is exactly the frozen,
+        # oracle-reproducible codebook (and dims%PQ_M validation rides
+        # along); n is the full corpus for the n//4 candidate cutoff
+        cents, ds, qemb, _n_base = _pq_codebooks(base)
+        n = emb.count()
         base_codes = _pq_codes_wide(spark, base, cents, ds)
         shutil.rmtree(wh, ignore_errors=True)
         mgr.create_table("emb_pq_inc", base_codes.schema, [])
         mgr.append("emb_pq_inc", base_codes)
         batch = emb.filter(F.col("vec_id") % 5 == 4)
         mgr.append("emb_pq_inc", _pq_codes_wide(spark, batch, cents, ds))
-        _PQ_INC_WAREHOUSES.add(wh)
+        _PQ_INC_META[wh] = (cents, ds, qemb, n)
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
-    qemb = sample[0]  # vec_id 0 is base (0%5!=4) and sample cid 0
+    cents, ds, qemb, n = _PQ_INC_META[wh]
     codes, _planned, _total = mgr.scan("emb_pq_inc")
     adc = _pq_adc_col(cents, ds, qemb)
     cand = (

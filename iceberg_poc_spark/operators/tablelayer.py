@@ -3268,7 +3268,12 @@ def _setup_events_ext_hive(spark: SparkSession, sf_dir: str):
         "event_id", "user_id", "event_type", "value"
     )
     src = os.path.join(wh, "_src_events_hive")
-    ev.coalesce(1).write.partitionBy("event_type").parquet(src)
+    # repartition on the partition key: one parallel task per event_type
+    # writes its whole directory (coalesce(1) would serialize the write
+    # through a single task — the dominant first-run cost at 10x)
+    ev.repartition(F.col("event_type")).write.partitionBy(
+        "event_type"
+    ).parquet(src)
     mgr.create_table("events_ext", ev.schema, [identity("event_type")])
     mgr.add_files("events_ext", [src])
     _READY[key] = {}

@@ -367,9 +367,17 @@ def _stream_marker_key(checkpoint: str) -> str:
 
     from iceberg_poc_spark.sources.pyds import STREAM_EPOCH_PROP
 
-    # normalize so a trailing-slash respelling of the same checkpoint
-    # can't silently fork the marker (and lose the replay guard)
-    norm = checkpoint.rstrip("/")
+    # normalize so a respelling of the same checkpoint (trailing or
+    # doubled slashes, '/./' segments) can't silently fork the marker
+    # and lose the replay guard; URI-style checkpoints (scheme://...)
+    # only get the trailing-slash strip — normpath would collapse the
+    # scheme's double slash
+    import os
+
+    if "://" in checkpoint:
+        norm = checkpoint.rstrip("/")
+    else:
+        norm = os.path.normpath(checkpoint)
     return f"{STREAM_EPOCH_PROP}.{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
