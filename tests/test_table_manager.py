@@ -2474,3 +2474,42 @@ def test_add_files_guards_duplicates_escaping_and_mor_basenames(
     )
     rows = {(r.k, r.cat) for r in mgr.read("h2").collect()}
     assert rows == {(1, "z z"), (2, "a b"), (4, "plain")}
+
+
+def test_add_files_hive_value_roundtrip_fuzz(mgr, spark, tmp_path):
+    """Spark's hive path escaping vs add_files' unescaping must invert
+    EXACTLY: for adversarial partition values (spaces, '=', '%', '/',
+    ':', unicode, leading dots), a partitionBy write registered via
+    add_files must read back the original value and answer an equality
+    scan on it. One write with all values beats a hypothesis loop here
+    (each example would pay a Spark write); the values are the known
+    hostile classes for percent-encoding round-trips."""
+    import glob
+    import os
+
+    from iceberg_poc_spark.tables import identity
+
+    values = [
+        "plain",
+        "a b",
+        "x=y",
+        "50%",
+        "a/b",
+        "c:d",
+        "été",  # unicode
+        ".hidden",
+        "q%3Dalready",  # literal percent-triplet in the DATA value
+    ]
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, cat string")
+    src = str(tmp_path / "fuzz")
+    df.write.partitionBy("cat").parquet(src)
+    paths = sorted(glob.glob(os.path.join(src, "cat=*", "*.parquet")))
+    assert len(paths) == len(values)
+    mgr.create_table("fz", df.schema, [identity("cat")])
+    mgr.add_files("fz", paths)
+    got = {(r.k, r.cat) for r in mgr.read("fz").collect()}
+    assert got == set(rows), got ^ set(rows)
+    for i, v in enumerate(values):
+        sdf, _p, _t = mgr.scan("fz", where=[("cat", "==", v)])
+        assert {r.k for r in sdf.collect()} == {i}, v
