@@ -1048,3 +1048,58 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("source", "overlap_band")
     )
+
+
+BPE_TOP_MERGES = 50
+
+
+@register(
+    "q_text_bpe_merge",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    p AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair
+        FROM (SELECT word, unnest(range(1, len(word))) AS i FROM w)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_MERGES}
+    """,
+    doc=f"BPE merge-candidate counting — the tokenizer-TRAINING "
+    f"primitive (one iteration of byte-pair encoding: the most frequent "
+    f"adjacent symbol pairs over the corpus become the next merges; "
+    f"q_token_count applies a trained tokenizer, this trains one): "
+    f"within-word adjacent character pairs via a pure map-side "
+    f"sequence-transform explode (no Python, no join, single-char words "
+    f"contribute nothing on both engines by the same empty-range rule), "
+    f"map-side-combined counts, TakeOrderedAndProject top-"
+    f"{BPE_TOP_MERGES} by (count, pair). The shuffle carries one row "
+    f"per distinct pair per task — alphabet-squared-bounded, tiny at "
+    f"any corpus size. At 100 TB this is the per-iteration cost of "
+    f"training a real tokenizer on the full corpus: one scan, one "
+    f"vocabulary-sized shuffle; successive merge iterations reuse the "
+    f"same shape over re-segmented symbols.",
+)
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(words_col()).alias("word"))
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0], not an
+    # empty list — single-char words must contribute no pairs, matching
+    # DuckDB's empty range(1, 1)
+    idxs = F.when(
+        F.length("word") >= 2,
+        F.sequence(F.lit(1), F.length("word") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.explode(
+        F.transform(idxs, lambda i: F.col("word").substr(i, F.lit(2)))
+    ).alias("pair")
+    return (
+        words.select(pair)
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
