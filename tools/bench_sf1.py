@@ -120,6 +120,7 @@ ALWAYS = [
     "q_add_files",
     "q_add_files_hive",
     "q_stream_ann_ingest",
+    "q_text_bpe_merge",
 ]
 
 
