@@ -1315,7 +1315,10 @@ PQ_M = 8  # subspaces over the 64-dim embedding (8 dims each)
 PQ_K = 32  # codebook entries per subspace (strided corpus sample)
 PQ_TOP_K = 10
 
-_PQ_WAREHOUSES: set[str] = set()
+# warehouse path -> (cents, ds, qemb, n): the driver-side index
+# metadata is cached alongside the build guard (mirroring _PQ_INC_META)
+# so warm queries never rescan the float corpus for codebooks
+_PQ_WAREHOUSES: dict[str, tuple] = {}
 
 
 def _seq_l2(a: list[float], b: list[float]) -> float:
@@ -1419,18 +1422,21 @@ def _pq_build(spark: SparkSession, sf_dir: str):
 
     from iceberg_poc_spark.tables import ParquetTableManager
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, ds, qemb, n = _pq_codebooks(emb)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = os.path.join(tempfile.gettempdir(), f"annpq_{os.getpid()}_{key}")
     mgr = ParquetTableManager(spark, wh)
     if wh not in _PQ_WAREHOUSES:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cents, ds, qemb, n = _pq_codebooks(emb)
         wide = _pq_codes_wide(spark, emb, cents, ds)
         shutil.rmtree(wh, ignore_errors=True)
         mgr.create_table("emb_pq", wide.schema, [])
         mgr.append("emb_pq", wide)
-        _PQ_WAREHOUSES.add(wh)
+        _PQ_WAREHOUSES[wh] = (cents, ds, qemb, n)
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    cents, ds, qemb, n = _PQ_WAREHOUSES[wh]
     return mgr, cents, n, qemb, ds
 
 
@@ -1747,7 +1753,10 @@ def q_sim_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVFPQ_CAND_DIV = 8  # ADC keeps the best n//8 of the probed cells' rows
 
-_IVFPQ_WAREHOUSES: set[str] = set()
+# warehouse path -> (cents, ds, qemb, n, anchors): warm probes reuse
+# the cached codebooks AND coarse anchors instead of rescanning the
+# corpus (same contract as _PQ_WAREHOUSES / _PQ_INC_META)
+_IVFPQ_WAREHOUSES: dict[str, tuple] = {}
 
 
 def _ivfpq_scan(spark: SparkSession, sf_dir: str):
@@ -1764,13 +1773,15 @@ def _ivfpq_scan(spark: SparkSession, sf_dir: str):
 
     from iceberg_poc_spark.tables import ParquetTableManager, identity
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, ds, qemb, n = _pq_codebooks(emb)
-    anchors = _strided_anchors(emb, n // ANN_MP_CELLS)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     wh = os.path.join(tempfile.gettempdir(), f"annivfpq_{os.getpid()}_{key}")
     mgr = ParquetTableManager(spark, wh)
     if wh not in _IVFPQ_WAREHOUSES:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cents, ds, qemb, n = _pq_codebooks(emb)
+        anchors = _strided_anchors(emb, n // ANN_MP_CELLS)
         cells = _assign_anchor_cells(spark, emb, anchors).select(
             "vec_id", "cell"
         )
@@ -1778,8 +1789,9 @@ def _ivfpq_scan(spark: SparkSession, sf_dir: str):
         shutil.rmtree(wh, ignore_errors=True)
         mgr.create_table("emb_ivfpq", idx.schema, [identity("cell")])
         mgr.append("emb_ivfpq", idx)
-        _IVFPQ_WAREHOUSES.add(wh)
+        _IVFPQ_WAREHOUSES[wh] = (cents, ds, qemb, n, anchors)
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    cents, ds, qemb, n, anchors = _IVFPQ_WAREHOUSES[wh]
     ranked = _probe_order(anchors, qemb)
     probe = [aid for aid, _ in ranked[:ANN_MP_PROBE]]
     codes, planned, total = mgr.scan(

@@ -3317,3 +3317,244 @@ def q_add_files_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("user_id").cast("bigint")).cast("bigint").alias("sum_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def _setup_docs_meta(spark: SparkSession, sf_dir: str):
+    """docs_meta: documents partitioned by identity(lang), landed in two
+    append waves so the metadata tables span multiple commits' segments."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_meta")
+    if key in _READY:
+        return mgr
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w1 = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    w2 = docs.where(F.pmod("doc_id", F.lit(3)) != 0)
+    mgr.create_table("docs_meta", w1.schema, [identity("lang")])
+    mgr.append("docs_meta", w1)
+    mgr.append("docs_meta", w2)
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_meta_partitions",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="PARTITIONS metadata table through the snaptable DataSource "
+    "(≙ Iceberg ``SELECT * FROM t.partitions`` over ``t.files``): "
+    "`.option('meta','files')` reads the table's live-file inventory "
+    "DISTRIBUTED — one executor task per COLUMNAR manifest segment, "
+    "column-pruned to (path, partition, records, bytes), zero "
+    "driver-side entry materialization — and the partitions table is "
+    "its GROUP BY partition aggregation, expressed in the query plan "
+    "where Catalyst folds the final rollup into the segment scan. "
+    "Per-partition record counts come purely from MANIFEST metadata "
+    "(no data file opened); the oracle recomputes them from the raw "
+    "corpus, so a lost file, a double-registered segment, or a "
+    "mis-parsed partition value all hash-diverge. At 1M files "
+    "(≈128 TB) this inventory inspection is an executor job over "
+    "~2k segment files instead of a driver JSON parse of 1M entries — "
+    "the read-side twin of the O(delta) segmented commit path.",
+)
+def q_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr = _setup_docs_meta(spark, sf_dir)
+    register_snaptable(spark)
+    files = (
+        spark.read.format("snaptable")
+        .option("warehouse", mgr.warehouse)
+        .option("table", "docs_meta")
+        .option("meta", "files")
+        .load()
+    )
+    return (
+        files.select(
+            F.get_json_object("partition", "$.lang").alias("lang"),
+            "records",
+        )
+        .groupBy("lang")
+        .agg(F.sum("records").cast("bigint").alias("n_records"))
+    )
+
+
+SYNC_KEY_OFFSET = 300_000_000
+
+
+def _setup_orders_sync(spark: SparkSession, sf_dir: str):
+    """orders_sync: orders partitioned by identity(o_orderpriority),
+    then ONE full-sync MERGE mirrors the 1-URGENT partition onto a
+    source that repriced some rows (%3==0, +5.00), dropped others
+    (%5==0 absent from source -> WHEN NOT MATCHED BY SOURCE DELETE),
+    and added new keys (%7==0, +SYNC_KEY_OFFSET). The clause condition
+    scopes the sync to the 1-URGENT partition, so every other
+    partition's files survive by reference (pinned in
+    tests/test_tablelayer.py)."""
+    from iceberg_poc_spark.tables import identity
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_sync")
+    if key in _READY:
+        return mgr, _READY[key]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mgr.create_table(
+        "orders_sync", orders.schema, [identity("o_orderpriority")]
+    )
+    mgr.append("orders_sync", orders)
+    pre = {e["path"] for e in mgr._load_manifest("orders_sync")["files"]}
+    urgent = orders.filter(F.col("o_orderpriority") == PE_PRIORITY)
+    src = urgent.filter(F.pmod("o_orderkey", F.lit(5)) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod("o_orderkey", F.lit(3)) == 0,
+            F.col("o_totalprice") + 5.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = urgent.filter(F.pmod("o_orderkey", F.lit(7)) == 0).select(
+        (F.col("o_orderkey") + SYNC_KEY_OFFSET).alias("o_orderkey"),
+        F.lit(PE_PRIORITY).alias("o_orderpriority"),
+        F.lit(1000.0).alias("o_totalprice"),
+    )
+    mgr.merge(
+        "orders_sync",
+        src.unionByName(inserts),
+        on=["o_orderkey"],
+        not_matched_by_source="delete",
+        not_matched_by_source_where=[
+            ("o_orderpriority", "==", PE_PRIORITY)
+        ],
+    )
+    _READY[key] = {"pre_paths": pre}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_merge_sync",
+    oracle=f"""
+    WITH synced AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + 5.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderpriority = '{PE_PRIORITY}' AND o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT '{PE_PRIORITY}', 1000.0
+        FROM orders
+        WHERE o_orderpriority = '{PE_PRIORITY}' AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderpriority <> '{PE_PRIORITY}'
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(price), 2) AS total_price
+    FROM synced
+    GROUP BY 1
+    """,
+    doc="MERGE ... WHEN NOT MATCHED BY SOURCE (Spark 4 / SQL:2023 — the "
+    "one MERGE clause q_merge_cdc's matched-update/delete + "
+    "not-matched-insert trio lacked): the full-sync shape a warehouse "
+    "mirror runs nightly — after the commit the target partition "
+    "EQUALS the source (updates applied, absent keys deleted, new keys "
+    "inserted) in ONE atomic snapshot. The clause's AND-condition "
+    "(o_orderpriority = '1-URGENT') both gates the row action and "
+    "prunes files at the manifest, so the sync rewrites ONLY the "
+    "mirrored partition; every other partition's files survive by "
+    "reference (path-identity pinned in tests/test_tablelayer.py — "
+    "without the condition, SQL semantics make every file affected, "
+    "exactly Spark's own cost). The oracle reconstructs the synced "
+    "state relationally: a leaked deleted row, a missed insert, or an "
+    "over-deleted foreign partition all hash-diverge.",
+)
+def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _snaps = _setup_orders_sync(spark, sf_dir)
+    df = mgr.read("orders_sync")
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _setup_view_versioned(spark: SparkSession, sf_dir: str):
+    """ord_kpi: a versioned SQL view over the snaptable-backed orders
+    base — v1 aggregates all years, v2 (the head after replace_view)
+    restricts to >= 1997. Both versions stay readable; the base temp
+    view is pinned at the pre-overwrite snapshot so the oracle is plain
+    raw-orders arithmetic."""
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+
+    mgr, snaps = _setup_orders_tt(spark, sf_dir)
+    register_snaptable(spark)
+    wh = _warehouse(sf_dir)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ov_base USING snaptable "
+        f"OPTIONS (warehouse '{wh}', `table` 'orders_tt', "
+        f"snapshot '{snaps['snap2']}')"
+    )
+    key = (wh, "__view_kpi__")
+    if key in _READY:
+        return mgr
+    base = (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS s FROM ov_base {w}GROUP BY 1"
+    )
+    mgr.create_view("ord_kpi", base.format(w=""))
+    mgr.replace_view(
+        "ord_kpi", base.format(w="WHERE year(o_orderdate) >= 1997 ")
+    )
+    _READY[key] = {}
+    return mgr
+
+
+@register(
+    "q_view_versioned",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS s
+        FROM orders GROUP BY 1
+    ),
+    v2 AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS s
+        FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           v1.n AS n_v1, v1.s AS s_v1,
+           v2.n AS n_head, v2.s AS s_head
+    FROM v1 JOIN v2 USING (o_orderpriority)
+    """,
+    doc="VERSIONED SQL VIEWS (≙ the Iceberg view spec: a catalog object "
+    "whose SQL definition is versioned — every CREATE OR REPLACE "
+    "appends an immutable version, old versions stay readable): the "
+    "lakehouse surface analysts touch daily that tables alone don't "
+    "model. ord_kpi v1 aggregates all years; replace_view makes a "
+    "year-restricted v2 the head; the query reads BOTH — "
+    "read_view(version=1) vs the head — through spark.sql over a "
+    "snaptable-pinned base, so view-definition time travel composes "
+    "with table time travel. The oracle computes both definitions from "
+    "raw orders: a replace that clobbered v1, or a head that still "
+    "runs v1's text, breaks different columns of the same hash. "
+    "Definition history, AS OF resolution over versions, install_view "
+    "SQL binding, and drop are pinned in tests/test_tablelayer.py.",
+)
+def q_view_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_view_versioned(spark, sf_dir)
+    v1 = mgr.read_view("ord_kpi", version=1)
+    head = mgr.read_view("ord_kpi")
+    return v1.alias("a").join(head.alias("b"), "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("a.n").alias("n_v1"),
+        F.col("a.s").alias("s_v1"),
+        F.col("b.n").alias("n_head"),
+        F.col("b.s").alias("s_head"),
+    )

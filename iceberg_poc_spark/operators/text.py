@@ -1103,3 +1103,143 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+BPE_TRAIN_ITERS = 10
+
+
+def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
+    """K-iteration BPE trainer unrolled as K materialized CTE stages —
+    the exact loop the Spark side runs, re-expressed relationally.
+    Words render as delimited symbol strings ``(h)(e)(l)(l)(o)``; a
+    merge is DuckDB ``replace`` of ``(a)(b)`` with ``(ab)`` (both
+    engines' replace scans left-to-right non-overlapping — the greedy
+    BPE application rule). MATERIALIZED stops DuckDB inlining each
+    stage twice (count + rewrite both reference it)."""
+    stages = [
+        """s0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) >= 2
+    )"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT '(' || syms[i] || ')(' || syms[i + 1] || ')' AS pair,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT string_split(substr(seq, 2, len(seq) - 2),
+                                      ')(') AS syms
+                  FROM {prev})
+        )
+        GROUP BY 1
+    )"""
+        )
+        stages.append(
+            f"b{i} AS (SELECT {i} AS it, pair, n FROM c{i} "
+            f"ORDER BY n DESC, pair LIMIT 1)"
+        )
+        if i < k:
+            stages.append(
+                f"""s{i} AS MATERIALIZED (
+        SELECT replace(seq, (SELECT pair FROM b{i}),
+                       (SELECT replace(pair, ')(', '') FROM b{i})) AS seq
+        FROM {prev}
+    )"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT it, pair, n FROM b{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + "\n"
+        + union
+        + "\nORDER BY it"
+    )
+
+
+@register(
+    "q_text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=f"Full BPE tokenizer-TRAINING loop ({BPE_TRAIN_ITERS} merges) — "
+    f"q_text_bpe_merge is one iteration's candidate count; this is the "
+    f"trainer: per round, count adjacent symbol pairs over the corpus, "
+    f"pick the (count DESC, pair ASC) argmax, APPLY it everywhere "
+    f"(left-to-right non-overlapping — both engines' native replace "
+    f"semantics, so 'aaa' + merge(a,a) yields [aa, a] identically), "
+    f"re-count over the re-segmented symbols. Words live as delimited "
+    f"symbol strings ('(h)(e)(l)(l)(o)'); each round is expression-only "
+    f"— split, sequence-transform explode, map-side-combined counts "
+    f"into a distinct-pair-bounded shuffle, then ONE string replace "
+    f"over the cached corpus. Per-round lineage is cut by persisting "
+    f"the rewritten sequences and unpersisting the prior round, so "
+    f"round k costs one pass over cached data + one "
+    f"alphabet-squared-bounded shuffle — K rounds = K linear passes, "
+    f"the cost profile a 100 TB tokenizer train actually pays "
+    f"(HuggingFace tokenizers does exactly this loop in C; here the "
+    f"corpus never leaves the cluster). The oracle unrolls the same "
+    f"{BPE_TRAIN_ITERS} stages relationally; argmax ties, merge "
+    f"application, and re-segmentation must agree value-for-value "
+    f"every round or the hash diverges.",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cur = (
+        d.select(F.explode(words_col()).alias("word"))
+        .where(F.length("word") >= 2)
+        .select(
+            F.regexp_replace(F.col("word"), "(.)", r"($1)").alias("seq")
+        )
+    )
+    merges: list[tuple[int, str, int]] = []
+    prev_cached = None
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        cur = cur.persist()
+        syms = F.split(
+            F.col("seq").substr(F.lit(2), F.length("seq") - 2), r"\)\("
+        )
+        n = F.size(syms)
+        idxs = F.when(
+            n >= 2, F.sequence(F.lit(1), n - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.concat(
+                    F.lit("("),
+                    F.element_at(syms, i),
+                    F.lit(")("),
+                    F.element_at(syms, i + 1),
+                    F.lit(")"),
+                ),
+            )
+        ).alias("pair")
+        top = (
+            cur.select(pair)
+            .groupBy("pair")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cur
+        if not top:
+            break
+        p, cnt = top[0]["pair"], int(top[0]["n"])
+        merges.append((it, p, cnt))
+        if it < BPE_TRAIN_ITERS:
+            cur = cur.select(
+                F.replace(
+                    F.col("seq"), F.lit(p), F.lit(p.replace(")(", ""))
+                ).alias("seq")
+            )
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return spark.createDataFrame(merges, "it int, pair string, n bigint")

@@ -46,7 +46,12 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from iceberg_poc_spark.tables.manager import (
     ParquetTableManager,
@@ -403,6 +408,76 @@ def _read_file_as_batches(
     out = _apply_mor_deletes(pa.table(cols, schema=target), entry, table_dir)
     # arrow joins may reorder columns; the batch contract is target order
     yield from out.select(target.names).cast(target).to_batches()
+
+
+class SnapMetaReader(DataSourceReader):
+    """``files`` METADATA-TABLE reader (≙ Iceberg's ``table$files`` /
+    ``SELECT * FROM t.files``): one row per live data file with its
+    manifest metadata, read DISTRIBUTED — each task scans one COLUMNAR
+    segment file (column-pruned to the exposed fields), so inspecting a
+    1M-file inventory is an executor job, never a driver JSON
+    materialization. The ``partitions`` table is its Spark-side
+    aggregation (``GROUP BY partition``) — the engine keeps that
+    derivation in the query plan where Catalyst can fold further
+    aggregates into it, instead of hiding a second code path in the
+    source."""
+
+    META_DDL = "path string, partition string, records long, bytes long"
+
+    def __init__(self, options):
+        mgr, table = _mgr(options)
+        snap = options.get("snapshot")
+        v = mgr._resolve(
+            table,
+            snapshot_id=int(snap) if snap is not None else None,
+            ref=options.get("ref"),
+            as_of=options.get("as_of"),
+        )
+        raw = mgr._manifest_raw(table, v)
+        segs = raw.get("segments")
+        self._seg_paths: list[str] | None = None
+        self._rows: list[tuple] | None = None
+        if segs is not None:
+            paths = [mgr._seg_path(table, sid) for sid in segs]
+            if all(os.path.exists(p) for p in paths):
+                self._seg_paths = paths
+        if self._seg_paths is None:
+            import json as _json
+
+            m = mgr._load_manifest(table, v)
+            self._rows = [
+                (
+                    e["path"],
+                    _json.dumps(e["partition"], sort_keys=True),
+                    int(e["records"]),
+                    int(e["bytes"]),
+                )
+                for e in m["files"]
+            ]
+
+    def partitions(self):
+        if self._seg_paths is not None:
+            return [InputPartition(("seg", p)) for p in self._seg_paths]
+        return [InputPartition(("rows", self._rows))]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kind, payload = partition.value
+        cols = ["path", "partition", "records", "bytes"]
+        if kind == "seg":
+            yield from pq.read_table(payload, columns=cols).to_batches()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in payload], pa.string()),
+                pa.array([r[1] for r in payload], pa.string()),
+                pa.array([r[2] for r in payload], pa.int64()),
+                pa.array([r[3] for r in payload], pa.int64()),
+            ],
+            names=cols,
+        )
 
 
 class SnapTableReader(DataSourceReader):
@@ -886,13 +961,35 @@ class SnapTableDataSource(DataSource):
         CREATE TEMPORARY VIEW orders_v3 USING snaptable
         OPTIONS (warehouse '/w', `table` 'orders', snapshot '3')
 
-    (gated end-to-end by ``q_time_travel_sql``)."""
+    (gated end-to-end by ``q_time_travel_sql``).
+
+    ``.option("meta", "files")`` reads the ``files`` METADATA TABLE
+    instead of the data (one row per live file: path, partition,
+    records, bytes) — distributed over the columnar segment manifests,
+    one task per segment. The ``partitions`` metadata table is its
+    ``GROUP BY partition`` aggregation, expressed in the query plan."""
 
     @classmethod
     def name(cls) -> str:
         return "snaptable"
 
     def schema(self) -> StructType:
+        meta = self.options.get("meta")
+        if meta is not None:
+            if meta != "files":
+                raise ValueError(
+                    f"unknown metadata table {meta!r}; supported: 'files' "
+                    "(derive 'partitions' by GROUP BY partition over it)"
+                )
+            # no fromDDL: the planning worker has no active session
+            return StructType(
+                [
+                    StructField("path", StringType(), True),
+                    StructField("partition", StringType(), True),
+                    StructField("records", LongType(), True),
+                    StructField("bytes", LongType(), True),
+                ]
+            )
         manifest, _ = _resolve_manifest(self.options)
         declared = StructType.fromJson(manifest["schema"])
         # nullable-ized like the manager's read (files predating a schema
@@ -905,7 +1002,9 @@ class SnapTableDataSource(DataSource):
             ]
         )
 
-    def reader(self, schema: StructType) -> SnapTableReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("meta") is not None:
+            return SnapMetaReader(self.options)
         return SnapTableReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> SnapTableStreamReader:

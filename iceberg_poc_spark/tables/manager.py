@@ -385,6 +385,106 @@ COMPACT_THRESHOLD_PROP = "write.compact-threshold"
 SEGMENT_TARGET_PROP = "meta.segment-target-entries"
 SEGMENT_MERGE_RUN_PROP = "meta.segment-merge-run"
 
+# columnar segment codec: each manifest segment persists as ONE parquet
+# file with typed columns for the universally-present entry fields plus
+# a JSON spill column for the irregular rest (delete attachments, bloom
+# filters, writer schemas, ...). Planning reads ONLY the columns it
+# needs — `path` for a broad scan, (path, partition, records, bytes)
+# for the files/partitions metadata tables — at Arrow speed, and whole
+# segments can be handed to executors for distributed entry pruning
+# (≙ Iceberg planning big scans against Avro manifests it reads
+# distributed, instead of driver-side JSON).
+_SEG_BASE_KEYS = ("path", "partition", "records", "bytes")
+
+
+def _seg_encode_parquet(path: str, entries: list[dict]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rest_rows: list[str | None] = []
+    for e in entries:
+        rest = {k: v for k, v in e.items() if k not in _SEG_BASE_KEYS}
+        rest_rows.append(json.dumps(rest, sort_keys=True) if rest else None)
+    tab = pa.table(
+        {
+            "path": pa.array(
+                [e.get("path") for e in entries], type=pa.string()
+            ),
+            "partition": pa.array(
+                [
+                    json.dumps(e["partition"], sort_keys=True)
+                    if "partition" in e
+                    else None
+                    for e in entries
+                ],
+                type=pa.string(),
+            ),
+            "records": pa.array(
+                [e.get("records") for e in entries], type=pa.int64()
+            ),
+            "bytes": pa.array(
+                [e.get("bytes") for e in entries], type=pa.int64()
+            ),
+            "rest": pa.array(rest_rows, type=pa.string()),
+        }
+    )
+    # exclusive create preserves the old "x"-mode immutability contract
+    with open(path, "xb") as f:
+        papq.write_table(tab, f, compression="zstd")
+
+
+def _batch_json(cells) -> list:
+    """Parse a vector of JSON-object strings in ONE ``json.loads`` call
+    (wrap in an array) — a single C-speed parse instead of one Python
+    call per entry; this keeps columnar decode at least as fast as the
+    old whole-segment ``json.load``."""
+    out = [None] * len(cells)
+    idx = [i for i, s in enumerate(cells) if s]
+    if idx:
+        parsed = json.loads("[" + ",".join(cells[i] for i in idx) + "]")
+        for i, o in zip(idx, parsed):
+            out[i] = o
+    return out
+
+
+def _seg_rows_to_entries(
+    paths, parts, recs, byts, rests
+) -> list[dict]:
+    """Column vectors -> exact entry dicts (shared by the driver decode
+    and the executor-parallel pruning kernel). A key absent at encode
+    time is absent after decode — entries round-trip exactly."""
+    part_objs = _batch_json(parts)
+    rest_objs = _batch_json(rests)
+    out: list[dict] = []
+    for p, part, r, b, rest in zip(paths, part_objs, recs, byts, rest_objs):
+        e: dict = {}
+        if p is not None:
+            e["path"] = p
+        if part is not None:
+            e["partition"] = part
+        if r is not None:
+            e["records"] = r
+        if b is not None:
+            e["bytes"] = b
+        if rest is not None:
+            e.update(rest)
+        out.append(e)
+    return out
+
+
+def _seg_decode_parquet(path: str) -> list[dict]:
+    import pyarrow.parquet as papq
+
+    tab = papq.read_table(path)
+    return _seg_rows_to_entries(
+        tab.column("path").to_pylist(),
+        tab.column("partition").to_pylist(),
+        tab.column("records").to_pylist(),
+        tab.column("bytes").to_pylist(),
+        tab.column("rest").to_pylist(),
+    )
+
+
 BLOOM_COLS_PROP = "index.bloom.columns"  # comma-separated column names
 BLOOM_BITS_PROP = "index.bloom.bits"  # filter size in bits (default 65536)
 BLOOM_HASHES_PROP = "index.bloom.hashes"  # hash count k (default 6)
@@ -719,6 +819,18 @@ class ParquetTableManager:
         return os.path.join(self._meta_dir(name), "segs")
 
     def _seg_path(self, name: str, segid: str) -> str:
+        """Canonical (COLUMNAR parquet) segment file path. Segments are
+        stored columnar — ≙ Iceberg's Avro manifests, readable by Spark
+        itself — so planning can read just the columns it needs (`path`
+        for broad scans, prunable fields for metadata tables) at Arrow
+        speed, or hand whole segments to executors, instead of JSON-
+        parsing every entry in driver Python."""
+        return os.path.join(self._segs_dir(name), f"{segid}.parquet")
+
+    def _seg_path_legacy(self, name: str, segid: str) -> str:
+        """Pre-columnar JSON segment path (read-compat only: tables
+        written before the parquet format keep working; new segments are
+        always parquet)."""
         return os.path.join(self._segs_dir(name), f"{segid}.json")
 
     def _seg_entries(self, name: str, segid: str) -> list[dict]:
@@ -726,8 +838,12 @@ class ParquetTableManager:
         key = (name, segid)
         hit = self._seg_cache.get(key)
         if hit is None:
-            with open(self._seg_path(name, segid)) as f:
-                hit = json.load(f)
+            p = self._seg_path(name, segid)
+            if os.path.exists(p):
+                hit = _seg_decode_parquet(p)
+            else:
+                with open(self._seg_path_legacy(name, segid)) as f:
+                    hit = json.load(f)
             self._seg_cache[key] = hit
         return hit
 
@@ -748,6 +864,30 @@ class ParquetTableManager:
             # segment pruning; stashed under a helper key so consumer
             # dict(m) copies can never persist a stale copy
             m["_seg_stats"] = m.pop("seg_stats", {})
+            # cold-load prefetch: columnar segment decode releases the
+            # GIL in Arrow, so uncached segments load threaded — the
+            # one-time materialization cost of a large inventory drops
+            # ~4x on a hot box (subsequent loads are pure cache refs)
+            cold = [
+                sid
+                for sid in seg_ids
+                if (name, sid) not in self._seg_cache
+                and os.path.exists(self._seg_path(name, sid))
+            ]
+            if len(cold) > 4:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    for sid, entries in zip(
+                        cold,
+                        pool.map(
+                            lambda s: _seg_decode_parquet(
+                                self._seg_path(name, s)
+                            ),
+                            cold,
+                        ),
+                    ):
+                        self._seg_cache[(name, sid)] = entries
             files: list[dict] = []
             layout: list[tuple[str, int]] = []
             for sid in seg_ids:
@@ -821,8 +961,36 @@ class ParquetTableManager:
         """Per-segment partition summary for scan-time segment pruning:
         entry count + [min, max] of each partition value whose type is
         homogeneous and orderable. Computed ONCE when a segment is
-        written (O(delta)); carried by reference afterwards."""
+        written (O(delta)); carried by reference afterwards.
+
+        Besides the partition [min, max] bounds the summary carries the
+        fields that let planning stay O(segments) driver-side:
+        ``clean`` (no entry needs delete filters / external-read
+        handling — a broad scan over all-clean segments can plan from
+        the segments' ``path`` columns alone, never materializing entry
+        dicts), ``lay`` (distinct partition-key layouts, for the
+        single-group fast read), and ``rec``/``byt`` rollups (snapshot
+        inspection without touching entries)."""
         summary: dict = {"n": len(entries)}
+        recs = [e.get("records") for e in entries]
+        byts = [e.get("bytes") for e in entries]
+        if all(isinstance(r, int) for r in recs):
+            summary["rec"] = sum(recs)
+        if all(isinstance(b, int) for b in byts):
+            summary["byt"] = sum(byts)
+        summary["clean"] = not any(
+            e.get("deletes")
+            or e.get("eq_deletes")
+            or e.get("pos_deletes")
+            or e.get("external")
+            for e in entries
+        )
+        try:
+            summary["lay"] = sorted(
+                {tuple(sorted(e["partition"])) for e in entries}
+            )
+        except KeyError:
+            pass  # a partition-less fabricated entry: no layout summary
         parts: dict[str, list] = {}
         cols: set[str] | None = None
         for e in entries:
@@ -900,8 +1068,7 @@ class ParquetTableManager:
             for j in range(0, len(entries), target):
                 chunk = entries[j : j + target]
                 sid = f"s-{uuid.uuid4().hex[:16]}"
-                with open(self._seg_path(name, sid), "x") as f:
-                    json.dump(chunk, f)
+                _seg_encode_parquet(self._seg_path(name, sid), chunk)
                 self._seg_cache[(name, sid)] = [dict(e) for e in chunk]
                 out_ids.append(sid)
                 out_stats[sid] = self._seg_summary(chunk)
@@ -1631,7 +1798,11 @@ class ParquetTableManager:
         stats pruning still applies.
 
         Partition values for pruning: hive-style ``col=value`` path
-        segments matching IDENTITY partition fields are parsed per file;
+        segments matching IDENTITY partition fields are parsed per file
+        — scoped to segments BELOW a passed directory root, or to the
+        trailing contiguous ``col=value`` chain above a directly-passed
+        file (ancestor directories that merely look like ``col=value``
+        never inject values);
         ``partition_values`` overrides/supplies values for all files.
         Identity fields with no value from either source raise (pruning
         would silently degrade); non-identity (derived) transform fields
@@ -1651,24 +1822,40 @@ class ParquetTableManager:
         m = self._load_manifest(name, head)
         spec = self._spec(m)
         ident = {t.field_name for t in spec if t.kind == "identity"}
-        schema_cols = {
-            f.name for f in self.schema(name, m if ref == "main" else None).fields
-        }
+        # always the BRANCH-HEAD manifest's schema — for a non-main ref
+        # whose schema diverged from main, validating file columns
+        # against main's schema would accept/reject the wrong columns
+        schema_cols = {f.name for f in self.schema(name, m).fields}
         # directories expand to their parquet files recursively (the
         # hive-layout onboarding shape: pass the dataset root, partition
-        # values parse from each file's own col=value segments)
-        flat: list[str] = []
+        # values parse from each file's own col=value segments).
+        # Partition parsing is SCOPED to what the caller passed: for a
+        # directory, only segments BELOW that root; for a directly-passed
+        # file, only the trailing contiguous col=value chain above it —
+        # an ancestor directory that merely happens to be named
+        # col=value (e.g. /data/env=prod/...) must never inject a
+        # partition value, or manifest pruning silently drops rows.
+        flat: list[tuple[str, list[str]]] = []
         for p in paths:
             ap = os.path.abspath(p)
             if os.path.isdir(ap):
                 for root, _dirs, fns in sorted(os.walk(ap)):
+                    rel = os.path.relpath(root, ap)
+                    segs = [] if rel == "." else rel.split(os.sep)
                     flat.extend(
-                        os.path.join(root, fn)
+                        (os.path.join(root, fn), segs)
                         for fn in sorted(fns)
                         if fn.endswith(".parquet")
                     )
             else:
-                flat.append(ap)
+                chain: list[str] = []
+                for seg in reversed(os.path.dirname(ap).split(os.sep)):
+                    k, eq, _v = seg.partition("=")
+                    if eq and k:
+                        chain.append(seg)
+                    else:
+                        break
+                flat.append((ap, list(reversed(chain))))
         if not flat:
             raise ValueError(f"add_files: no parquet files under {paths!r}")
         # duplicate guard (Iceberg add_files' check_duplicate_files):
@@ -1680,12 +1867,12 @@ class ParquetTableManager:
         # with colliding basenames (_require_unique_basenames; compact()
         # rewrites externals into uuid names and clears the state)
         known_paths = {e["path"] for e in m["files"]}
-        for ap in flat:
+        for ap, _segs in flat:
             if ap in known_paths:
                 raise ValueError(f"add_files: {ap} is already registered")
             known_paths.add(ap)
         entries: list[dict] = []
-        for ap in flat:
+        for ap, psegs in flat:
             md = pq.ParquetFile(ap).metadata
             fcols = [
                 c for c in md.schema.to_arrow_schema().names if c in schema_cols
@@ -1695,7 +1882,7 @@ class ParquetTableManager:
                     f"{ap}: no column overlaps the table schema"
                 )
             pvals: dict[str, Any] = {}
-            for seg in ap.split(os.sep)[:-1]:
+            for seg in psegs:
                 k, eq, v = seg.partition("=")
                 if eq and k in ident:
                     # hive escaping: writers percent-encode specials and
@@ -2399,6 +2586,10 @@ class ParquetTableManager:
             return self._commit(name, m)
         if mode != "mor":
             raise ValueError(f"unknown delete mode {mode!r}")
+        # the equality MoR read/fold path scopes delete applicability via
+        # a basename-keyed seq map — colliding external basenames would
+        # duplicate data rows through that left join
+        self._require_unique_basenames(name, m, "delete(mode='mor')")
         del_entries = self._write_eq_delete_files(name, dkeys, equality)
         for e in affected:
             e = dict(e)
@@ -2777,6 +2968,10 @@ class ParquetTableManager:
         dirty = [e for e in m["files"] if _dirty(e)]
         if not dirty:
             return m["version"]
+        # the fold below (and the MoR read applying the deletes) keys
+        # rows by basename; colliding external names would misattribute
+        # coordinates / duplicate rows through basename joins
+        self._require_unique_basenames(name, m, "rewrite_deletes")
         clean = [e for e in m["files"] if not _dirty(e)]
         df = self._read_files(name, m, dirty)
         new_files = self._write_files(name, df, self._spec(m))
@@ -2870,6 +3065,9 @@ class ParquetTableManager:
         has_pos = any(e.get("pos_deletes") for e in m["files"])
         if not has_eq and not has_pos:
             return m["version"], False
+        # seq_df scoping and coordinate folds below are basename-keyed;
+        # refuse colliding external basenames before any of that work
+        self._require_unique_basenames(name, m, "compact_deletes")
         files = [dict(e) for e in m["files"]]
         changed = False
         # stamp every known-birth entry's data sequence number up front —
@@ -3095,6 +3293,10 @@ class ParquetTableManager:
             return m["version"]
         hit = F.coalesce(_predicate(where), F.lit(False))
         if mode == "mor":
+            # positional coordinates key rows by basename — colliding
+            # externally-registered names would retire same-position rows
+            # in the WRONG partition's same-named file (silent corruption)
+            self._require_unique_basenames(name, m, "update(mode='mor')")
             df = self._read_files(name, m, affected, with_positions=True)
             matched = df.filter(hit)
             dpos = matched.select("_file_name", "_pos").distinct()
@@ -3133,6 +3335,9 @@ class ParquetTableManager:
         source: DataFrame,
         on: list[str],
         delete_when: Column | None = None,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_set: dict[str, Column] | None = None,
+        not_matched_by_source_where: list[tuple[str, str, Any]] | None = None,
     ) -> int:
         """MERGE upsert (≙ Iceberg ``MERGE INTO``): target rows whose key
         appears in ``source`` are replaced by the source row; unmatched
@@ -3144,6 +3349,19 @@ class ParquetTableManager:
         column that is not part of the table schema works) removes its
         matched target row instead of replacing it. Deletes, updates, and
         inserts land in ONE atomic commit.
+
+        ``not_matched_by_source`` ("delete" or "update") adds the Spark 4
+        / SQL:2023 ``WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET
+        not_matched_by_source_set`` clause — the FULL-SYNC shape: target
+        rows whose key is ABSENT from the source are deleted (or
+        updated), making the table mirror the source after the commit.
+        ``not_matched_by_source_where`` is the clause's ``AND <cond>``,
+        as manifest-prunable (col, op, literal) triples: it both gates
+        the row-level action AND prunes files — a sync scoped to one
+        partition (the common incremental-mirror shape) rewrites ONLY
+        that partition's files, every other file survives by reference.
+        Without it, every target file is affected (any row could be
+        unmatched — exactly SQL's semantics and cost).
 
         Copy-on-write at partition granularity: the source's partition
         values (derived through the table's transforms — a small driver-
@@ -3165,6 +3383,15 @@ class ParquetTableManager:
                 ]
             )
 
+        if not_matched_by_source not in (None, "delete", "update"):
+            raise ValueError(
+                "not_matched_by_source must be 'delete' or 'update'"
+            )
+        if not_matched_by_source == "update" and not not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source='update' requires "
+                "not_matched_by_source_set"
+            )
         # partition-value selection sees EVERY source row (upserts AND
         # deletes): a delete row's partition must be rewritten too
         pval_src = project(source)
@@ -3190,8 +3417,43 @@ class ParquetTableManager:
                         str(e["partition"].get(t.field_name)) for t in spec
                     )
                     (affected if fk in keys else untouched).append(e)
+        if not_matched_by_source is not None:
+            # the clause can touch rows no source partition points at:
+            # widen the affected set to files that may hold rows
+            # satisfying its condition (all files when unconditioned) —
+            # SQL semantics at manifest-pruned cost
+            if not_matched_by_source_where is None:
+                affected, untouched = m["files"], []
+            else:
+                cond_aff, _cond_unt = self._split_files(
+                    m, not_matched_by_source_where
+                )
+                aff_ids = {id(e) for e in affected} | {
+                    id(e) for e in cond_aff
+                }
+                affected = [e for e in m["files"] if id(e) in aff_ids]
+                untouched = [
+                    e for e in m["files"] if id(e) not in aff_ids
+                ]
         target = self._read_files(name, m, affected)
-        merged = target.join(match_keys, on, "left_anti").unionByName(src)
+        survivors = target.join(match_keys, on, "left_anti")
+        if not_matched_by_source is not None:
+            cond = (
+                _predicate(not_matched_by_source_where)
+                if not_matched_by_source_where
+                else None
+            )
+            cond = F.lit(True) if cond is None else F.coalesce(
+                cond, F.lit(False)
+            )
+            if not_matched_by_source == "delete":
+                survivors = survivors.filter(~cond)
+            else:
+                for col, expr in (not_matched_by_source_set or {}).items():
+                    survivors = survivors.withColumn(
+                        col, F.when(cond, expr).otherwise(F.col(col))
+                    )
+        merged = survivors.unionByName(src)
         new_files = self._write_files(name, merged, spec)
         m["files"] = untouched + new_files
         m["operation"] = "merge"
@@ -3556,10 +3818,22 @@ class ParquetTableManager:
         """Read the table at the current snapshot, a historical snapshot
         (time travel ≙ Iceberg ``VERSION AS OF``), a named branch/tag
         (≙ ``VERSION AS OF 'ref'``), or the newest snapshot committed at
-        or before an instant (``as_of`` ≙ ``TIMESTAMP AS OF``)."""
-        m = self._load_manifest(
-            name, self._resolve(name, snapshot_id, ref, as_of)
-        )
+        or before an instant (``as_of`` ≙ ``TIMESTAMP AS OF``).
+
+        All-clean snapshots plan from the columnar segments' path
+        columns (O(segments) driver work); anything carrying deletes,
+        externals, or schema-evolution state takes the materialized
+        path."""
+        v = self._resolve(name, snapshot_id, ref, as_of)
+        try:
+            raw = self._manifest_raw(name, v)
+        except FileNotFoundError:
+            raw = None
+        if raw is not None and "segments" in raw:
+            plan = self._broad_plan(name, raw)
+            if plan is not None:
+                return self._read_clean_paths(name, raw, plan)
+        m = self._load_manifest(name, v)
         return self._read_files(name, m, m["files"])
 
     # ----------------------------------------------------- branches & tags
@@ -3602,6 +3876,219 @@ class ParquetTableManager:
 
     def drop_tag(self, name: str, tag: str) -> None:
         os.remove(self._tag_path(name, tag))
+
+    # ------------------------------------------------- per-ref retention
+    # ≙ Iceberg's per-ref retention knobs (`max-ref-age-ms`,
+    # `min-snapshots-to-keep`): the production cleanup contract for WAP
+    # audit branches and quarantine tags — without it every staging
+    # branch pins its history forever. Policies live per ref under
+    # _meta/<table>/refprops/ and are honored by expire_snapshots:
+    # over-age refs are REMOVED (their snapshots then expire by the
+    # normal rules), and a branch with min-snapshots-to-keep pins only
+    # its newest N ancestors instead of its full history. `main` is
+    # governed by expire_snapshots' own keep_last/older_than arguments,
+    # never by a ref policy.
+
+    def _ref_props_path(self, name: str, ref: str) -> str:
+        return os.path.join(self._meta_dir(name), "refprops", f"{ref}.json")
+
+    def set_ref_policy(
+        self,
+        name: str,
+        ref: str,
+        max_ref_age_ms: float | None = None,
+        min_snapshots_to_keep: int | None = None,
+    ) -> None:
+        """Attach a retention policy to a branch or tag (replaces any
+        prior policy for that ref)."""
+        if ref == "main":
+            raise ValueError(
+                "main's retention is keep_last/older_than on "
+                "expire_snapshots, not a ref policy"
+            )
+        is_branch = self._ref_head(name, ref)[1] >= 0
+        is_tag = os.path.exists(self._tag_path(name, ref))
+        if not (is_branch or is_tag):
+            raise ValueError(f"no branch or tag {ref!r} on table {name!r}")
+        if min_snapshots_to_keep is not None and is_tag:
+            raise ValueError(
+                "min_snapshots_to_keep applies to branches only"
+            )
+        os.makedirs(
+            os.path.dirname(self._ref_props_path(name, ref)), exist_ok=True
+        )
+        with open(self._ref_props_path(name, ref), "w") as f:
+            json.dump(
+                {
+                    "max_ref_age_ms": max_ref_age_ms,
+                    "min_snapshots_to_keep": min_snapshots_to_keep,
+                },
+                f,
+            )
+
+    def _ref_policy(self, name: str, ref: str) -> dict:
+        try:
+            with open(self._ref_props_path(name, ref)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _ref_age_ms(self, name: str, ref: str) -> float:
+        """Age of a ref = time since its pointer was last WRITTEN (a
+        branch ages from its newest head-advance, a tag from creation)
+        — so an active audit branch never expires mid-use."""
+        import time as _time
+
+        d = self._heads_dir(name, ref)
+        if os.path.isdir(d):
+            seqs = [fn for fn in os.listdir(d) if fn.startswith("seq-")]
+            if seqs:
+                newest = max(
+                    os.path.getmtime(os.path.join(d, fn)) for fn in seqs
+                )
+                return (_time.time() - newest) * 1000.0
+        tp = self._tag_path(name, ref)
+        if os.path.exists(tp):
+            return (_time.time() - os.path.getmtime(tp)) * 1000.0
+        return 0.0
+
+    # ----------------------------------------------------- versioned views
+    # ≙ the Iceberg VIEW SPEC: a catalog object holding VERSIONED SQL
+    # definitions — every replace appends an immutable new version, old
+    # versions stay readable (time travel over the view DEFINITION, the
+    # analytics-contract audit trail: "what did the KPI view compute
+    # last quarter?"). Definitions are text; resolution happens through
+    # spark.sql at read time, so a view over snaptable-backed temp
+    # views composes with table time travel.
+
+    def _views_dir(self, view: str) -> str:
+        return os.path.join(self.warehouse, "_views", view)
+
+    def _view_version_path(self, view: str, version: int) -> str:
+        return os.path.join(self._views_dir(view), f"v{version}.json")
+
+    def create_view(self, view: str, sql: str) -> int:
+        """Create version 1 of a named SQL view. Fails if it exists."""
+        if os.path.isdir(self._views_dir(view)):
+            raise ValueError(f"view {view!r} already exists")
+        os.makedirs(self._views_dir(view), exist_ok=True)
+        return self._write_view_version(view, sql)
+
+    def replace_view(self, view: str, sql: str) -> int:
+        """Append a new immutable version (CREATE OR REPLACE VIEW): the
+        head definition changes, every prior version stays readable."""
+        if not os.path.isdir(self._views_dir(view)):
+            raise ValueError(f"view {view!r} does not exist")
+        return self._write_view_version(view, sql)
+
+    def _write_view_version(self, view: str, sql: str) -> int:
+        import time as _time
+
+        while True:
+            v = self._max_view_version(view) + 1
+            try:
+                with open(self._view_version_path(view, v), "x") as f:
+                    json.dump(
+                        {"version": v, "sql": sql, "created_at": _time.time()},
+                        f,
+                    )
+                return v
+            except FileExistsError:
+                continue  # concurrent definer won this number: next
+
+    def _max_view_version(self, view: str) -> int:
+        best = 0
+        try:
+            for fn in os.listdir(self._views_dir(view)):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    try:
+                        best = max(best, int(fn[1:-5]))
+                    except ValueError:
+                        pass
+        except FileNotFoundError:
+            pass
+        return best
+
+    def view_sql(
+        self,
+        view: str,
+        version: int | None = None,
+        as_of: float | str | None = None,
+    ) -> str:
+        """The SQL text of a view version: explicit ``version``, or the
+        newest version created at or before ``as_of`` (``TIMESTAMP AS
+        OF`` over view DEFINITIONS), or the head."""
+        if version is None and as_of is not None:
+            try:
+                bound = float(as_of)
+            except (TypeError, ValueError):
+                import datetime as _dt
+
+                d = _dt.datetime.fromisoformat(str(as_of))
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                bound = d.timestamp()
+            best = -1
+            for vv in range(1, self._max_view_version(view) + 1):
+                with open(self._view_version_path(view, vv)) as f:
+                    rec = json.load(f)
+                if rec["created_at"] <= bound:
+                    best = vv
+            if best < 0:
+                raise ValueError(
+                    f"no version of view {view!r} at or before {as_of!r}"
+                )
+            version = best
+        if version is None:
+            version = self._max_view_version(view)
+        if version < 1:
+            raise ValueError(f"view {view!r} does not exist")
+        p = self._view_version_path(view, version)
+        if not os.path.exists(p):
+            raise ValueError(f"view {view!r} has no version {version}")
+        with open(p) as f:
+            return json.load(f)["sql"]
+
+    def read_view(
+        self,
+        view: str,
+        version: int | None = None,
+        as_of: float | str | None = None,
+    ) -> DataFrame:
+        """Evaluate a view version through ``spark.sql`` — the renamed
+        tables/temp views its text references resolve in the session,
+        so a view over snaptable temp views composes with table time
+        travel."""
+        return self.spark.sql(self.view_sql(view, version, as_of))
+
+    def install_view(self, view: str, version: int | None = None) -> None:
+        """Bind a view version into the session as a TEMP VIEW under its
+        own name, so plain ``spark.sql('SELECT ... FROM <view>')``
+        works — the SQL-surface face of the versioned catalog entry."""
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
+            + self.view_sql(view, version)
+        )
+
+    def view_versions(self, view: str) -> DataFrame:
+        """Version history (≙ Iceberg view-spec ``versions`` metadata)."""
+        rows = []
+        for vv in range(1, self._max_view_version(view) + 1):
+            p = self._view_version_path(view, vv)
+            if os.path.exists(p):
+                with open(p) as f:
+                    rec = json.load(f)
+                rows.append((vv, rec["sql"], float(rec["created_at"])))
+        return self.spark.createDataFrame(
+            rows, "version INT, sql STRING, created_at DOUBLE"
+        )
+
+    def drop_view(self, view: str) -> None:
+        import shutil as _sh
+
+        if not os.path.isdir(self._views_dir(view)):
+            raise ValueError(f"view {view!r} does not exist")
+        _sh.rmtree(self._views_dir(view))
 
     def refs(self, name: str) -> DataFrame:
         """All named refs (≙ Iceberg ``.refs`` metadata table)."""
@@ -3766,7 +4253,33 @@ class ParquetTableManager:
         used — one driver-side single-row job per scan, never a data
         pass — and only files of matching buckets are planned.
         Returns (df, files_planned, files_total).
-        """
+
+        Planning is O(segments) driver-side against the COLUMNAR
+        segment manifests: a selective scan materializes only the
+        segments its summary pruning keeps (executor-parallel above
+        ``SCAN_DIST_SEGMENTS`` surviving segments — the Iceberg
+        distributed-planning shape); a broad scan over an all-clean
+        snapshot plans from the segments' ``path`` columns alone at
+        Arrow speed, never building per-entry dicts. Snapshots whose
+        state needs the full entry semantics (delete attachments,
+        external files, schema defaults/renames, legacy JSON segments)
+        fall back to materialized planning — identical results, just
+        driver-side."""
+        fast = self._plan_scan_fast(name, where)
+        if fast is not None:
+            raw, files, paths_layout, total = fast
+            if paths_layout is not None:
+                df = self._read_clean_paths(name, raw, paths_layout)
+                planned = total
+            else:
+                spec = self._spec(raw)
+                files = self._prune_buckets(raw, spec, files, where or [])
+                planned = len(files)
+                df = self._read_files(name, raw, files)
+            pred = _predicate(where or [])
+            if pred is not None:
+                df = df.filter(pred)
+            return df, planned, total
         m = self._load_manifest(name)
         spec = self._spec(m)
         files = m["files"]
@@ -3797,6 +4310,205 @@ class ParquetTableManager:
             df = df.filter(pred)
         return df, len(files), total
 
+    # surviving-segment count at or above which entry pruning runs
+    # executor-parallel over the columnar segment files instead of in
+    # driver Python (class attr so tests can force either path)
+    SCAN_DIST_SEGMENTS = 64
+
+    def _plan_scan_fast(self, name, where):
+        """O(segments) scan planning against the raw (unmaterialized)
+        manifest. Returns ``(raw, files, paths_layout, total)`` — with
+        either ``files`` (pruned entry dicts, selective scan) or
+        ``paths_layout`` (``(paths, layout)``, broad all-clean scan) set
+        — or None when this snapshot's state needs the materialized
+        path."""
+        try:
+            v = self._current_version(name)
+            raw = self._manifest_raw(name, v)
+        except FileNotFoundError:
+            return None
+        segs = raw.get("segments")
+        if segs is None:
+            return None
+        stats = raw.get("seg_stats") or {}
+        if any("n" not in (stats.get(sid) or {}) for sid in segs):
+            return None
+        spec = self._spec(raw)
+        total = sum(stats[sid]["n"] for sid in segs)
+        w = where or []
+        if w:
+            surv = [
+                sid
+                for sid in segs
+                if _seg_may_match(spec, stats.get(sid), w)
+            ]
+            files = self._pruned_entries(name, surv, spec, w)
+            if files is None:
+                return None
+            return raw, files, None, total
+        plan = self._broad_plan(name, raw)
+        if plan is None:
+            return None
+        return raw, None, plan, total
+
+    def _broad_plan(self, name: str, raw: dict):
+        """(paths, layout) for a broad read of an all-clean snapshot —
+        plannable from the columnar segments' ``path`` columns alone —
+        or None when entry-level semantics are required."""
+        segs = raw.get("segments")
+        stats = raw.get("seg_stats") or {}
+        if segs is None:
+            return None
+        if raw.get("global_eq_deletes") or raw.get("global_pos_deletes"):
+            return None
+        schema = StructType.fromJson(raw["schema"])
+        for f in schema.fields:
+            md = f.metadata or {}
+            if md.get("former_names") or "initial_default" in md:
+                return None
+        lays: set[tuple] = set()
+        for sid in segs:
+            ss = stats.get(sid) or {}
+            if not ss.get("clean") or "lay" not in ss:
+                return None
+            lays.update(tuple(l) for l in ss["lay"])
+        if len(lays) > 1:
+            return None
+        paths = self._collect_seg_paths(name, segs)
+        if paths is None:
+            return None
+        layout = list(next(iter(lays))) if lays else []
+        return paths, layout
+
+    def _collect_seg_paths(self, name: str, sids: list[str]):
+        """Every entry path across ``sids`` — from the process cache
+        when hot, else a vectorized single-column Arrow read of each
+        columnar segment (no entry dicts). None if any segment predates
+        the columnar format."""
+        import pyarrow.parquet as papq
+
+        def _one(sid: str):
+            cached = self._seg_cache.get((name, sid))
+            if cached is not None:
+                return [e["path"] for e in cached]
+            p = self._seg_path(name, sid)
+            if not os.path.exists(p):
+                return None
+            return (
+                papq.read_table(p, columns=["path"]).column(0).to_pylist()
+            )
+
+        if len(sids) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                chunks = list(pool.map(_one, sids))
+        else:
+            chunks = [_one(sid) for sid in sids]
+        out: list[str] = []
+        for c in chunks:
+            if c is None:
+                return None
+            out.extend(c)
+        return out
+
+    def _pruned_entries(self, name: str, sids: list[str], spec, where):
+        """Entries of the surviving segments that pass per-entry stats
+        pruning. Driver-side for small segment counts; above
+        ``SCAN_DIST_SEGMENTS`` the prune runs EXECUTOR-PARALLEL over
+        the columnar segment files (one Arrow kernel per batch, only
+        survivors come back to the driver) — the shape that keeps
+        planning a 1M-file table off the driver's critical path."""
+        if (
+            len(sids) >= self.SCAN_DIST_SEGMENTS
+            and self.spark is not None
+        ):
+            seg_paths = [self._seg_path(name, sid) for sid in sids]
+            if all(os.path.exists(p) for p in seg_paths):
+                return self._prune_entries_distributed(
+                    seg_paths, spec, where
+                )
+        out: list[dict] = []
+        for sid in sids:
+            try:
+                entries = self._seg_entries(name, sid)
+            except FileNotFoundError:
+                return None
+            out.extend(e for e in entries if _may_match(spec, e, where))
+        return out
+
+    def _prune_entries_distributed(self, seg_paths, spec, where):
+        """Executor-parallel entry pruning: Spark reads the columnar
+        segment files (one task per segment split), reconstructs entries
+        Arrow-batch-wise, applies the SAME ``_may_match`` kernel the
+        driver path uses, and ships back only survivors as JSON —
+        planning I/O and CPU scale out with the cluster, the driver
+        parses O(survivors)."""
+        sdf = self.spark.read.schema(
+            "path string, partition string, records long, bytes long, "
+            "rest string"
+        ).parquet(*seg_paths)
+
+        def _prune(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                ents = _seg_rows_to_entries(
+                    batch.column("path").to_pylist(),
+                    batch.column("partition").to_pylist(),
+                    batch.column("records").to_pylist(),
+                    batch.column("bytes").to_pylist(),
+                    batch.column("rest").to_pylist(),
+                )
+                keep = [
+                    json.dumps(e, sort_keys=True)
+                    for e in ents
+                    if _may_match(spec, e, where)
+                ]
+                if keep:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(keep, type=pa.string())], names=["e"]
+                    )
+
+        return [
+            json.loads(r.e)
+            for r in sdf.mapInArrow(_prune, "e string").collect()
+        ]
+
+    def _read_clean_paths(self, name: str, raw: dict, paths_layout):
+        """Single-group read of an all-clean snapshot from its path list
+        — the read half of the broad fast plan. Matches _read_files'
+        one-group behavior exactly for the state _broad_plan admits (no
+        deletes, no externals, no renamed/defaulted columns): basePath +
+        explicit schema, hive partition columns restored by Spark's path
+        parsing, path-only partition columns dropped."""
+        paths, layout = paths_layout
+        schema = StructType.fromJson(raw["schema"])
+        names = {f.name for f in schema.fields}
+        hidden = [k for k in layout if k not in names]
+        read_schema = StructType(
+            [
+                StructField(f.name, _nested_nullable(f.dataType), True)
+                for f in schema.fields
+            ]
+            + [StructField(h, StringType(), True) for h in hidden]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option(
+                "basePath", os.path.join(self._dir(name), "data")
+            )
+            .schema(read_schema)
+            .parquet(*[os.path.join(self._dir(name), p) for p in paths])
+        )
+        return df.select(
+            *[
+                F.col(f.name).cast(_nested_nullable(f.dataType))
+                for f in schema.fields
+            ]
+        )
+
     # ------------------------------------------------------------- metadata
     def snapshots(self, name: str, ref: str = "main") -> DataFrame:
         """Snapshot history of a branch — the parent chain from its head
@@ -3805,15 +4517,31 @@ class ParquetTableManager:
         ids are global but each branch sees only its own lineage."""
         rows = []
         for v in sorted(self._ancestors(name, self._resolve(name, ref=ref))):
-            m = self._load_manifest(name, v)
+            raw = self._manifest_raw(name, v)
+            stats = raw.get("seg_stats") or {}
+            segs = raw.get("segments")
+            if segs is not None and all(
+                {"n", "rec", "byt"} <= set(stats.get(sid) or ())
+                for sid in segs
+            ):
+                # O(segments) rollup from the per-segment summaries —
+                # snapshot inspection never touches entries
+                n_f = sum(stats[sid]["n"] for sid in segs)
+                n_r = sum(stats[sid]["rec"] for sid in segs)
+                n_b = sum(stats[sid]["byt"] for sid in segs)
+            else:
+                m = self._load_manifest(name, v)
+                n_f = len(m["files"])
+                n_r = int(sum(e["records"] for e in m["files"]))
+                n_b = int(sum(e["bytes"] for e in m["files"]))
             rows.append(
                 (
-                    m["version"],
-                    m.get("parent"),
-                    m["operation"],
-                    len(m["files"]),
-                    int(sum(e["records"] for e in m["files"])),
-                    int(sum(e["bytes"] for e in m["files"])),
+                    raw["version"],
+                    raw.get("parent"),
+                    raw["operation"],
+                    n_f,
+                    int(n_r),
+                    int(n_b),
                 )
             )
         return self.spark.createDataFrame(
@@ -3823,7 +4551,27 @@ class ParquetTableManager:
         )
 
     def files(self, name: str, snapshot_id: int | None = None) -> DataFrame:
-        m = self._load_manifest(name, snapshot_id)
+        """``files`` METADATA TABLE (≙ Iceberg ``table$files``): one row
+        per live data file with its manifest metadata. Against columnar
+        segments this is a DISTRIBUTED read — Spark scans the segment
+        parquet files directly (column-pruned to the four exposed
+        fields), so inspecting a 1M-file inventory is an executor job,
+        not a driver materialization."""
+        v = (
+            self._current_version(name)
+            if snapshot_id is None
+            else snapshot_id
+        )
+        raw = self._manifest_raw(name, v)
+        segs = raw.get("segments")
+        if segs is not None and self.spark is not None:
+            seg_paths = [self._seg_path(name, sid) for sid in segs]
+            if seg_paths and all(os.path.exists(p) for p in seg_paths):
+                return self.spark.read.schema(
+                    "path string, partition string, records long, "
+                    "bytes long"
+                ).parquet(*seg_paths)
+        m = self._load_manifest(name, v)
         rows = [
             (
                 e["path"],
@@ -4070,7 +4818,11 @@ class ParquetTableManager:
         never expire) — ≙ Iceberg's ``expire_snapshots(older_than=...,
         retain_last=...)``. Either way, EVERYTHING reachable from any
         branch head or tag is ref-pinned and survives (Iceberg: refs pin
-        history). ``orphan_ttl_s`` additionally removes crashed writers'
+        history) — except as a PER-REF POLICY (:meth:`set_ref_policy`)
+        says otherwise: an over-``max_ref_age_ms`` branch/tag is removed
+        here (then expires normally), and a branch with
+        ``min_snapshots_to_keep`` pins only its newest N ancestors.
+        ``orphan_ttl_s`` additionally removes crashed writers'
         staging dirs whose newest write is older than the ttl (≙
         remove_orphan_files' ``older_than`` guard: never set it below
         the longest plausible in-flight write)."""
@@ -4087,14 +4839,44 @@ class ParquetTableManager:
                 if self._manifest_raw(name, v).get("committed_at", 0.0)
                 >= older_than
             }
+        # per-ref retention (≙ Iceberg max-ref-age-ms /
+        # min-snapshots-to-keep): over-age refs are REMOVED here — their
+        # snapshots then expire by the normal rules below — and a branch
+        # carrying min_snapshots_to_keep pins only its newest N
+        # ancestors instead of its whole history. Refs without a policy
+        # keep today's conservative behavior (full ancestry pinned).
+        removed_refs = 0
         heads = os.path.join(self._meta_dir(name), "heads")
         if os.path.isdir(heads):
             for b in os.listdir(heads):
-                if b != "main":
-                    keep |= set(self._ancestors(name, self._ref_head(name, b)[1]))
+                if b == "main":
+                    continue
+                pol = self._ref_policy(name, b)
+                age_cap = pol.get("max_ref_age_ms")
+                if (
+                    age_cap is not None
+                    and self._ref_age_ms(name, b) > age_cap
+                ):
+                    self.drop_branch(name, b)
+                    removed_refs += 1
+                    continue
+                anc = self._ancestors(name, self._ref_head(name, b)[1])
+                min_keep = pol.get("min_snapshots_to_keep")
+                if min_keep is not None:
+                    anc = anc[: max(1, int(min_keep))]
+                keep |= set(anc)
         tags = os.path.join(self._meta_dir(name), "tags")
         if os.path.isdir(tags):
             for t in os.listdir(tags):
+                pol = self._ref_policy(name, t)
+                age_cap = pol.get("max_ref_age_ms")
+                if (
+                    age_cap is not None
+                    and self._ref_age_ms(name, t) > age_cap
+                ):
+                    self.drop_tag(name, t)
+                    removed_refs += 1
+                    continue
                 with open(os.path.join(tags, t)) as f:
                     keep |= set(self._ancestors(name, int(f.read().strip())))
         # everything else — expired main history AND orphaned loser
@@ -4163,9 +4945,12 @@ class ParquetTableManager:
         # of the data-file reap above; dropped AFTER every dropped
         # manifest's inventory was materialized)
         for sid in drop_segs - live_segs:
-            sp = self._seg_path(name, sid)
-            if os.path.exists(sp):
-                os.remove(sp)
+            for sp in (
+                self._seg_path(name, sid),
+                self._seg_path_legacy(name, sid),
+            ):
+                if os.path.exists(sp):
+                    os.remove(sp)
             self._seg_cache.pop((name, sid), None)
         # crash-orphaned segments: a writer that died between segment
         # write and manifest create leaves segments NO manifest ever
@@ -4179,7 +4964,7 @@ class ParquetTableManager:
             if os.path.isdir(segs_dir):
                 now = _time.time()
                 for fn in os.listdir(segs_dir):
-                    sid = fn[: -len(".json")] if fn.endswith(".json") else fn
+                    sid = os.path.splitext(fn)[0] if "." in fn else fn
                     p = os.path.join(segs_dir, fn)
                     if (
                         sid not in live_segs
@@ -4215,6 +5000,7 @@ class ParquetTableManager:
         return {
             "snapshots": removed_snaps,
             "files": removed_files,
+            "refs": removed_refs,
             "staging": removed_staging,
         }
 

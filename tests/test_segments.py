@@ -151,7 +151,7 @@ def test_expire_reaps_unreferenced_segments(mgr, spark):
     mgr.delete("t", where=[("k", "<", 100)], mode="cow")  # rewrites all
     live = set(_segments(mgr, "t"))
     mgr.expire_snapshots("t", keep_last=1)
-    on_disk = {fn[: -len(".json")] for fn in _seg_files_on_disk(mgr, "t")}
+    on_disk = {os.path.splitext(fn)[0] for fn in _seg_files_on_disk(mgr, "t")}
     assert on_disk == live, (on_disk, live)
     assert mgr.read("t").count() == 0
 
@@ -206,7 +206,7 @@ def test_expire_reaps_crash_orphaned_segments(mgr, spark):
     mgr.expire_snapshots("t", keep_last=1, orphan_ttl_s=600)
     assert not _os.path.exists(orphan)
     assert _os.path.exists(fresh)
-    on_disk = {fn[: -len(".json")] for fn in _seg_files_on_disk(mgr, "t")}
+    on_disk = {os.path.splitext(fn)[0] for fn in _seg_files_on_disk(mgr, "t")}
     assert live <= on_disk
     assert mgr.read("t").count() == 4
 

@@ -2476,6 +2476,111 @@ def test_add_files_guards_duplicates_escaping_and_mor_basenames(
     assert rows == {(1, "z z"), (2, "a b"), (4, "plain")}
 
 
+def test_mor_basename_guard_covers_every_entry_point(mgr, spark, tmp_path):
+    """EVERY basename-keyed MoR path must refuse colliding external
+    basenames — not just delete_positions/upsert: update(mode='mor')
+    attaches positional coordinates by basename, delete(equality,
+    mode='mor') + compact_deletes/rewrite_deletes scope delete files by
+    a basename-keyed seq map. On a table holding two same-named files
+    each would corrupt silently (wrong-partition retirement / row
+    duplication through the basename join)."""
+    import glob
+    import os
+
+    from iceberg_poc_spark.tables import identity
+
+    src = str(tmp_path / "hive3")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b")], "k long, cat string"
+    )
+    df.coalesce(1).write.partitionBy("cat").parquet(src)
+    paths = sorted(glob.glob(os.path.join(src, "cat=*", "*.parquet")))
+    assert len({os.path.basename(p) for p in paths}) == 1
+    mgr.create_table("h3", df.schema, [identity("cat")])
+    mgr.add_files("h3", paths)
+    with pytest.raises(ValueError, match="compact"):
+        mgr.update("h3", {"k": F.col("k") + 10}, [("k", "==", 1)], mode="mor")
+    with pytest.raises(ValueError, match="compact"):
+        mgr.delete(
+            "h3",
+            equality=["k"],
+            keys=spark.createDataFrame([(1,)], "k long"),
+            mode="mor",
+        )
+    # fabricate outstanding MoR state via compact() -> mor delete, then
+    # re-register a colliding external: the FOLD paths must also refuse
+    mgr.compact("h3")
+    mgr.delete("h3", where=[("k", "==", 2)], mode="mor")
+    ext = str(tmp_path / "ext3")
+    spark.createDataFrame([(9, "z")], df.schema).coalesce(1).drop(
+        "cat"
+    ).write.parquet(ext)
+    extp = sorted(glob.glob(os.path.join(ext, "*.parquet")))[0]
+    # rename the external to collide with a managed file's basename
+    managed_bn = os.path.basename(
+        mgr._load_manifest("h3")["files"][0]["path"]
+    )
+    coll = os.path.join(ext, managed_bn)
+    os.rename(extp, coll)
+    mgr.add_files("h3", [coll], partition_values={"cat": "z"})
+    # predicate-MoR state + colliding basenames: eq/pos folds refuse
+    mgr.delete(
+        "h3", where=[("k", "==", 3)], mode="mor"
+    )  # predicate deletes don't key by basename — still allowed
+    kept = {r.k for r in mgr.read("h3").collect()}
+    assert kept == {1, 4, 9}
+    # but coordinate-writing entry points refuse on this table state
+    with pytest.raises(ValueError, match="compact"):
+        mgr.update("h3", {"k": F.col("k") + 10}, [("k", "==", 1)], mode="mor")
+
+
+def test_add_files_partition_parse_scoped_to_passed_root(
+    mgr, spark, tmp_path
+):
+    """An ancestor directory named col=value ABOVE the dataset root must
+    never inject a partition value (it would mis-prune every file): dir
+    expansion parses only segments below the passed root; a directly-
+    passed file parses only the trailing contiguous col=value chain."""
+    import glob
+    import os
+
+    from iceberg_poc_spark.tables import identity
+
+    # dataset root lives under a hostile ancestor dir "cat=99"
+    anc = tmp_path / "cat=99" / "dataset"
+    anc.mkdir(parents=True)
+    df = spark.createDataFrame(
+        [(i, i % 2, f"r{i}") for i in range(20)], "k long, cat int, s string"
+    )
+    src = str(anc / "hive")
+    df.write.partitionBy("cat").parquet(src)
+    mgr.create_table("sc", df.schema, [identity("cat")])
+    # pass the DIR root: ancestor cat=99 is outside it -> true values
+    mgr.add_files("sc", [src])
+    got = {(r.k, r.cat) for r in mgr.read("sc").collect()}
+    assert got == {(i, i % 2) for i in range(20)}
+    sdf, planned, total = mgr.scan("sc", where=[("cat", "==", 1)])
+    assert {r.k for r in sdf.collect()} == {i for i in range(20) if i % 2}
+    assert planned < total
+    # directly-passed files: trailing chain stops at "hive" (non-kv),
+    # so cat=99 never reaches the parser either
+    mgr2_paths = sorted(glob.glob(os.path.join(src, "cat=*", "*.parquet")))
+    mgr.create_table("sc2", df.schema, [identity("cat")])
+    mgr.add_files("sc2", mgr2_paths)
+    got2 = {(r.k, r.cat) for r in mgr.read("sc2").collect()}
+    assert got2 == {(i, i % 2) for i in range(20)}
+    # flat files under the hostile ancestor: NO value parsed -> the
+    # identity hard-error fires instead of silently adopting 99
+    flat = str(anc / "flat")
+    df.drop("cat").write.parquet(flat)
+    fp = sorted(glob.glob(os.path.join(flat, "*.parquet")))
+    mgr.create_table("sc3", df.schema, [identity("cat")])
+    with pytest.raises(ValueError, match="identity"):
+        mgr.add_files("sc3", fp[:1])
+    with pytest.raises(ValueError, match="identity"):
+        mgr.add_files("sc3", [flat])
+
+
 def test_add_files_hive_value_roundtrip_fuzz(mgr, spark, tmp_path):
     """Spark's hive path escaping vs add_files' unescaping must invert
     EXACTLY: for adversarial partition values (spaces, '=', '%', '/',
@@ -2513,3 +2618,67 @@ def test_add_files_hive_value_roundtrip_fuzz(mgr, spark, tmp_path):
     for i, v in enumerate(values):
         sdf, _p, _t = mgr.scan("fz", where=[("cat", "==", v)])
         assert {r.k for r in sdf.collect()} == {i}, v
+
+
+def test_per_ref_retention_policies(mgr, spark, tmp_path):
+    """Per-ref retention (≙ Iceberg max-ref-age-ms /
+    min-snapshots-to-keep): an over-age audit branch and quarantine tag
+    are REAPED by expiry (their snapshots then expire normally), a
+    within-age policied tag survives, a policy-less ref keeps pinning
+    forever, min_snapshots_to_keep trims a branch's pinned history to
+    its newest N, and main is never policy-governed."""
+    import os as _os
+    import time as _time
+
+    df = spark.createDataFrame([(1,)], "k long")
+    mgr.create_table("t", df.schema, [])
+    mgr.append("t", df)
+    for i in range(4):
+        mgr.append("t", spark.createDataFrame([(10 + i,)], "k long"))
+    head = mgr._current_version("t")
+    # audit branch with 3 own commits; quarantine + keeper tags
+    mgr.create_branch("t", "audit")
+    for i in range(3):
+        mgr.append("t", spark.createDataFrame([(50 + i,)], "k long"), ref="audit")
+    mgr.create_tag("t", "quarantine", at_snapshot=head - 1)
+    mgr.create_tag("t", "keeper", at_snapshot=head - 2)
+    mgr.create_tag("t", "no_policy", at_snapshot=head - 3)
+    mgr.set_ref_policy("t", "audit", max_ref_age_ms=1000.0)
+    mgr.set_ref_policy("t", "quarantine", max_ref_age_ms=3_600_000.0)
+    mgr.set_ref_policy("t", "keeper", max_ref_age_ms=1000.0)
+    # age the audit branch and keeper tag past their caps
+    old = _time.time() - 3600
+    d = mgr._heads_dir("t", "audit")
+    for fn in _os.listdir(d):
+        _os.utime(_os.path.join(d, fn), (old, old))
+    _os.utime(mgr._tag_path("t", "keeper"), (old, old))
+    audit_head = mgr._ref_head("t", "audit")[1]
+    res = mgr.expire_snapshots("t", keep_last=1)
+    assert res["refs"] == 2, "over-age branch + over-age tag reaped"
+    refs = {r.ref for r in mgr.refs("t").collect()}
+    assert refs == {"main", "quarantine", "no_policy"}
+    # the reaped branch's own snapshots expired with it
+    assert not _os.path.exists(mgr._manifest_path("t", audit_head))
+    # pinned-by-surviving-tag snapshots still readable
+    assert mgr.read("t", ref="quarantine").count() == 4
+    assert mgr.read("t", ref="no_policy").count() == 2
+    assert mgr.read("t").count() == 5  # main untouched
+    # min_snapshots_to_keep trims branch history pinning
+    mgr.create_branch("t", "b2")
+    for i in range(4):
+        mgr.append("t", spark.createDataFrame([(90 + i,)], "k long"), ref="b2")
+    chain = mgr._ancestors("t", mgr._ref_head("t", "b2")[1])
+    mgr.set_ref_policy("t", "b2", min_snapshots_to_keep=2)
+    mgr.expire_snapshots("t", keep_last=1)
+    assert _os.path.exists(mgr._manifest_path("t", chain[0]))
+    assert _os.path.exists(mgr._manifest_path("t", chain[1]))
+    assert mgr.read("t", ref="b2").count() == 9
+    # error surface
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="main"):
+        mgr.set_ref_policy("t", "main", max_ref_age_ms=1.0)
+    with _pytest.raises(ValueError, match="no branch or tag"):
+        mgr.set_ref_policy("t", "ghost", max_ref_age_ms=1.0)
+    with _pytest.raises(ValueError, match="branches only"):
+        mgr.set_ref_policy("t", "quarantine", min_snapshots_to_keep=1)

@@ -818,3 +818,142 @@ def test_null_pruning_query_plans_only_partial_wave(spark):
     )
     assert total == len(m["files"])
     assert planned == len(with_nulls)
+
+
+def test_merge_sync_partition_granular_file_survival(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE: (a) the conditioned sync rewrites
+    ONLY the scoped partition's files — every other partition's files
+    survive by PATH IDENTITY; (b) row semantics are exact (update /
+    delete-absent / insert); (c) the UPDATE variant applies set exprs to
+    unmatched rows instead of dropping them; (d) an unconditioned
+    clause affects every file (SQL semantics); (e) bad arguments raise."""
+    import pytest
+
+    from iceberg_poc_spark.tables import ParquetTableManager, identity
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(40)],
+        "k long, part string, v double",
+    )
+    mgr.create_table("t", df.schema, [identity("part")])
+    mgr.append("t", df)
+    pre = {e["path"] for e in mgr._load_manifest("t")["files"]}
+    pre_b = {p for p in pre if "part=b" in p}
+    # source mirrors partition 'a': k%3==0 dropped, others repriced +100,
+    # one new key
+    src = (
+        df.filter((F.col("part") == "a") & (F.pmod("k", F.lit(3)) != 0))
+        .withColumn("v", F.col("v") + 100.0)
+        .unionByName(
+            spark.createDataFrame([(999, "a", 0.0)], df.schema)
+        )
+    )
+    mgr.merge(
+        "t",
+        src,
+        on=["k"],
+        not_matched_by_source="delete",
+        not_matched_by_source_where=[("part", "==", "a")],
+    )
+    post = {e["path"] for e in mgr._load_manifest("t")["files"]}
+    assert pre_b <= post, "partition b files must survive by reference"
+    assert not (pre - pre_b) & post, "partition a files must be rewritten"
+    rows = {(r.k, r.part, r.v) for r in mgr.read("t").collect()}
+    expect = (
+        {(i, "b", float(i)) for i in range(0, 40, 2)}
+        | {
+            (i, "a", i + 100.0)
+            for i in range(40)
+            if i % 2 and i % 3 != 0
+        }
+        | {(999, "a", 0.0)}
+    )
+    assert rows == expect
+    # UPDATE variant: unmatched rows get set-exprs, nothing dropped
+    mgr2 = ParquetTableManager(spark, str(tmp_path / "wh2"))
+    mgr2.create_table("t", df.schema, [identity("part")])
+    mgr2.append("t", df)
+    n_before = mgr2.read("t").count()
+    mgr2.merge(
+        "t",
+        df.filter((F.col("part") == "a") & (F.col("k") < 10)),
+        on=["k"],
+        not_matched_by_source="update",
+        not_matched_by_source_set={"v": F.lit(-1.0)},
+        not_matched_by_source_where=[("part", "==", "a")],
+    )
+    got = {(r.k, r.v) for r in mgr2.read("t").filter("part = 'a'").collect()}
+    assert got == {
+        (i, float(i) if i < 10 else -1.0) for i in range(1, 40, 2)
+    }
+    assert mgr2.read("t").count() == n_before
+    # unconditioned delete clause: every file affected, table == source
+    mgr3 = ParquetTableManager(spark, str(tmp_path / "wh3"))
+    mgr3.create_table("t", df.schema, [identity("part")])
+    mgr3.append("t", df)
+    pre3 = {e["path"] for e in mgr3._load_manifest("t")["files"]}
+    keep = df.filter(F.col("k") < 5)
+    mgr3.merge("t", keep, on=["k"], not_matched_by_source="delete")
+    post3 = {e["path"] for e in mgr3._load_manifest("t")["files"]}
+    assert not pre3 & post3, "unconditioned sync rewrites everything"
+    assert {r.k for r in mgr3.read("t").collect()} == set(range(5))
+    with pytest.raises(ValueError, match="delete.*update|update.*delete"):
+        mgr3.merge("t", keep, on=["k"], not_matched_by_source="upsert")
+    with pytest.raises(ValueError, match="not_matched_by_source_set"):
+        mgr3.merge("t", keep, on=["k"], not_matched_by_source="update")
+
+
+def test_merge_sync_query_survival_at_fixture(spark):
+    """The registered q_merge_sync fixture really left the non-mirrored
+    partitions' files untouched."""
+    mgr, snaps = tablelayer._setup_orders_sync(spark, SF_DIR)
+    post = {e["path"] for e in mgr._load_manifest("orders_sync")["files"]}
+    pre = snaps["pre_paths"]
+    pre_other = {p for p in pre if "1-URGENT" not in p}
+    assert pre_other and pre_other <= post
+    assert not (pre - pre_other) & post
+
+
+def test_versioned_views_history_asof_install_drop(spark, tmp_path):
+    """Versioned view catalog: immutable version history, AS OF
+    resolution over CREATED_AT, install_view SQL binding by name, drop,
+    and the error surface (duplicate create, missing view/version)."""
+    import time
+
+    import pytest
+
+    from iceberg_poc_spark.tables import ParquetTableManager
+
+    mgr = ParquetTableManager(spark, str(tmp_path / "wh"))
+    spark.range(5).createOrReplaceTempView("vv_base")
+    assert mgr.create_view("v", "SELECT COUNT(*) AS n FROM vv_base") == 1
+    t_between = time.time()
+    time.sleep(0.01)
+    assert (
+        mgr.replace_view("v", "SELECT COUNT(*) + 100 AS n FROM vv_base")
+        == 2
+    )
+    # both versions evaluate; head is v2
+    assert mgr.read_view("v", version=1).collect()[0].n == 5
+    assert mgr.read_view("v").collect()[0].n == 105
+    # AS OF a moment between the definitions resolves v1
+    assert mgr.read_view("v", as_of=t_between).collect()[0].n == 5
+    hist = mgr.view_versions("v").collect()
+    assert [r.version for r in hist] == [1, 2]
+    assert "100" in hist[1].sql and "100" not in hist[0].sql
+    assert hist[0].created_at <= hist[1].created_at
+    # SQL-surface binding: plain spark.sql over the installed name
+    mgr.install_view("v", version=1)
+    assert spark.sql("SELECT n FROM v").collect()[0].n == 5
+    mgr.install_view("v")
+    assert spark.sql("SELECT n FROM v").collect()[0].n == 105
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create_view("v", "SELECT 1")
+    with pytest.raises(ValueError, match="no version 9"):
+        mgr.read_view("v", version=9)
+    mgr.drop_view("v")
+    with pytest.raises(ValueError, match="does not exist"):
+        mgr.replace_view("v", "SELECT 1")
+    with pytest.raises(ValueError, match="does not exist"):
+        mgr.view_sql("v")

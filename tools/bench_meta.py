@@ -122,6 +122,25 @@ def main() -> int:
         for _ in range(10):
             _df, planned, _tot = planner.scan("tp", where=[("cell", "==", 0)])
         scan_sec = (time.perf_counter() - t0) / 10
+
+        # BROAD-scan planning, COLD (the r9 verdict lead item): an
+        # unfiltered scan's plan must come from the columnar segments'
+        # path columns at Arrow speed — never a per-entry JSON/dict
+        # materialization in driver Python. Measured against a fresh
+        # manager so no segment cache hides the I/O.
+        broad = ParquetTableManager(spark, wp)
+        t0 = time.perf_counter()
+        bplan = broad._plan_scan_fast("tp", None)
+        broad_cold_sec = time.perf_counter() - t0
+        assert bplan is not None and bplan[2] is not None, (
+            "broad fast plan must engage on the clean synthetic table"
+        )
+        n_planned_broad = len(bplan[2][0])
+        # the cost it replaces: cold full-entry materialization
+        mat = ParquetTableManager(spark, wp)
+        t0 = time.perf_counter()
+        mat._load_manifest("tp")
+        materialize_cold_sec = time.perf_counter() - t0
         results[str(n_files)] = {
             "bulk_commit_sec": round(bulk_sec, 3),
             "micro_append_sec": round(micro_sec, 4),
@@ -130,14 +149,21 @@ def main() -> int:
             "inline_files_json_bytes": 0 if "files" not in raw else -1,
             "scan_point_plan_sec": round(scan_sec, 4),
             "scan_point_planned_files": planned,
+            "broad_plan_cold_sec": round(broad_cold_sec, 4),
+            "broad_plan_files": n_planned_broad,
+            "materialize_cold_sec": round(materialize_cold_sec, 4),
         }
         print(f"n_files={n_files}: {results[str(n_files)]}", flush=True)
     lo = results["1000"]["micro_append_sec"]
     hi = results["100000"]["micro_append_sec"]
+    blo = results["1000"]["broad_plan_cold_sec"]
+    bhi = results["100000"]["broad_plan_cold_sec"]
     summary = {
         "metric": "micro_append_commit_flatness_100x_files",
         "value": round(hi / lo, 2) if lo else None,
         "unit": "x (1.0 = perfectly flat)",
+        "broad_plan_cold_100x_ratio": round(bhi / blo, 2) if blo else None,
+        "broad_plan_cold_sec_at_100k_files": bhi,
         "by_table_size": results,
     }
     with open(out_path, "w") as f:
