@@ -1677,3 +1677,137 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dupc_row.cast("int")).cast("bigint").alias("n_dup_corpus"),
         F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_batch"),
     )
+
+
+# ------------------------------------------------- exact-substring dedup
+
+SUBSTR_GRAM = 8  # words per fingerprinted gram
+SUBSTR_DF_MAX = 8  # df bound on gram fingerprints (like containment)
+SUBSTR_MIN_WORDS = 24  # report pairs sharing a verbatim run this long
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(ws[i:i+{SUBSTR_GRAM - 1}],
+                                  'string_agg', ' ')) AS fp
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - {SUBSTR_GRAM - 2})) AS i
+              FROM w)
+    ),
+    keep AS (
+        SELECT fp FROM (
+            SELECT fp, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY fp
+        ) WHERE d BETWEEN 2 AND {SUBSTR_DF_MAX}
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM g a JOIN g b USING (fp) JOIN keep USING (fp)
+        WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        FROM (SELECT DISTINCT doc_a, doc_b, pa, diag FROM m)
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(cnt) + {SUBSTR_GRAM - 1} AS INT) AS shared_words
+    FROM (
+        SELECT doc_a, doc_b, diag, isl, COUNT(*) AS cnt
+        FROM runs GROUP BY doc_a, doc_b, diag, isl
+    )
+    GROUP BY doc_a, doc_b
+    HAVING MAX(cnt) + {SUBSTR_GRAM - 1} >= {SUBSTR_MIN_WORDS}
+    """,
+    doc=f"EXACT-SUBSTRING dedup (the RefinedWeb/Gopher leg the family "
+    f"lacked — line-level, MinHash, SimHash, containment, and embedding "
+    f"dedup all miss a long verbatim run embedded in otherwise-"
+    f"different documents): a suffix-array-free approximation that "
+    f"finds runs of >= {SUBSTR_MIN_WORDS} words shared verbatim across "
+    f"documents. Every overlapping {SUBSTR_GRAM}-word gram becomes a "
+    f"16-byte md5 FINGERPRINT with its position (the shuffle never "
+    f"carries text); fingerprints are df-bounded (2..{SUBSTR_DF_MAX} "
+    f"docs, the containment trick — ubiquitous boilerplate grams "
+    f"generate no candidates, identically on both engines); the "
+    f"posting self-join emits (docA < docB, posA, posA-posB) match "
+    f"coordinates, and a shared substring is exactly a DIAGONAL run: "
+    f"gaps-and-islands (pos - row_number over (pair, diagonal)) "
+    f"reconstructs maximal consecutive-gram chains in closed form, "
+    f"c consecutive grams = c + {SUBSTR_GRAM - 1} shared words. "
+    f"Per-pair cost is bounded by df^2 per fingerprint — never "
+    f"O(n^2) — and the windows partition by (pair, diagonal), "
+    f"thousands of tiny partitions, no skew. The oracle runs the "
+    f"identical pipeline relationally; run lengths must agree "
+    f"value-for-value.",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    idxs = F.when(
+        n >= SUBSTR_GRAM,
+        F.sequence(F.lit(1), n - (SUBSTR_GRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(ws, i, SUBSTR_GRAM)
+                        )
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    keep = (
+        g.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= SUBSTR_DF_MAX))
+        .select("fp")
+    )
+    gk = g.join(keep, "fp")
+    a, b = gk.alias("a"), gk.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        (F.col("pa") - F.row_number().over(win)).alias("isl"),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("cnt") + (SUBSTR_GRAM - 1))
+            .cast("int")
+            .alias("shared_words")
+        )
+        .filter(F.col("shared_words") >= SUBSTR_MIN_WORDS)
+    )

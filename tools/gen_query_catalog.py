@@ -19,10 +19,15 @@ def main() -> None:
     n_oracle = sum(1 for q in qs.values() if q.oracle)
     print("# Query catalog")
     print()
+    rest = (
+        ", the rest rows-only by design"
+        if n_oracle < len(qs)
+        else " — every registered query is oracle-bearing"
+    )
     print(
         f"{len(qs)} registered queries; {n_oracle} verified value-for-value "
         "against DuckDB oracles at sf0.01 (driver contract in "
-        "`__spark_entry__.py`), the rest rows-only by design. "
+        f"`__spark_entry__.py`){rest}. "
         "Regenerate with `python tools/gen_query_catalog.py > QUERIES.md`."
     )
     print()
