@@ -1106,6 +1106,11 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_TRAIN_ITERS = 10
+# tokenizer training runs on a deterministic corpus SAMPLE (standard
+# practice — HF/SentencePiece train on subsets; merge ranks converge
+# long before full-corpus counts): doc_id % MOD == 0 keeps 1/MOD of
+# documents, identically on both engines
+BPE_TRAIN_SAMPLE_MOD = 4
 
 
 def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
@@ -1117,10 +1122,11 @@ def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
     BPE application rule). MATERIALIZED stops DuckDB inlining each
     stage twice (count + rewrite both reference it)."""
     stages = [
-        """s0 AS MATERIALIZED (
+        f"""s0 AS MATERIALIZED (
         SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq
         FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents)
+              FROM documents
+              WHERE doc_id % {BPE_TRAIN_SAMPLE_MOD} = 0)
         WHERE len(word) >= 2
     )"""
     ]
@@ -1166,7 +1172,9 @@ def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
 @register(
     "q_text_bpe_train",
     oracle=_bpe_train_oracle(),
-    doc=f"Full BPE tokenizer-TRAINING loop ({BPE_TRAIN_ITERS} merges) — "
+    doc=f"Full BPE tokenizer-TRAINING loop ({BPE_TRAIN_ITERS} merges over a "
+    f"deterministic 1/{BPE_TRAIN_SAMPLE_MOD} corpus sample — standard "
+    f"tokenizer practice, mirrored exactly by the oracle) — "
     f"q_text_bpe_merge is one iteration's candidate count; this is the "
     f"trainer: per round, count adjacent symbol pairs over the corpus, "
     f"pick the (count DESC, pair ASC) argmax, APPLY it everywhere "
@@ -1188,13 +1196,19 @@ def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
     f"every round or the hash diverges.",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.pmod("doc_id", F.lit(BPE_TRAIN_SAMPLE_MOD)) == 0
+    )
     cur = (
         d.select(F.explode(words_col()).alias("word"))
         .where(F.length("word") >= 2)
         .select(
             F.regexp_replace(F.col("word"), "(.)", r"($1)").alias("seq")
         )
+        # spread the word sequences across the cluster ONCE: every
+        # round's count and rewrite then runs parallel over the cached
+        # partitions (the source corpus may be a single parquet split)
+        .repartition(32)
     )
     merges: list[tuple[int, str, int]] = []
     prev_cached = None

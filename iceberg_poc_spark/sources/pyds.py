@@ -179,15 +179,39 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
         import numpy as np
 
         fn = os.path.basename(entry["path"])
-        dels = pa.concat_tables(
-            [
-                pq.read_table(os.path.join(table_dir, d["path"]))
-                for d in pos_dels
-            ],
-            promote_options="default",
+        kill_parts = []
+        for d in pos_dels:
+            # predicate pushdown into the parquet scan: each data-file
+            # task keeps only ITS rows of the (possibly table-wide)
+            # delete/DV file — row-group stats + dictionary pages skip
+            # the rest instead of decoding everything and filtering
+            t = pq.read_table(
+                os.path.join(table_dir, d["path"]),
+                filters=[("_file_name", "==", fn)],
+            )
+            sel = t
+            if d.get("dv"):
+                # deletion-vector file: one row per data file with its
+                # sorted position list — flatten this file's row(s)
+                kill_parts.append(
+                    np.asarray(
+                        sel["positions"]
+                        .combine_chunks()
+                        .flatten()
+                        .to_numpy(zero_copy_only=False)
+                    )
+                )
+            else:
+                kill_parts.append(
+                    np.asarray(
+                        sel["_pos"].to_numpy(zero_copy_only=False)
+                    )
+                )
+        kill = (
+            np.concatenate(kill_parts)
+            if kill_parts
+            else np.empty(0, dtype=np.int64)
         )
-        sel = dels.filter(pc.equal(dels["_file_name"], fn))
-        kill = np.asarray(sel["_pos"].to_numpy(zero_copy_only=False))
         if kill.size:
             keep = ~np.isin(np.arange(tbl.num_rows, dtype=np.int64), kill)
             tbl = tbl.filter(pa.array(keep))

@@ -2649,29 +2649,14 @@ class ParquetTableManager:
     ) -> list[dict]:
         """Persist a deduplicated key set as parquet equality-delete
         file(s) under ``deletes/``; returns manifest-attachable entries."""
-        del_dir = os.path.join(self._dir(name), "deletes")
-        staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
-        dkeys.write.mode("overwrite").option("compression", "zstd").parquet(
-            staging
-        )
-        os.makedirs(del_dir, exist_ok=True)
-        del_entries: list[dict] = []
-        import shutil as _sh
-
-        for fn in sorted(os.listdir(staging)):
-            if not fn.endswith(".parquet"):
-                continue
-            dst = os.path.join(del_dir, f"eqdel-{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(staging, fn), dst)
-            del_entries.append(
-                {
-                    "path": os.path.relpath(dst, self._dir(name)),
-                    "cols": list(equality),
-                    "bytes": os.path.getsize(dst),
-                }
-            )
-        _sh.rmtree(staging, ignore_errors=True)
-        return del_entries
+        return [
+            {
+                "path": os.path.relpath(dst, self._dir(name)),
+                "cols": list(equality),
+                "bytes": os.path.getsize(dst),
+            }
+            for dst in self._stage_delete_parquet(name, dkeys, "eqdel")
+        ]
 
     def read_with_positions(
         self,
@@ -2751,31 +2736,124 @@ class ParquetTableManager:
         m["parent"] = m["version"]
         return self._commit(name, m)
 
-    def _write_pos_delete_files(self, name: str, dpos: DataFrame) -> list[dict]:
-        """Persist a deduplicated (file, row) coordinate set as parquet
-        position-delete file(s) under ``deletes/``."""
+    def _stage_delete_parquet(
+        self, name: str, df: DataFrame, prefix: str
+    ) -> list[str]:
+        """Write ``df`` via a private staging dir and promote each part
+        file into ``deletes/`` under a uuid name — THE delete-file
+        staging workflow (coordinate, equality, and DV writers all ride
+        it); returns the promoted absolute paths."""
         del_dir = os.path.join(self._dir(name), "deletes")
         staging = os.path.join(self._dir(name), "_staging", uuid.uuid4().hex)
-        dpos.write.mode("overwrite").option("compression", "zstd").parquet(
+        df.write.mode("overwrite").option("compression", "zstd").parquet(
             staging
         )
         os.makedirs(del_dir, exist_ok=True)
-        del_entries: list[dict] = []
         import shutil as _sh
 
+        out: list[str] = []
         for fn in sorted(os.listdir(staging)):
             if not fn.endswith(".parquet"):
                 continue
-            dst = os.path.join(del_dir, f"posdel-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(del_dir, f"{prefix}-{uuid.uuid4().hex}.parquet")
             os.replace(os.path.join(staging, fn), dst)
-            del_entries.append(
+            out.append(dst)
+        _sh.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _write_pos_delete_files(self, name: str, dpos: DataFrame) -> list[dict]:
+        """Persist a deduplicated (file, row) coordinate set as parquet
+        position-delete file(s) under ``deletes/``."""
+        return [
+            {
+                "path": os.path.relpath(dst, self._dir(name)),
+                "bytes": os.path.getsize(dst),
+            }
+            for dst in self._stage_delete_parquet(name, dpos, "posdel")
+        ]
+
+    def _write_dv_files(self, name: str, dv: DataFrame) -> list[dict]:
+        """Persist a per-file DELETION VECTOR table — one row per data
+        file: (``_file_name``, sorted ``positions`` array) — as parquet
+        under ``deletes/`` (≙ Iceberg v3 deletion vectors: positions
+        stored compressed per file instead of one row per coordinate).
+        Descriptors carry ``dv: True`` so readers explode instead of
+        selecting coordinates, plus ``n_pos`` — the TOTAL coordinate
+        count (from the parquet footer's leaf value counts, no extra
+        job) — because sorted position arrays compress far better than
+        coordinate rows: a broadcast-size guard fed the DV's on-disk
+        bytes would force-broadcast a coordinate set the coordinate
+        format would have routed to a shuffle."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for dst in self._stage_delete_parquet(name, dv, "dv"):
+            md = pq.ParquetFile(dst).metadata
+            n_pos = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema.startswith("positions."):
+                        n_pos += col.num_values
+            out.append(
                 {
                     "path": os.path.relpath(dst, self._dir(name)),
                     "bytes": os.path.getsize(dst),
+                    "n_pos": int(n_pos),
+                    "dv": True,
                 }
             )
-        _sh.rmtree(staging, ignore_errors=True)
-        return del_entries
+        return out
+
+    def _global_pos_coords(self, name: str, gpos: list[dict]) -> DataFrame:
+        """(_file_name, _pos) coordinates of a global positional-delete
+        descriptor list — reading each storage class natively
+        (coordinate files select, DV files explode their position
+        lists). THE single format dispatch: the fold's input and the
+        read path's anti-join side both come through here."""
+        coord_g = [g for g in gpos if not g.get("dv")]
+        dv_g = [g for g in gpos if g.get("dv")]
+        parts: list[DataFrame] = []
+        if coord_g:
+            parts.append(
+                self.spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), g["path"])
+                        for g in coord_g
+                    ]
+                ).select("_file_name", "_pos")
+            )
+        if dv_g:
+            parts.append(
+                self.spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), g["path"])
+                        for g in dv_g
+                    ]
+                ).select(
+                    "_file_name", F.explode("positions").alias("_pos")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _gpos_est_bytes(gpos: list[dict]) -> int:
+        """Broadcast-budget estimate of a global positional-delete set:
+        coordinate files count their on-disk bytes (the calibration the
+        64 MB guard was built on — ~10 B per zstd coordinate row); DV
+        descriptors contribute their COORDINATE COUNT at the same ~10 B
+        equivalence, since their own on-disk bytes under-represent the
+        exploded rows the join materializes."""
+        return sum(
+            g["n_pos"] * 10
+            if g.get("dv") and "n_pos" in g
+            else g.get("bytes", 0)
+            for g in gpos
+        )
 
     @staticmethod
     def _attach_pos_deletes(
@@ -3214,23 +3292,33 @@ class ParquetTableManager:
                     pos_fold[d["path"]] = births[d["path"]]
                 e["pos_deletes"] = []
         if pos_fold:
-            merged = self.spark.read.parquet(
-                *(
-                    [os.path.join(self._dir(name), p) for p in pos_fold]
-                    + [
-                        os.path.join(self._dir(name), g["path"])
-                        for g in gpos
-                    ]
-                )
+            # fold target is a DELETION-VECTOR file (Iceberg v3 DV
+            # direction): one row PER DATA FILE carrying its sorted
+            # deleted-position list — RLE/delta-friendly columnar
+            # storage, and the read side recovers coordinates with one
+            # explode of a tiny broadcast (value-identical to the
+            # coordinate form, oracle-pinned). Prior global files may
+            # be either format (coordinate from pre-DV history, DV from
+            # a previous fold): read each class natively and union.
+            merged = self._global_pos_coords(
+                name,
+                [{"path": p} for p in pos_fold] + gpos,
             )
-            coords = (
-                merged.select("_file_name", "_pos").distinct().coalesce(1)
+            dv = (
+                merged.distinct()
+                .groupBy("_file_name")
+                .agg(
+                    F.sort_array(F.collect_list("_pos")).alias(
+                        "positions"
+                    )
+                )
+                .coalesce(1)
             )
             max_seq = max(
                 list(pos_fold.values())
                 + [g.get("max_seq", 1 << 62) for g in gpos]
             )
-            new_g = self._write_pos_delete_files(name, coords)
+            new_g = self._write_dv_files(name, dv)
             for g in new_g:
                 g["max_seq"] = max_seq
             m["global_pos_deletes"] = new_g
@@ -3709,21 +3797,12 @@ class ParquetTableManager:
             # seq condition is needed row-side — max_seq on the
             # descriptor only drives the unstamped-skip fast path above
             # and rewrite_deletes' dirty test.
-            gp_df = (
-                self.spark.read.parquet(
-                    *[
-                        os.path.join(self._dir(name), g["path"])
-                        for g in gpos
-                    ]
-                )
-                .select("_file_name", "_pos")
-                .distinct()
-            )
+            gp_df = self._global_pos_coords(name, gpos).distinct()
             # same broadcast-size discipline as the equality path: a
             # coordinate set that outgrew broadcast (billions of folded
             # deletes between rewrites) falls back to a shuffle
             # anti-join — rewrite_deletes is the pressure valve there
-            if sum(g.get("bytes", 0) for g in gpos) < 64 * 1024 * 1024:
+            if self._gpos_est_bytes(gpos) < 64 * 1024 * 1024:
                 gp_df = F.broadcast(gp_df)
             out = out.join(
                 gp_df, on=["_file_name", "_pos"], how="left_anti"

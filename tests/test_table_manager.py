@@ -2682,3 +2682,50 @@ def test_per_ref_retention_policies(mgr, spark, tmp_path):
         mgr.set_ref_policy("t", "ghost", max_ref_age_ms=1.0)
     with _pytest.raises(ValueError, match="branches only"):
         mgr.set_ref_policy("t", "quarantine", min_snapshots_to_keep=1)
+
+
+def test_global_pos_fold_is_deletion_vector(mgr, spark):
+    """compact_deletes folds positional stacks into a DELETION-VECTOR
+    file: one row per data file with its sorted position list, 'dv'
+    descriptor flag, and n_pos = total coordinate count (feeding the
+    broadcast-size estimate). Reads are value-identical, a second fold
+    over mixed DV + fresh coordinate history still works, and
+    rewrite_deletes clears the state."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    mgr.create_table("t", df.schema, [])
+    mgr.append("t", df.coalesce(2))
+    coords = mgr.read_with_positions("t").filter(F.pmod("k", F.lit(10)) == 0)
+    mgr.delete_positions("t", coords.select("_file_name", "_pos"))
+    mgr.compact_deletes("t")
+    m = mgr._load_manifest("t")
+    gpos = m["global_pos_deletes"]
+    assert len(gpos) == 1 and gpos[0]["dv"] is True
+    assert gpos[0]["n_pos"] == 10
+    assert all(not e.get("pos_deletes") for e in m["files"])
+    assert {r.k for r in mgr.read("t").collect()} == {
+        i for i in range(100) if i % 10
+    }
+    # second epoch: fresh coordinates fold INTO the existing DV
+    c2 = mgr.read_with_positions("t").filter(F.col("k") == 7)
+    mgr.delete_positions("t", c2.select("_file_name", "_pos"))
+    mgr.compact_deletes("t")
+    m2 = mgr._load_manifest("t")
+    assert len(m2["global_pos_deletes"]) == 1
+    assert m2["global_pos_deletes"][0]["n_pos"] == 11
+    assert {r.k for r in mgr.read("t").collect()} == {
+        i for i in range(100) if i % 10 and i != 7
+    }
+    # DV parquet really is one row per data file, positions sorted
+    import pyarrow.parquet as pq
+    import os as _os
+
+    tab = pq.read_table(
+        _os.path.join(mgr._dir("t"), m2["global_pos_deletes"][0]["path"])
+    )
+    assert tab.num_rows == len({r["_file_name"] for r in coords.collect()} | {r["_file_name"] for r in c2.collect()})
+    for row in tab.to_pylist():
+        assert row["positions"] == sorted(row["positions"])
+    mgr.rewrite_deletes("t")
+    m3 = mgr._load_manifest("t")
+    assert "global_pos_deletes" not in m3
+    assert mgr.read("t").count() == 89

@@ -121,6 +121,10 @@ ALWAYS = [
     "q_add_files_hive",
     "q_stream_ann_ingest",
     "q_text_bpe_merge",
+    "q_text_bpe_train",
+    "q_dedup_substring",
+    "q_merge_sync",
+    "q_meta_partitions",
 ]
 
 
