@@ -1903,8 +1903,16 @@ class ParquetTableManager:
                     f"{sorted(missing)} — pass partition_values or use a "
                     f"hive col=value layout"
                 )
+            # NORMALIZE to strings — the invariant every managed write
+            # establishes (partition values come from hive path
+            # segments): a raw int passed via partition_values would
+            # otherwise never compare equal to the managed side's
+            # string, so dynamic partition overwrite / merge partition
+            # selection would silently MISS the external entry and
+            # duplicate its rows (caught by test_segment_model's
+            # add_files -> overwrite sequence)
             pvals = {
-                k: v
+                k: (v if v is None else str(v))
                 for k, v in pvals.items()
                 if k in {t.field_name for t in spec}
             }

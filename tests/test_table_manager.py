@@ -2729,3 +2729,33 @@ def test_global_pos_fold_is_deletion_vector(mgr, spark):
     m3 = mgr._load_manifest("t")
     assert "global_pos_deletes" not in m3
     assert mgr.read("t").count() == 89
+
+
+def test_add_files_partition_values_normalize_to_managed_strings(
+    mgr, spark, tmp_path
+):
+    """Externally registered partition values normalize to STRINGS — the
+    invariant managed (hive-path) writes establish — so a dynamic
+    partition overwrite REPLACES the external file's partition instead
+    of type-mismatching past it and duplicating rows (the
+    test_segment_model falsifying sequence, pinned exactly)."""
+    import glob
+    import os as _os
+
+    from iceberg_poc_spark.tables import identity
+
+    schema = "k long, part int, v long"
+    df = spark.createDataFrame([(0, 0, 0)], schema)
+    mgr.create_table("t", spark.createDataFrame([], schema).schema, [identity("part")])
+    ext = str(tmp_path / "ext")
+    df.coalesce(1).write.parquet(ext)
+    fps = sorted(glob.glob(_os.path.join(ext, "*.parquet")))
+    mgr.add_files("t", fps, partition_values={"part": 0})
+    m = mgr._load_manifest("t")
+    assert [e["partition"] for e in m["files"]] == [{"part": "0"}]
+    mgr.overwrite_partitions("t", spark.createDataFrame([(0, 0, 0)], schema))
+    rows = [(r.k, r.part, r.v) for r in mgr.read("t").collect()]
+    assert rows == [(0, 0, 0)], rows
+    # pruning still exact through the stringified value
+    sdf, planned, total = mgr.scan("t", where=[("part", "==", 0)])
+    assert sdf.count() == 1
