@@ -721,15 +721,21 @@ class ParquetTableManager:
             _meta/current              (atomic pointer to live version)
     """
 
+    # warehouse abspath -> {(table, segment-id): parsed entry list}.
+    # Segments are immutable once written and uuid-named (ids never
+    # recur), so a PROCESS-wide cache is always coherent — and it must
+    # be process-wide, not per-instance: connector writes and streaming
+    # micro-batches construct a fresh manager per call, which would
+    # otherwise re-decode the whole inventory every batch.
+    _SEG_CACHES: dict[str, dict[tuple[str, str], list[dict]]] = {}
+
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
         self._in_txn_repair = False
-        # (table, segment-id) -> parsed entry list. Segments are
-        # immutable once written, so a process-lifetime cache is always
-        # coherent; it makes re-reading a table's inventory O(new
-        # segments) instead of O(table) JSON parse per snapshot load.
-        self._seg_cache: dict[tuple[str, str], list[dict]] = {}
+        self._seg_cache = self._SEG_CACHES.setdefault(
+            os.path.abspath(warehouse), {}
+        )
         os.makedirs(warehouse, exist_ok=True)
 
     # ---------------------------------------------------------------- paths

@@ -73,6 +73,8 @@ def main() -> int:
         bulk_sec = time.perf_counter() - t0
 
         # steady-state micro-appends: the number that must be FLAT in N
+        # (segment cache is PROCESS-wide now — drop it to measure cold)
+        ParquetTableManager._SEG_CACHES.clear()
         fresh = ParquetTableManager(spark, wh)  # cold segment cache
         bytes_before = _meta_bytes(fresh, "t")
         reps = 20
@@ -116,6 +118,7 @@ def main() -> int:
         man["operation"] = "append"
         man["parent"] = man["version"]
         mp._commit("tp", man)
+        ParquetTableManager._SEG_CACHES.clear()
         planner = ParquetTableManager(spark, wp)  # cold cache
         planner.scan("tp", where=[("cell", "==", 0)])  # warm the parse
         t0 = time.perf_counter()
@@ -128,6 +131,7 @@ def main() -> int:
         # path columns at Arrow speed — never a per-entry JSON/dict
         # materialization in driver Python. Measured against a fresh
         # manager so no segment cache hides the I/O.
+        ParquetTableManager._SEG_CACHES.clear()
         broad = ParquetTableManager(spark, wp)
         t0 = time.perf_counter()
         bplan = broad._plan_scan_fast("tp", None)
@@ -137,6 +141,7 @@ def main() -> int:
         )
         n_planned_broad = len(bplan[2][0])
         # the cost it replaces: cold full-entry materialization
+        ParquetTableManager._SEG_CACHES.clear()
         mat = ParquetTableManager(spark, wp)
         t0 = time.perf_counter()
         mat._load_manifest("tp")
