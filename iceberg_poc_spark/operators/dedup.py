@@ -1686,6 +1686,57 @@ SUBSTR_DF_MAX = 8  # df bound on gram fingerprints (like containment)
 SUBSTR_MIN_WORDS = 24  # report pairs sharing a verbatim run this long
 
 
+def _substring_matches(docs: DataFrame) -> DataFrame:
+    """Shared candidate stage of the exact-substring family: df-bounded
+    positioned gram fingerprints self-joined into DISTINCT
+    (doc_a < doc_b, pa, diag) match coordinates (see q_dedup_substring's
+    doc for the full design)."""
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    idxs = F.when(
+        n >= SUBSTR_GRAM,
+        F.sequence(F.lit(1), n - (SUBSTR_GRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(ws, i, SUBSTR_GRAM)
+                        )
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    keep = (
+        g.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= SUBSTR_DF_MAX))
+        .select("fp")
+    )
+    gk = g.join(keep, "fp")
+    a, b = gk.alias("a"), gk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "q_dedup_substring",
     oracle=f"""
@@ -1749,50 +1800,7 @@ SUBSTR_MIN_WORDS = 24  # report pairs sharing a verbatim run this long
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
-    idxs = F.when(
-        n >= SUBSTR_GRAM,
-        F.sequence(F.lit(1), n - (SUBSTR_GRAM - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(
-                            " ", F.slice(ws, i, SUBSTR_GRAM)
-                        )
-                    ).alias("fp"),
-                ),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
-    keep = (
-        g.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("d"))
-        .filter((F.col("d") >= 2) & (F.col("d") <= SUBSTR_DF_MAX))
-        .select("fp")
-    )
-    gk = g.join(keep, "fp")
-    a, b = gk.alias("a"), gk.alias("b")
-    m = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.pos").alias("pa"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-        )
-        .distinct()
-    )
+    m = _substring_matches(docs)
     win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = m.select(
         "doc_a",
@@ -1810,4 +1818,142 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_words")
         )
         .filter(F.col("shared_words") >= SUBSTR_MIN_WORDS)
+    )
+
+
+@register(
+    "q_dedup_substring_apply",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(ws[i:i+{SUBSTR_GRAM - 1}],
+                                  'string_agg', ' ')) AS fp
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - {SUBSTR_GRAM - 2})) AS i
+              FROM w)
+    ),
+    keep AS (
+        SELECT fp FROM (
+            SELECT fp, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY fp
+        ) WHERE d BETWEEN 2 AND {SUBSTR_DF_MAX}
+    ),
+    m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM g a JOIN g b USING (fp) JOIN keep USING (fp)
+        WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        FROM m
+    ),
+    islands AS (
+        SELECT doc_b, MIN(pa) - diag AS pb0, COUNT(*) AS cnt
+        FROM runs GROUP BY doc_a, doc_b, diag, isl
+        HAVING COUNT(*) + {SUBSTR_GRAM - 1} >= {SUBSTR_MIN_WORDS}
+    ),
+    drops AS (
+        SELECT DISTINCT doc_b AS doc_id,
+               unnest(range(pb0, pb0 + cnt + {SUBSTR_GRAM - 1})) AS pos
+        FROM islands
+    ),
+    wp AS (
+        SELECT doc_id, unnest(ws) AS word,
+               generate_subscripts(ws, 1) AS pos
+        FROM w
+    )
+    SELECT wp.doc_id,
+           CAST(COUNT(*) FILTER (d.pos IS NOT NULL) AS BIGINT)
+               AS n_removed,
+           md5(COALESCE(
+               string_agg(word, ' ' ORDER BY wp.pos)
+                   FILTER (d.pos IS NULL), '')) AS clean_fp
+    FROM wp
+    LEFT JOIN drops d ON d.doc_id = wp.doc_id AND d.pos = wp.pos
+    GROUP BY wp.doc_id
+    HAVING COUNT(*) FILTER (d.pos IS NOT NULL) > 0
+    """,
+    doc=f"Exact-substring dedup APPLY — the cleaned-corpus leg of "
+    f"q_dedup_substring (the q_dedup_lines_apply shape at substring "
+    f"granularity): every maximal shared run of >= {SUBSTR_MIN_WORDS} "
+    f"words is REMOVED from the losing (higher-id) document — keep-"
+    f"first at span level, the RefinedWeb exact-substring cut that "
+    f"keeps the rest of the document alive where document-level dedup "
+    f"would drop or keep it whole. Diagonal islands reconstruct each "
+    f"run's word range in the loser ([pb0, pb0+cnt+{SUBSTR_GRAM - 1})) "
+    f"in closed form; ranges from different partners union via "
+    f"DISTINCT (doc, pos); the cleanup is one marking LEFT JOIN on "
+    f"(doc, position) + an ordered re-assembly per doc — the corpus "
+    f"text shuffles once for re-assembly, everything upstream moves "
+    f"16-byte fingerprints. Emits (doc_id, n_removed, md5 of the "
+    f"cleaned text) for affected docs; a doc entirely inside a partner "
+    f"collapses to md5('') — the both-engines contract for empty "
+    f"re-assembly. The oracle replays the identical pipeline; a "
+    f"off-by-one in the range arithmetic or a missed overlapping span "
+    f"changes the fingerprint.",
+)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = _substring_matches(docs)
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pa",
+        (F.col("pa") - F.row_number().over(win)).alias("isl"),
+    )
+    islands = (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count("*").alias("cnt"), F.min("pa").alias("pa0"))
+        .filter(F.col("cnt") + (SUBSTR_GRAM - 1) >= SUBSTR_MIN_WORDS)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("pa0") - F.col("diag")).alias("pb0"),
+            "cnt",
+        )
+    )
+    drops = islands.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pb0"),
+                F.col("pb0") + F.col("cnt") + (SUBSTR_GRAM - 2),
+            )
+        ).alias("pos"),
+    ).distinct()
+    wp = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    j = wp.join(
+        drops.withColumn("__hit", F.lit(1)), ["doc_id", "pos"], "left"
+    )
+    kept_words = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__hit").isNull(),
+                F.struct(F.col("pos"), F.col("word")),
+            )
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(kept_words, lambda s: s.word),
+                ).cast("binary")
+            ).alias("clean_fp"),
+        )
+        .filter(F.col("n_removed") > 0)
     )
