@@ -122,7 +122,9 @@ ALWAYS = [
     "q_stream_ann_ingest",
     "q_text_bpe_merge",
     "q_text_bpe_train",
+    "q_text_bpe_encode",
     "q_dedup_substring",
+    "q_dedup_substring_apply",
     "q_merge_sync",
     "q_meta_partitions",
 ]
