@@ -1737,6 +1737,27 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
     )
 
 
+def _substring_islands(m: DataFrame) -> DataFrame:
+    """Maximal diagonal runs passing the report threshold — THE shared
+    island stage of the substring family: gaps-and-islands over (pair,
+    diagonal), grouped to (doc_a, doc_b, diag, cnt, pa0) with
+    cnt + GRAM-1 >= SUBSTR_MIN_WORDS. Both the report and the apply
+    legs derive from this one definition."""
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pa",
+        (F.col("pa") - F.row_number().over(win)).alias("isl"),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count("*").alias("cnt"), F.min("pa").alias("pa0"))
+        .filter(F.col("cnt") + (SUBSTR_GRAM - 1) >= SUBSTR_MIN_WORDS)
+    )
+
+
 @register(
     "q_dedup_substring",
     oracle=f"""
@@ -1800,24 +1821,9 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    m = _substring_matches(docs)
-    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = m.select(
-        "doc_a",
-        "doc_b",
-        "diag",
-        (F.col("pa") - F.row_number().over(win)).alias("isl"),
-    )
-    return (
-        runs.groupBy("doc_a", "doc_b", "diag", "isl")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.max("cnt") + (SUBSTR_GRAM - 1))
-            .cast("int")
-            .alias("shared_words")
-        )
-        .filter(F.col("shared_words") >= SUBSTR_MIN_WORDS)
+    islands = _substring_islands(_substring_matches(docs))
+    return islands.groupBy("doc_a", "doc_b").agg(
+        (F.max("cnt") + (SUBSTR_GRAM - 1)).cast("int").alias("shared_words")
     )
 
 
@@ -1899,24 +1905,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    m = _substring_matches(docs)
-    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = m.select(
-        "doc_a",
-        "doc_b",
-        "diag",
-        "pa",
-        (F.col("pa") - F.row_number().over(win)).alias("isl"),
-    )
-    islands = (
-        runs.groupBy("doc_a", "doc_b", "diag", "isl")
-        .agg(F.count("*").alias("cnt"), F.min("pa").alias("pa0"))
-        .filter(F.col("cnt") + (SUBSTR_GRAM - 1) >= SUBSTR_MIN_WORDS)
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            (F.col("pa0") - F.col("diag")).alias("pb0"),
-            "cnt",
-        )
+    islands = _substring_islands(_substring_matches(docs)).select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("pb0"),
+        "cnt",
     )
     drops = islands.select(
         "doc_id",
@@ -1927,10 +1919,19 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos"),
     ).distinct()
-    wp = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    # only AFFECTED documents re-assemble: the output filter keeps docs
+    # with >=1 drop, so exploding/sorting the untouched corpus would be
+    # pure wasted shuffle — semi-join the doc list first (broadcast
+    # small next to the corpus)
+    affected = drops.select("doc_id").distinct()
+    wp = (
+        docs.join(affected, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    )
     j = wp.join(
         drops.withColumn("__hit", F.lit(1)), ["doc_id", "pos"], "left"
     )

@@ -1201,15 +1201,29 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sf_dir -> trained [(iteration, pair, count)]: encode reuses the
-# trained merge table without re-running the loop (the same
-# build-once-per-process convention the ANN index families use)
-_BPE_MERGES: dict[str, list[tuple[int, str, int]]] = {}
+# (abspath, documents mtime) -> trained [(iteration, pair, count)]:
+# encode reuses the trained merge table without re-running the loop
+# (the ANN build-once-per-process convention); keying on the corpus
+# file's mtime invalidates the cache if the table is regenerated
+# in-place within the process
+_BPE_MERGES: dict[tuple[str, float], list[tuple[int, str, int]]] = {}
+
+
+def _bpe_cache_key(sf_dir: str) -> tuple[str, float]:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mt = os.path.getmtime(p)
+    except OSError:
+        mt = 0.0
+    return (os.path.abspath(sf_dir), mt)
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
-    if sf_dir in _BPE_MERGES:
-        return _BPE_MERGES[sf_dir]
+    key = _bpe_cache_key(sf_dir)
+    if key in _BPE_MERGES:
+        return _BPE_MERGES[key]
     d = load_table(spark, sf_dir, "documents").where(
         F.pmod("doc_id", F.lit(BPE_TRAIN_SAMPLE_MOD)) == 0
     )
@@ -1270,7 +1284,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
             )
     if prev_cached is not None:
         prev_cached.unpersist()
-    _BPE_MERGES[sf_dir] = merges
+    _BPE_MERGES[key] = merges
     return merges
 
 
@@ -1298,11 +1312,18 @@ def _bpe_encode_oracle(k: int = BPE_TRAIN_ITERS) -> str:
     )"""
     ]
     for i in range(1, k + 1):
+        # COALESCE to a never-occurring needle (chr(1)) when round i
+        # trained NO merge (tiny corpus fully merged early): a NULL
+        # needle would NULL-poison every doc's sequence and with it all
+        # token counts, where the engine side simply applies the
+        # shorter merge list
         enc.append(
             f"""enc{i} AS MATERIALIZED (
         SELECT doc_id,
-               replace(seq, (SELECT pair FROM b{i}),
-                       (SELECT replace(pair, ')(', '') FROM b{i})) AS seq,
+               replace(seq,
+                       COALESCE((SELECT pair FROM b{i}), chr(1)),
+                       COALESCE((SELECT replace(pair, ')(', '')
+                                 FROM b{i}), chr(1))) AS seq,
                n_char
         FROM enc{i - 1}
     )"""

@@ -729,13 +729,25 @@ class ParquetTableManager:
     # otherwise re-decode the whole inventory every batch.
     _SEG_CACHES: dict[str, dict[tuple[str, str], list[dict]]] = {}
 
+    # warehouses cached at once — a long pytest/notebook session touches
+    # hundreds of throwaway warehouses; without a bound the shared cache
+    # would pin every one of them for the process lifetime
+    SEG_CACHE_MAX_WAREHOUSES = 32
+
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
         self._in_txn_repair = False
-        self._seg_cache = self._SEG_CACHES.setdefault(
-            os.path.abspath(warehouse), {}
-        )
+        key = os.path.abspath(warehouse)
+        cache = self._SEG_CACHES.get(key)
+        if cache is None:
+            while len(self._SEG_CACHES) >= self.SEG_CACHE_MAX_WAREHOUSES:
+                # FIFO eviction (insertion-ordered dict): dead tmp
+                # warehouses age out; a still-live manager keeps its
+                # own reference and just re-registers on next construct
+                self._SEG_CACHES.pop(next(iter(self._SEG_CACHES)))
+            cache = self._SEG_CACHES[key] = {}
+        self._seg_cache = cache
         os.makedirs(warehouse, exist_ok=True)
 
     # ---------------------------------------------------------------- paths
@@ -1916,9 +1928,24 @@ class ParquetTableManager:
             # string, so dynamic partition overwrite / merge partition
             # selection would silently MISS the external entry and
             # duplicate its rows (caught by test_segment_model's
-            # add_files -> overwrite sequence)
+            # add_files -> overwrite sequence). Rendering follows
+            # Spark's hive writer: booleans lowercase, datetimes
+            # isoformat with a space; pass exotic types (floats with
+            # scientific rendering) as pre-rendered STRINGS if exact
+            # partition matching against managed writes matters.
+            def _hive_val(v: Any):
+                import datetime as _dt
+
+                if v is None or isinstance(v, str):
+                    return v
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if isinstance(v, _dt.datetime):
+                    return v.isoformat(sep=" ")
+                return str(v)
+
             pvals = {
-                k: (v if v is None else str(v))
+                k: _hive_val(v)
                 for k, v in pvals.items()
                 if k in {t.field_name for t in spec}
             }

@@ -172,8 +172,10 @@ def test_entry_replacement_is_isolated_and_persisted(mgr, spark):
     # persisted in the new snapshot...
     got = mgr._load_manifest("t", v)["files"]
     assert any(e.get("eq_deletes") == [{"path": "d1"}] for e in got)
-    # ...and invisible in the base snapshot (fresh manager = cold cache,
-    # proving disk state, not just cache state)
+    # ...and invisible in the base snapshot, proving DISK state, not
+    # just cache state: the segment cache is process-wide per warehouse
+    # now, so it must be dropped explicitly for a genuinely cold read
+    ParquetTableManager._SEG_CACHES.clear()
     cold = ParquetTableManager(spark, mgr.warehouse)
     assert all(
         "eq_deletes" not in e

@@ -2759,3 +2759,24 @@ def test_add_files_partition_values_normalize_to_managed_strings(
     # pruning still exact through the stringified value
     sdf, planned, total = mgr.scan("t", where=[("part", "==", 0)])
     assert sdf.count() == 1
+    # booleans render like Spark's hive writer (lowercase), so the same
+    # overwrite-replaces-external contract holds for bool partitions
+    bschema = "k long, flag boolean"
+    bdf = spark.createDataFrame([(1, True), (2, False)], bschema)
+    mgr.create_table("b", bdf.schema, [identity("flag")])
+    mgr.append("b", bdf)
+    bext = str(tmp_path / "bext")
+    spark.createDataFrame([(3, True)], bschema).coalesce(1).drop(
+        "flag"
+    ).write.parquet(bext)
+    bfp = sorted(glob.glob(_os.path.join(bext, "*.parquet")))
+    mgr.add_files("b", bfp, partition_values={"flag": True})
+    vals = sorted(
+        {e["partition"]["flag"] for e in mgr._load_manifest("b")["files"]}
+    )
+    assert vals == ["false", "true"], vals
+    mgr.overwrite_partitions("b", spark.createDataFrame([(9, True)], bschema))
+    assert sorted((r.k, r.flag) for r in mgr.read("b").collect()) == [
+        (2, False),
+        (9, True),
+    ]
