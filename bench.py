@@ -7,22 +7,49 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a noop-format write (full execution, no
 driver collect bottleneck) — the honest way to time a distributed plan.
 
-Methodology: before timing, each query runs once at the smallest SF
-(sf0.001) so whole-stage-codegen compilation for that plan shape is
-amortized out of the measurement — the steady-state number is what a
-long-running job sees (compile seconds vanish against hours at 100 TB);
-a cold measurement would mostly rank queries by generated-code size.
-Set SPARK_GRAFT_BENCH_COLD=1 to skip warmups and measure first-run cost.
+Methodology (v2, order-invariant):
 
-Sub-2s queries report the MEDIAN of 3 timed runs: at that absolute cost
-single-shot scheduler/GC noise is the same order as the signal and has
-produced spurious >1.5x round-over-round "regressions" on flat plans
-(r5: q_fn_xml, q_udtf_lateral — both map-side, no plan change). Slow
-queries stay single-shot (their signal dwarfs the noise and re-running
-table-layer state machines would triple bench wall time). The reported
-total is the sum of per-query reported values, so it composes the same
-way across rounds. SPARK_GRAFT_BENCH_REPEATS overrides the repeat count
-(1 = old single-shot behavior).
+* Before timing, each query runs once at the smallest SF (sf0.001) so
+  whole-stage-codegen compilation for that plan shape is amortized out
+  of the measurement — the steady-state number is what a long-running
+  job sees (compile seconds vanish against hours at 100 TB).
+  Set SPARK_GRAFT_BENCH_COLD=1 to skip warmups and measure first-run cost.
+
+* Per query at the target SF: ONE cold run (pays any one-time input
+  construction — table-layer setups, index builds, trainer caches),
+  then warm re-runs. The reported per-query ``value`` is the WARM
+  median — the steady-state cost of the plan, which is ORDER-INVARIANT
+  (it cannot depend on which queries ran earlier, because everything
+  one-time is already paid). The cold first-run seconds are reported
+  separately in the ``cold`` map, so one-time costs stay visible
+  instead of contaminating round-over-round plan comparisons (the r10
+  record mixed the two: a query whose setup crossed the old 2 s
+  single-shot threshold silently switched from warm to cold+setup
+  accounting between rounds).
+
+* Queries whose OWN claimed work is a one-time build (the BPE trainer
+  trains; the encoder trains-then-encodes) get their process cache
+  cleared before the cold run (_BENCH_RESETS), so their ``cold``
+  number is also order-invariant: q_text_bpe_train reports its true
+  training cost whether or not q_text_bpe_encode ran first. Table/
+  index setup caches are NOT cleared — they construct the query's
+  input (which at 100 TB pre-exists), they are not part of its cost;
+  the construction shows up once, in the first payer's ``cold``.
+
+* Warm runs: sub-2s queries take the median of 3 timed runs (at that
+  absolute cost single-shot scheduler/GC noise is the same order as
+  the signal — r5: q_fn_xml, q_udtf_lateral flagged as regressions on
+  flat plans); slower queries take a single warm run (signal >> noise,
+  and re-running 10 s state machines would triple bench wall time).
+  SPARK_GRAFT_BENCH_REPEATS overrides the total run count.
+
+The reported total is the sum of per-query warm values; ``cold_total``
+sums the cold runs. Compare rounds warm-to-warm (BENCH_FULL.json keeps
+both maps). tools/bench_gate.py is the commit gate: it re-times the
+largest apparent regressions vs the previous committed record in a
+FRESH process and rejects the record if they don't reproduce — the r10
+record carried 3x contention artifacts on ANN rows that a solo re-time
+overturned.
 """
 
 from __future__ import annotations
@@ -38,6 +65,24 @@ from iceberg_poc_spark.session import get_spark
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_resets() -> dict[str, list]:
+    """query name -> cache-clear callables run before its COLD run.
+
+    Only for queries whose one-time cost is their own claimed work —
+    clearing makes their cold number order-invariant. Input-construction
+    caches (_READY tables, index warehouses) stay: they model
+    pre-existing inputs, not query cost."""
+    from iceberg_poc_spark.operators import text as _text
+
+    def clear_bpe() -> None:
+        _text._BPE_MERGES.clear()
+
+    return {
+        "q_text_bpe_train": [clear_bpe],
+        "q_text_bpe_encode": [clear_bpe],
+    }
 
 
 def main() -> None:
@@ -65,8 +110,10 @@ def main() -> None:
     do_warm = (
         not os.environ.get("SPARK_GRAFT_BENCH_COLD") and os.path.isdir(warm_dir)
     )
+    resets = _bench_resets()
 
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name in sorted(queries):
         if do_warm and warm_dir != sf_dir:
             try:
@@ -74,27 +121,36 @@ def main() -> None:
             except Exception as e:  # warm-SF-only failures must not mask
                 print(f"BENCH WARMUP ERROR {name}: {e}", file=sys.stderr)
         try:
-            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+            for reset in resets.get(name, []):
+                reset()
+            warm_repeats = int(
+                os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")
+            )
             runs = []
-            for _ in range(max(1, repeats)):
+            for i in range(1 + max(1, warm_repeats)):
                 t0 = time.perf_counter()
                 materialize(queries[name].fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
-                if runs[0] >= 2.0:
-                    break  # slow query: signal >> noise, single-shot
-            runs.sort()
-            timings[name] = round(runs[len(runs) // 2], 3)
+                # slow plans: one cold + one warm run is enough signal;
+                # re-running 10s state machines would triple wall time
+                if i >= 1 and runs[1] >= 2.0:
+                    break
+            colds[name] = round(runs[0], 3)
+            warm = sorted(runs[1:])
+            timings[name] = round(warm[len(warm) // 2], 3)
         except Exception as e:  # a failing query must not hide the others
             timings[name] = -1.0
+            colds[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    cold_total = round(sum(t for t in colds.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # The driver captures only the LAST 2000 chars of stdout; a dict of
-    # all ~109 queries is ~2.4k and gets its head truncated, leaving the
+    # all queries is far larger and gets its head truncated, leaving the
     # recorded line unparseable (BENCH_r01/r02 both hit this). So: the
-    # full per-query map goes to BENCH_FULL.json (committed, mechanical
+    # full per-query maps go to BENCH_FULL.json (committed, mechanical
     # round-over-round deltas), and the stdout line carries the slowest
     # queries — every error (-1.0) first, then descending time — trimmed
     # to fit the capture window with slack for stray preceding output.
@@ -111,7 +167,10 @@ def main() -> None:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "methodology": "v2-warm-steady-state",
                 "queries": timings,
+                "cold": colds,
+                "cold_total": cold_total,
                 "sf": sf_val,
             },
             f,
@@ -124,6 +183,8 @@ def main() -> None:
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "methodology": "v2-warm-steady-state",
+        "cold_total": cold_total,
         "queries": {},
         "sf": sf_val,
         "n_queries": len(timings),

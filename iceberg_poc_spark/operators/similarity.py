@@ -1224,71 +1224,67 @@ def _seq_fold_norm(vals) -> float:
     "(q_sim_ann_ivf's cells as the join key).",
 )
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe_df = emb.filter(F.col("vec_id") % KNN_STRIDE == 0)
+    # BOUNDED collect: take one row past the broadcast budget — at or
+    # under it the probe batch rides a broadcast variable (fast path);
+    # past it, nothing was materialized beyond the budget and the
+    # cogrouped grid join takes over (no unbounded driver collect on
+    # any input size)
+    head = probe_df.take(KNN_BROADCAST_PROBES + 1)
+    if len(head) <= KNN_BROADCAST_PROBES:
+        return _knn_broadcast(
+            spark, emb, [(r.vec_id, r.embedding) for r in head]
+        )
+    probes = probe_df.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    )
+    return _knn_grid(spark, emb, probes, probes.count())
+
+
+def _knn_block_topk(q_ids, q_mat, q_norm, vec_ids, x, local_k):
+    """Score one corpus block against one probe block: a float64 GEMM
+    ranks candidates (prune only — BLAS accumulation can differ at the
+    last ulp), then every survivor is RE-SCORED with a sequential
+    left-fold dot/norm bit-identical to the oracle's
+    list_cosine_similarity double loop. Returns (q, neighbor, sim)
+    lists of the local top-``local_k`` per probe."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # tiny bounded collect: the probe batch IS the query input (n/50 ids);
-    # it rides a broadcast variable into the scoring kernel
-    probe_rows = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).collect()
-    q_ids = np.array([r.vec_id for r in probe_rows], dtype="int64")
-    q_mat = np.array([r.embedding for r in probe_rows], dtype="float64")
-    # fold-order norms (NOT einsum): emitted sims must match the oracle's
-    # sequential accumulation bit-for-bit
-    q_norm = np.array([_seq_fold_norm(row) for row in q_mat.tolist()])
-    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
-    k = KNN_K
-    local_k = KNN_K + KNN_RESCORE_PAD
-
-    def score_batches(batches):
-        import pandas as pd
-
-        ids, qm, qn = bq.value
-        q_lists = qm.tolist()
-        for pdf in batches:
-            if len(pdf) == 0:
+    xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+    sims = (x @ q_mat.T) / (xn[:, None] * q_norm[None, :])
+    sims[vec_ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+    x_lists = x.tolist()
+    q_lists = q_mat.tolist()
+    norm_cache: dict[int, float] = {}
+    out_q, out_n, out_s = [], [], []
+    for j in range(len(q_ids)):
+        col = sims[:, j]
+        # (sim DESC, vec_id ASC) local top-(k+pad) candidates
+        order = np.lexsort((vec_ids, -col))[:local_k]
+        keep = order[np.isfinite(col[order])]
+        qrow, qnj = q_lists[j], q_norm[j]
+        for i in keep:
+            i = int(i)
+            xrow = x_lists[i]
+            dot = 0.0
+            for a, b in zip(xrow, qrow):
+                dot += a * b
+            nx = norm_cache.get(i)
+            if nx is None:
+                nx = norm_cache[i] = _seq_fold_norm(xrow)
+            denom = nx * qnj
+            if denom == 0.0:
                 continue
-            vec_ids = pdf["vec_id"].to_numpy()
-            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
-            # GEMM scores are used ONLY to rank candidates for pruning
-            sims = (x @ qm.T) / (xn[:, None] * qn[None, :])
-            sims[vec_ids[:, None] == ids[None, :]] = -np.inf  # self-match
-            x_lists = x.tolist()
-            norm_cache: dict[int, float] = {}
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(ids)):
-                col = sims[:, j]
-                # (sim DESC, vec_id ASC) local top-(k+pad) candidates
-                order = np.lexsort((vec_ids, -col))[:local_k]
-                keep = order[np.isfinite(col[order])]
-                qrow, qnj = q_lists[j], qn[j]
-                for i in keep:
-                    i = int(i)
-                    xrow = x_lists[i]
-                    dot = 0.0
-                    for a, b in zip(xrow, qrow):
-                        dot += a * b
-                    nx = norm_cache.get(i)
-                    if nx is None:
-                        nx = norm_cache[i] = _seq_fold_norm(xrow)
-                    denom = nx * qnj
-                    if denom == 0.0:
-                        continue
-                    out_q.append(int(ids[j]))
-                    out_n.append(int(vec_ids[i]))
-                    out_s.append(dot / denom)
-            yield pd.DataFrame(
-                {
-                    "q_id": np.array(out_q, dtype="int64"),
-                    "neighbor_id": np.array(out_n, dtype="int64"),
-                    "sim": np.array(out_s, dtype="float64"),
-                }
-            )
+            out_q.append(int(q_ids[j]))
+            out_n.append(int(vec_ids[i]))
+            out_s.append(dot / denom)
+    return out_q, out_n, out_s
 
-    local_topk = emb.mapInPandas(
-        score_batches, "q_id long, neighbor_id long, sim double"
-    )
-    # merge: sort ascending on (-sim, neighbor_id) == (sim DESC, vec_id ASC)
+
+def _knn_merge(local_topk: DataFrame, k: int) -> DataFrame:
+    """Global top-k per probe from per-block candidates: sort ascending
+    on (-sim, neighbor_id) == (sim DESC, vec_id ASC)."""
     merged = local_topk.groupBy("q_id").agg(
         F.slice(
             F.array_sort(
@@ -1309,6 +1305,162 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit.neighbor_id").alias("neighbor_id"),
         F.round(-F.col("hit.neg_sim"), 4).alias("cos_sim"),
     )
+
+
+# probe batches at or under this row count ride a broadcast variable
+# into the one-scan GEMM kernel (zero extra shuffle); larger batches
+# flip to the cogrouped grid join (_knn_grid) — the bound is what makes
+# the driver-side collect safe at any corpus size
+KNN_BROADCAST_PROBES = 65_536
+
+
+def _knn_broadcast(spark: SparkSession, emb: DataFrame, probes) -> DataFrame:
+    """Broadcast-probe kNN: the probe batch rides a broadcast variable,
+    ONE corpus scan streams through an Arrow mapInPandas kernel, only
+    local top-(k+pad) candidates leave each task."""
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in probes], dtype="int64")
+    q_mat = np.array([r[1] for r in probes], dtype="float64")
+    # fold-order norms (NOT einsum): emitted sims must match the oracle's
+    # sequential accumulation bit-for-bit
+    q_norm = np.array([_seq_fold_norm(row) for row in q_mat.tolist()])
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    local_k = KNN_K + KNN_RESCORE_PAD
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            out_q, out_n, out_s = _knn_block_topk(
+                ids, qm, qn, vec_ids, x, local_k
+            )
+            yield pd.DataFrame(
+                {
+                    "q_id": np.array(out_q, dtype="int64"),
+                    "neighbor_id": np.array(out_n, dtype="int64"),
+                    "sim": np.array(out_s, dtype="float64"),
+                }
+            )
+
+    local_topk = emb.mapInPandas(
+        score_batches, "q_id long, neighbor_id long, sim double"
+    )
+    return _knn_merge(local_topk, KNN_K)
+
+
+def _knn_grid(
+    spark: SparkSession,
+    emb: DataFrame,
+    probes: DataFrame,
+    n_probes: int,
+) -> DataFrame:
+    """Grid (block nested-loop) kNN join — the scale path when the probe
+    batch outgrows broadcast: probes split into G hash groups, corpus
+    into B blocks; each (group, block) cell cogroups one bounded probe
+    slice with one bounded corpus slice and runs the SAME GEMM +
+    sequential-rescore kernel. Fully distributed — no driver collect of
+    either side; shuffle volume is corpus x G + probes x B, and only
+    (k+pad) x probes x blocks candidate rows reach the global merge.
+    At a fixed per-cell memory budget, G grows with the probe count and
+    B with the corpus, so the plan holds at 100 TB."""
+    n_grp = max(1, -(-n_probes // 4096))  # ~4k probes per slice
+    n_blk = max(1, spark.sparkContext.defaultParallelism)
+    local_k = KNN_K + KNN_RESCORE_PAD
+
+    corpus_g = emb.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(n_grp - 1)))
+    ).withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blk)).cast("int"))
+    probes_g = probes.withColumn(
+        "g", F.pmod(F.col("q_id"), F.lit(n_grp)).cast("int")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+
+    def score_cell(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "q_id": np.array([], dtype="int64"),
+                "neighbor_id": np.array([], dtype="int64"),
+                "sim": np.array([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q_ids = right["q_id"].to_numpy()
+        q_mat = np.stack(right["qemb"].to_numpy()).astype("float64")
+        q_norm = np.array([_seq_fold_norm(r) for r in q_mat.tolist()])
+        vec_ids = left["vec_id"].to_numpy()
+        x = np.stack(left["embedding"].to_numpy()).astype("float64")
+        out_q, out_n, out_s = _knn_block_topk(
+            q_ids, q_mat, q_norm, vec_ids, x, local_k
+        )
+        return pd.DataFrame(
+            {
+                "q_id": np.array(out_q, dtype="int64"),
+                "neighbor_id": np.array(out_n, dtype="int64"),
+                "sim": np.array(out_s, dtype="float64"),
+            }
+        )
+
+    local_topk = (
+        corpus_g.groupBy("g", "b")
+        .cogroup(probes_g.groupBy("g", "b"))
+        .applyInPandas(score_cell, "q_id long, neighbor_id long, sim double")
+    )
+    return _knn_merge(local_topk, KNN_K)
+
+
+@register(
+    "q_sim_knn_join_grid",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qemb
+        FROM embeddings WHERE vec_id % {KNN_STRIDE} = 0
+    ),
+    s AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qemb AS DOUBLE[])) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id
+               ) AS rn
+        FROM s
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(sim, 4) AS cos_sim
+    FROM r WHERE rn <= {KNN_K}
+    """,
+    doc="k-NN join, GRID (block nested-loop) path — what q_sim_knn_join "
+    "flips to when the probe batch outgrows its broadcast budget: "
+    "probes hash into G bounded slices, the corpus into B blocks, and "
+    "each (slice, block) cell cogroups two bounded pandas frames "
+    "through the SAME GEMM + sequential-rescore kernel as the "
+    "broadcast path, so both paths are value-identical by construction "
+    "(this registration pins that with the same oracle). Neither side "
+    "is ever collected to the driver; shuffle volume is corpus x G + "
+    "probes x B and only (k+pad) x probes x blocks candidate rows "
+    "reach the merge — the 100 TB posture for million-probe "
+    "hard-negative mining where a broadcast variable cannot hold the "
+    "probe matrix.",
+)
+def q_sim_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb")
+    )
+    return _knn_grid(spark, emb, probes, probes.count())
 
 
 PQ_M = 8  # subspaces over the 64-dim embedding (8 dims each)

@@ -1235,8 +1235,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
         )
         # spread the word sequences across the cluster ONCE: every
         # round's count and rewrite then runs parallel over the cached
-        # partitions (the source corpus may be a single parquet split)
-        .repartition(32)
+        # partitions (the source corpus may be a single parquet split).
+        # Width follows the cluster (defaultParallelism = total executor
+        # cores), not a constant — local[32] and a 1000-executor cluster
+        # both fan out fully.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     merges: list[tuple[int, str, int]] = []
     prev_cached = None

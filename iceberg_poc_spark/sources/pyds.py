@@ -479,10 +479,20 @@ class SnapMetaReader(DataSourceReader):
                 for e in m["files"]
             ]
 
+    # legacy-JSON fallback: rows per InputPartition. Chunking keeps a
+    # pre-columnar table's metadata scan executor-parallel AND bounds
+    # what any single task carries through the serializer — one pickled
+    # partition holding a whole 1M-file inventory would put the entire
+    # driver materialization on one task's wire.
+    LEGACY_ROWS_PER_PARTITION = 10_000
+
     def partitions(self):
         if self._seg_paths is not None:
             return [InputPartition(("seg", p)) for p in self._seg_paths]
-        return [InputPartition(("rows", self._rows))]
+        rows = self._rows or []
+        step = self.LEGACY_ROWS_PER_PARTITION
+        chunks = [rows[i : i + step] for i in range(0, len(rows), step)]
+        return [InputPartition(("rows", c)) for c in (chunks or [[]])]
 
     def read(self, partition):
         import pyarrow as pa

@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any
 
@@ -727,28 +728,74 @@ class ParquetTableManager:
     # be process-wide, not per-instance: connector writes and streaming
     # micro-batches construct a fresh manager per call, which would
     # otherwise re-decode the whole inventory every batch.
-    _SEG_CACHES: dict[str, dict[tuple[str, str], list[dict]]] = {}
+    # LRU across warehouses (move-to-end on every manager construct):
+    # a hot long-lived warehouse stays cached no matter how many
+    # throwaway tmp warehouses a pytest/notebook session opens after it
+    # — FIFO would evict it mid-use and silently re-decode.
+    _SEG_CACHES: "OrderedDict[str, dict[tuple[str, str], list[dict]]]" = (
+        OrderedDict()
+    )
+    # warehouse key -> cached entry count (the per-warehouse byte proxy
+    # behind SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE)
+    _SEG_CACHE_SIZES: dict[str, int] = {}
 
     # warehouses cached at once — a long pytest/notebook session touches
     # hundreds of throwaway warehouses; without a bound the shared cache
     # would pin every one of them for the process lifetime
     SEG_CACHE_MAX_WAREHOUSES = 32
+    # per-warehouse segment-entry bound: one huge warehouse must not
+    # grow the process cache without limit. At ~200 B of dict refs per
+    # entry this caps driver heap near 100 MB per warehouse; past it the
+    # OLDEST segments drop (append-mostly workloads keep re-reading the
+    # newest) and re-decode on demand.
+    SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE = 500_000
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
         self._in_txn_repair = False
         key = os.path.abspath(warehouse)
+        self._seg_key = key
         cache = self._SEG_CACHES.get(key)
         if cache is None:
             while len(self._SEG_CACHES) >= self.SEG_CACHE_MAX_WAREHOUSES:
-                # FIFO eviction (insertion-ordered dict): dead tmp
-                # warehouses age out; a still-live manager keeps its
-                # own reference and just re-registers on next construct
-                self._SEG_CACHES.pop(next(iter(self._SEG_CACHES)))
+                old_key, _old = self._SEG_CACHES.popitem(last=False)  # LRU
+                self._SEG_CACHE_SIZES.pop(old_key, None)
             cache = self._SEG_CACHES[key] = {}
+        else:
+            self._SEG_CACHES.move_to_end(key)
         self._seg_cache = cache
         os.makedirs(warehouse, exist_ok=True)
+
+    def _seg_cache_put(self, key: tuple[str, str], entries: list[dict]) -> None:
+        """Insert a decoded segment under the per-warehouse entry budget:
+        past SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE the OLDEST cached
+        segments drop (append-mostly readers keep hitting the newest)
+        and re-decode on demand — one huge warehouse can no longer grow
+        the process cache without bound."""
+        cache, sizes, wk = self._seg_cache, self._SEG_CACHE_SIZES, self._seg_key
+        prev = cache.get(key)
+        if prev is not None:
+            sizes[wk] = sizes.get(wk, 0) - len(prev)
+        cache[key] = entries
+        sizes[wk] = sizes.get(wk, 0) + len(entries)
+        while (
+            sizes[wk] > self.SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE
+            and len(cache) > 1
+        ):
+            oldest = next(iter(cache))
+            if oldest == key:  # never evict the segment just inserted
+                break
+            sizes[wk] -= len(cache.pop(oldest))
+
+    def _seg_cache_drop(self, key: tuple[str, str]) -> None:
+        """Remove one segment from the cache, keeping the size book."""
+        prev = self._seg_cache.pop(key, None)
+        if prev is not None:
+            wk = self._seg_key
+            self._SEG_CACHE_SIZES[wk] = (
+                self._SEG_CACHE_SIZES.get(wk, 0) - len(prev)
+            )
 
     # ---------------------------------------------------------------- paths
     def _dir(self, name: str) -> str:
@@ -862,7 +909,7 @@ class ParquetTableManager:
             else:
                 with open(self._seg_path_legacy(name, segid)) as f:
                     hit = json.load(f)
-            self._seg_cache[key] = hit
+            self._seg_cache_put(key, hit)
         return hit
 
     def _manifest_raw(self, name: str, version: int) -> dict:
@@ -905,7 +952,7 @@ class ParquetTableManager:
                             cold,
                         ),
                     ):
-                        self._seg_cache[(name, sid)] = entries
+                        self._seg_cache_put((name, sid), entries)
             files: list[dict] = []
             layout: list[tuple[str, int]] = []
             for sid in seg_ids:
@@ -1003,6 +1050,11 @@ class ParquetTableManager:
             or e.get("external")
             for e in entries
         )
+        # any externally-registered (add_files) entry in this segment?
+        # Managed writes are uuid-named — unique by construction — so a
+        # manifest whose every segment says ext=False passes the MoR
+        # basename-uniqueness guard O(segments), no entry walk
+        summary["ext"] = any(bool(e.get("external")) for e in entries)
         try:
             summary["lay"] = sorted(
                 {tuple(sorted(e["partition"])) for e in entries}
@@ -1087,7 +1139,7 @@ class ParquetTableManager:
                 chunk = entries[j : j + target]
                 sid = f"s-{uuid.uuid4().hex[:16]}"
                 _seg_encode_parquet(self._seg_path(name, sid), chunk)
-                self._seg_cache[(name, sid)] = [dict(e) for e in chunk]
+                self._seg_cache_put((name, sid), [dict(e) for e in chunk])
                 out_ids.append(sid)
                 out_stats[sid] = self._seg_summary(chunk)
 
@@ -2489,14 +2541,51 @@ class ParquetTableManager:
         return self._commit(name, m)
 
     # --------------------------------------------------- row-level (CoW)
+    @staticmethod
+    def _manifest_spans(m: dict) -> list[tuple[str | None, list[dict]]]:
+        """m["files"] sliced back into its segment spans (sid, entries),
+        aligned with _seg_layout; one (None, files) span when the
+        manifest predates segments or the list was already rewritten.
+        Slices are ref-copies in original order, so extending an output
+        list with a whole span preserves the contiguous identity runs
+        commit-time segment reuse matches on."""
+        files = m.get("files") or []
+        layout = m.get("_seg_layout")
+        if not layout or sum(c for _, c in layout) != len(files):
+            return [(None, files)]
+        spans: list[tuple[str | None, list[dict]]] = []
+        off = 0
+        for sid, cnt in layout:
+            spans.append((sid, files[off : off + cnt]))
+            off += cnt
+        return spans
+
     def _split_files(
         self, m: dict, where: list
     ) -> tuple[list[dict], list[dict]]:
-        """(possibly-affected, provably-untouched) file partition."""
+        """(possibly-affected, provably-untouched) file partition.
+
+        Segment-level pre-prune first (same _seg_may_match the scan path
+        uses): a segment whose [min, max] partition summary excludes the
+        predicate moves to untouched WHOLESALE — per-entry _may_match
+        runs only over matching segments' entries, so planning a
+        partition-scoped delete/update against a million-file table is
+        O(segments + matching entries), not O(table)."""
         spec = self._spec(m)
+        seg_stats = m.get("_seg_stats") or {}
         affected, untouched = [], []
-        for e in m["files"]:
-            (affected if _may_match(spec, e, where) else untouched).append(e)
+        for sid, chunk in self._manifest_spans(m):
+            if (
+                sid is not None
+                and where
+                and not _seg_may_match(spec, seg_stats.get(sid), where)
+            ):
+                untouched.extend(chunk)
+                continue
+            for e in chunk:
+                (affected if _may_match(spec, e, where) else untouched).append(
+                    e
+                )
         return affected, untouched
 
     def delete(
@@ -2600,21 +2689,78 @@ class ParquetTableManager:
         dkeys = keys.select(
             *[F.col(c).cast(types[c]).alias(c) for c in equality]
         ).distinct()
+        del_entries: list[dict] = []
+        if mode == "mor":
+            # write-first: the key set's ONE source-lineage job is the
+            # delete-file write; the pruning predicate is then derived
+            # from the tiny written parquet instead of re-running the
+            # source scan for a collect and a bounds agg (2 extra jobs
+            # per delete commit before this reorder). Same Spark-side
+            # value semantics — the probe reads the file back through
+            # the session, not pyarrow, so collected key values convert
+            # exactly as before.
+            self._require_unique_basenames(name, m, "delete(mode='mor')")
+            del_entries = self._write_eq_delete_files(name, dkeys, equality)
+            dkeys = self.spark.read.schema(
+                StructType(
+                    [StructField(c, types[c], True) for c in equality]
+                )
+            ).parquet(
+                *[
+                    os.path.join(self._dir(name), d["path"])
+                    for d in del_entries
+                ]
+            )
         where_bounds, has_null_keys = self._eq_key_predicate(dkeys, equality)
         if not where_bounds and not has_null_keys:
+            for d in del_entries:  # wrote for nothing: empty key set
+                try:
+                    os.remove(os.path.join(self._dir(name), d["path"]))
+                except OSError:
+                    pass
             return m["version"]  # empty key set: no-op
         spec = self._spec(m)
-        pruned = set(
-            id(e)
-            for e in self._prune_buckets(m, spec, m["files"], where_bounds)
-        )
+        seg_stats = m.get("_seg_stats") or {}
         affected, untouched = [], []
-        for e in m["files"]:
-            hit = id(e) in pruned and _may_match(spec, e, where_bounds)
-            # NULL keys carry no range info; stats can't exclude a file
-            # for them (min/max never covers NULL)
-            (affected if hit or has_null_keys else untouched).append(e)
+        allowed: dict[str, set[str]] | None = None
+        allowed_known = False
+        for sid, chunk in self._manifest_spans(m):
+            # segment-level pre-prune (identity-partition summaries):
+            # a non-overlapping segment's entries go untouched WHOLESALE
+            # — per-entry stats/bucket checks run only over matching
+            # segments, so a point-keyed delete against a million-file
+            # table plans O(segments + matching entries). NULL keys
+            # disable it (min/max never covers NULL), same per-entry
+            # rule as below.
+            if (
+                not has_null_keys
+                and sid is not None
+                and where_bounds
+                and not _seg_may_match(spec, seg_stats.get(sid), where_bounds)
+            ):
+                untouched.extend(chunk)
+                continue
+            if not allowed_known:
+                # the single-row bucket probe job runs at most once no
+                # matter how many spans match; the filter itself is pure
+                # and applied per chunk
+                allowed = self._bucket_allowed(m, spec, where_bounds)
+                allowed_known = True
+            cand = chunk if allowed is None else self._bucket_filter(
+                chunk, allowed
+            )
+            pruned = set(map(id, cand))
+            for e in chunk:
+                hit = id(e) in pruned and _may_match(spec, e, where_bounds)
+                # NULL keys carry no range info; stats can't exclude a
+                # file for them (min/max never covers NULL)
+                (affected if hit or has_null_keys else untouched).append(e)
         if not affected:
+            for d in del_entries:  # keys bind to no current file
+                try:
+                    os.remove(os.path.join(self._dir(name), d["path"]))
+                except OSError:
+                    pass
             return m["version"]
         if mode == "cow":
             df = self._read_files(name, m, affected)
@@ -2627,11 +2773,8 @@ class ParquetTableManager:
             return self._commit(name, m)
         if mode != "mor":
             raise ValueError(f"unknown delete mode {mode!r}")
-        # the equality MoR read/fold path scopes delete applicability via
-        # a basename-keyed seq map — colliding external basenames would
-        # duplicate data rows through that left join
-        self._require_unique_basenames(name, m, "delete(mode='mor')")
-        del_entries = self._write_eq_delete_files(name, dkeys, equality)
+        # basename-uniqueness was checked and the delete file written
+        # up front (write-first reorder above) — attach and commit
         for e in affected:
             e = dict(e)
             e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
@@ -2720,7 +2863,26 @@ class ParquetTableManager:
         — unique by construction for managed writes (uuid names), but
         externally registered files (:meth:`add_files`) may collide
         (Spark's partitionBy reuses one task file name across partition
-        dirs). Refuse with a remedy instead of corrupting silently."""
+        dirs). Refuse with a remedy instead of corrupting silently.
+
+        O(segments) fast path: managed writes are uuid-named (unique by
+        construction), so when EVERY segment summary records ext=False
+        (no add_files entries anywhere) the walk is skipped entirely —
+        at 1M files the guard costs a dict scan over segment summaries,
+        not an inventory pass. Summaries predating the flag (or spans
+        out of alignment after an in-memory rewrite) fall back to the
+        full walk."""
+        stats = m.get("_seg_stats") or {}
+        layout = m.get("_seg_layout")
+        if (
+            layout
+            and sum(c for _, c in layout) == len(m.get("files") or [])
+            and all(
+                (stats.get(sid) or {}).get("ext") is False
+                for sid, _cnt in layout
+            )
+        ):
+            return
         seen: set[str] = set()
         for e in m["files"]:
             bn = os.path.basename(e["path"])
@@ -2814,37 +2976,53 @@ class ParquetTableManager:
         ]
 
     def _write_dv_files(self, name: str, dv: DataFrame) -> list[dict]:
-        """Persist a per-file DELETION VECTOR table — one row per data
-        file: (``_file_name``, sorted ``positions`` array) — as parquet
-        under ``deletes/`` (≙ Iceberg v3 deletion vectors: positions
-        stored compressed per file instead of one row per coordinate).
-        Descriptors carry ``dv: True`` so readers explode instead of
-        selecting coordinates, plus ``n_pos`` — the TOTAL coordinate
-        count (from the parquet footer's leaf value counts, no extra
-        job) — because sorted position arrays compress far better than
-        coordinate rows: a broadcast-size guard fed the DV's on-disk
-        bytes would force-broadcast a coordinate set the coordinate
-        format would have routed to a shuffle."""
+        """Persist a per-file DELETION VECTOR table as parquet under
+        ``deletes/`` (≙ Iceberg v3 deletion vectors: positions stored
+        compressed per file instead of one row per coordinate). Two
+        formats, detected from the written schema:
+
+        - BITMAP (current writer): one row per data file carrying
+          ``words: array<struct<w, b>>`` — 64-bit word bitmaps, the
+          dense-container half of Iceberg v3's roaring DV spec — plus a
+          per-row ``n`` bit count. Descriptors carry ``dv: True`` and
+          ``dvf: 2``.
+        - sorted ``positions`` array (read-compat with pre-bitmap DV
+          history): ``dv: True``, no ``dvf``.
+
+        Both record ``n_pos`` — the TOTAL coordinate count (footer leaf
+        counts for lists; a one-column driver read of the tiny per-file
+        ``n`` rollup for bitmaps) — because a compressed DV's on-disk
+        bytes under-represent the exploded rows the read-side anti-join
+        materializes; the 64 MB broadcast guard must see coordinates,
+        not compressed bytes."""
         import pyarrow.parquet as pq
 
         out: list[dict] = []
         for dst in self._stage_delete_parquet(name, dv, "dv"):
-            md = pq.ParquetFile(dst).metadata
-            n_pos = 0
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for c in range(g.num_columns):
-                    col = g.column(c)
-                    if col.path_in_schema.startswith("positions."):
-                        n_pos += col.num_values
-            out.append(
-                {
-                    "path": os.path.relpath(dst, self._dir(name)),
-                    "bytes": os.path.getsize(dst),
-                    "n_pos": int(n_pos),
-                    "dv": True,
-                }
-            )
+            pf = pq.ParquetFile(dst)
+            md = pf.metadata
+            names = set(pf.schema_arrow.names)
+            entry = {
+                "path": os.path.relpath(dst, self._dir(name)),
+                "bytes": os.path.getsize(dst),
+                "dv": True,
+            }
+            if "words" in names:
+                ncol = pq.read_table(dst, columns=["n"])["n"]
+                entry["n_pos"] = int(
+                    sum(v.as_py() or 0 for v in ncol)
+                )
+                entry["dvf"] = 2
+            else:
+                n_pos = 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for c in range(g.num_columns):
+                        col = g.column(c)
+                        if col.path_in_schema.startswith("positions."):
+                            n_pos += col.num_values
+                entry["n_pos"] = int(n_pos)
+            out.append(entry)
         return out
 
     def _global_pos_coords(self, name: str, gpos: list[dict]) -> DataFrame:
@@ -2854,7 +3032,8 @@ class ParquetTableManager:
         lists). THE single format dispatch: the fold's input and the
         read path's anti-join side both come through here."""
         coord_g = [g for g in gpos if not g.get("dv")]
-        dv_g = [g for g in gpos if g.get("dv")]
+        dv_list = [g for g in gpos if g.get("dv") and g.get("dvf") != 2]
+        dv_bmp = [g for g in gpos if g.get("dv") and g.get("dvf") == 2]
         parts: list[DataFrame] = []
         if coord_g:
             parts.append(
@@ -2865,15 +3044,39 @@ class ParquetTableManager:
                     ]
                 ).select("_file_name", "_pos")
             )
-        if dv_g:
+        if dv_list:
             parts.append(
                 self.spark.read.parquet(
                     *[
                         os.path.join(self._dir(name), g["path"])
-                        for g in dv_g
+                        for g in dv_list
                     ]
                 ).select(
                     "_file_name", F.explode("positions").alias("_pos")
+                )
+            )
+        if dv_bmp:
+            # bitmap DV: word w contributes position w*64+i for every
+            # set bit i — pure JVM expressions, no Python in the path
+            parts.append(
+                self.spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), g["path"])
+                        for g in dv_bmp
+                    ]
+                )
+                .select("_file_name", F.explode("words").alias("wd"))
+                .select(
+                    "_file_name",
+                    F.explode(
+                        F.expr(
+                            "filter(transform(sequence(0, 63), i -> "
+                            "IF((shiftright(wd.b, i) & 1) = 1, "
+                            "wd.w * 64 + CAST(i AS BIGINT), "
+                            "CAST(NULL AS BIGINT))), "
+                            "x -> x IS NOT NULL)"
+                        )
+                    ).alias("_pos"),
                 )
             )
         out = parts[0]
@@ -3345,13 +3548,33 @@ class ParquetTableManager:
                 name,
                 [{"path": p} for p in pos_fold] + gpos,
             )
+            # BITMAP encoding (≙ Iceberg v3 DV spec direction: roaring
+            # bitmaps per data file — our 64-bit word rows are exactly
+            # roaring's dense "bitmap container" shape, in a form Spark
+            # reads natively): position p lives in word p>>6 at bit
+            # p&63, so a file's delete set stores ceil(density*rows/64)
+            # 16-byte rows instead of 8 bytes PER position — up to 32x
+            # smaller at full density, where the old sorted-list DV was
+            # largest. bit_count() sums give n_pos (the broadcast-guard
+            # coordinate count) in the same pass.
             dv = (
                 merged.distinct()
+                .select(
+                    "_file_name",
+                    F.shiftright("_pos", 6).alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pmod(_pos, 64) AS INT))"
+                    ).alias("bit"),
+                )
+                .groupBy("_file_name", "w")
+                .agg(F.expr("bit_or(bit)").alias("b"))
                 .groupBy("_file_name")
                 .agg(
-                    F.sort_array(F.collect_list("_pos")).alias(
-                        "positions"
-                    )
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("w"), F.col("b")))
+                    ).alias("words"),
+                    F.expr("CAST(sum(bit_count(b)) AS BIGINT)").alias("n"),
                 )
                 .coalesce(1)
             )
@@ -3790,9 +4013,21 @@ class ParquetTableManager:
             for d in json.loads(ekey):
                 eq_by_cols.setdefault(tuple(d["cols"]), []).append(d["path"])
             for cols, dpaths in eq_by_cols.items():
-                dels = self.spark.read.parquet(
+                # explicit read schema (current table types — widening
+                # promotion covers pre-widen delete files, same as data
+                # files) skips a footer-inference job per key set; no
+                # .distinct(): each delete file is written deduplicated
+                # and an anti-join is insensitive to build-side
+                # duplicates across epochs — the removed Exchange +
+                # HashAggregate pair was pure per-read overhead
+                types = {f.name: f.dataType for f in schema.fields}
+                dels = self.spark.read.schema(
+                    StructType(
+                        [StructField(c, types[c], True) for c in cols]
+                    )
+                ).parquet(
                     *[os.path.join(self._dir(name), p) for p in dpaths]
-                ).distinct()
+                )
                 total_bytes = sum(
                     d.get("bytes", 0)
                     for d in json.loads(ekey)
@@ -3811,16 +4046,17 @@ class ParquetTableManager:
             # predicate or key set can express). The delete set is
             # (file_name, pos) pairs — broadcast-small next to the data.
             if pos_dels:
-                pd_df = (
-                    self.spark.read.parquet(
-                        *[
-                            os.path.join(self._dir(name), d["path"])
-                            for d in pos_dels
-                        ]
-                    )
-                    .select("_file_name", "_pos")
-                    .distinct()
-                )
+                # explicit schema + no .distinct() — same rationale as
+                # the equality path above (coordinate files are written
+                # deduplicated; anti-join tolerates cross-epoch dups)
+                pd_df = self.spark.read.schema(
+                    "_file_name string, _pos long"
+                ).parquet(
+                    *[
+                        os.path.join(self._dir(name), d["path"])
+                        for d in pos_dels
+                    ]
+                ).select("_file_name", "_pos")
                 proj = proj.join(
                     F.broadcast(pd_df), on=["_file_name", "_pos"], how="left_anti"
                 )
@@ -3909,7 +4145,10 @@ class ParquetTableManager:
                 bound = d.timestamp()
             best = -1
             for v in self._ancestors(name, self._current_version(name)):
-                m = self._load_manifest(name, v)
+                # raw manifest — committed_at is a top-level key; as-of
+                # resolution must not materialize every ancestor's
+                # inventory
+                m = self._manifest_raw(name, v)
                 if m.get("committed_at", float("-inf")) <= bound:
                     best = max(best, v)
             if best < 0:
@@ -4004,8 +4243,9 @@ class ParquetTableManager:
     # branch pins its history forever. Policies live per ref under
     # _meta/<table>/refprops/ and are honored by expire_snapshots:
     # over-age refs are REMOVED (their snapshots then expire by the
-    # normal rules), and a branch with min-snapshots-to-keep pins only
-    # its newest N ancestors instead of its full history. `main` is
+    # normal rules), a branch with max-snapshot-age-ms stops pinning
+    # ancestors older than that age, and min-snapshots-to-keep FLOORS
+    # that age-based expiry (newest N always survive). `main` is
     # governed by expire_snapshots' own keep_last/older_than arguments,
     # never by a ref policy.
 
@@ -4018,9 +4258,22 @@ class ParquetTableManager:
         ref: str,
         max_ref_age_ms: float | None = None,
         min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: float | None = None,
     ) -> None:
         """Attach a retention policy to a branch or tag (replaces any
-        prior policy for that ref)."""
+        prior policy for that ref). Knob semantics match Iceberg's
+        same-named ref properties exactly:
+
+        - ``max_ref_age_ms``: the REF itself is removed once its pointer
+          is older than this; its snapshots then expire normally.
+        - ``max_snapshot_age_ms`` (branches only): branch ANCESTRY stops
+          pinning snapshots committed longer ago than this — the knob
+          that actually expires branch history.
+        - ``min_snapshots_to_keep`` (branches only): a retention FLOOR
+          on ``max_snapshot_age_ms`` — the newest N ancestors survive
+          age-based expiry regardless of age. By itself it expires
+          NOTHING (a branch with only this knob still pins its full
+          ancestry), exactly like Iceberg, where it never acts alone."""
         if ref == "main":
             raise ValueError(
                 "main's retention is keep_last/older_than on "
@@ -4034,6 +4287,10 @@ class ParquetTableManager:
             raise ValueError(
                 "min_snapshots_to_keep applies to branches only"
             )
+        if max_snapshot_age_ms is not None and is_tag:
+            raise ValueError(
+                "max_snapshot_age_ms applies to branches only"
+            )
         os.makedirs(
             os.path.dirname(self._ref_props_path(name, ref)), exist_ok=True
         )
@@ -4042,6 +4299,7 @@ class ParquetTableManager:
                 {
                     "max_ref_age_ms": max_ref_age_ms,
                     "min_snapshots_to_keep": min_snapshots_to_keep,
+                    "max_snapshot_age_ms": max_snapshot_age_ms,
                 },
                 f,
             )
@@ -4233,7 +4491,10 @@ class ParquetTableManager:
         out, v = [], version
         while v is not None and os.path.exists(self._manifest_path(name, v)):
             out.append(v)
-            v = self._load_manifest(name, v).get("parent")
+            # raw manifest: the parent link must not materialize the
+            # whole inventory per hop (chains are walked inside expiry
+            # and as-of resolution)
+            v = self._manifest_raw(name, v).get("parent")
         return out
 
     def fast_forward(self, name: str, branch: str, ref: str = "main") -> int:
@@ -4312,6 +4573,15 @@ class ParquetTableManager:
         column's declared type — hash input type changes the hash) in one
         single-row driver job. Conservative: files from a spec generation
         without the bucket value are kept."""
+        allowed = self._bucket_allowed(m, spec, where)
+        if allowed is None:
+            return files
+        return self._bucket_filter(files, allowed)
+
+    @staticmethod
+    def _bucket_probes(
+        m: dict, spec: list["Transform"], where: list
+    ) -> list[tuple[str, Column]]:
         schema = StructType.fromJson(m["schema"])
         probes: list[tuple[str, Column]] = []
         for col, op, lit_v in where:
@@ -4329,19 +4599,37 @@ class ParquetTableManager:
                             F.pmod(F.xxhash64(F.lit(v).cast(dt)), F.lit(t.arg)),
                         )
                     )
-        if not probes:
-            return files
-        if self.spark is None:
-            # metadata-only manager (the DataSource path constructs one
-            # without a session): skip bucket pruning, keep all files —
-            # conservative is correct, just less pruned
-            return files
+        return probes
+
+    def _bucket_allowed(
+        self, m: dict, spec: list["Transform"], where: list
+    ) -> dict[str, set[str]] | None:
+        """allowed bucket values for a predicate, or None when bucket
+        pruning does not apply (no bucket probes, or a metadata-only
+        manager without a session — conservative, keep all files)."""
+        probes = self._bucket_probes(m, spec, where)
+        if not probes or self.spark is None:
+            return None
+        return self._bucket_allowed_cached(probes)
+
+    def _bucket_allowed_cached(
+        self, probes: list[tuple[str, Column]]
+    ) -> dict[str, set[str]]:
+        """field -> allowed bucket-value strings for a probe list — ONE
+        single-row driver job, computed once per (delete/scan) call and
+        reusable across every segment span."""
         row = self.spark.range(1).select(
             *[c.alias(f"b{i}") for i, (_f, c) in enumerate(probes)]
         ).collect()[0]
         allowed: dict[str, set[str]] = {}
         for i, (fname, _c) in enumerate(probes):
             allowed.setdefault(fname, set()).add(str(row[i]))
+        return allowed
+
+    @staticmethod
+    def _bucket_filter(
+        files: list[dict], allowed: dict[str, set[str]]
+    ) -> list[dict]:
         return [
             e
             for e in files
@@ -4940,8 +5228,10 @@ class ParquetTableManager:
         branch head or tag is ref-pinned and survives (Iceberg: refs pin
         history) — except as a PER-REF POLICY (:meth:`set_ref_policy`)
         says otherwise: an over-``max_ref_age_ms`` branch/tag is removed
-        here (then expires normally), and a branch with
-        ``min_snapshots_to_keep`` pins only its newest N ancestors.
+        here (then expires normally), a branch with
+        ``max_snapshot_age_ms`` stops pinning ancestors older than that
+        age, and ``min_snapshots_to_keep`` floors that expiry with the
+        newest N (by itself it expires nothing — Iceberg semantics).
         ``orphan_ttl_s`` additionally removes crashed writers'
         staging dirs whose newest write is older than the ttl (≙
         remove_orphan_files' ``older_than`` guard: never set it below
@@ -4981,9 +5271,27 @@ class ParquetTableManager:
                     removed_refs += 1
                     continue
                 anc = self._ancestors(name, self._ref_head(name, b)[1])
-                min_keep = pol.get("min_snapshots_to_keep")
-                if min_keep is not None:
-                    anc = anc[: max(1, int(min_keep))]
+                # per-ref max_snapshot_age_ms expires branch ancestry;
+                # min_snapshots_to_keep FLOORS it (newest N survive any
+                # age) and by itself expires nothing — Iceberg's exact
+                # split of the two knobs (min-snapshots-to-keep is never
+                # a cap; a policy-less or age-less branch pins its full
+                # ancestry)
+                snap_age_cap = pol.get("max_snapshot_age_ms")
+                if snap_age_cap is not None:
+                    import time as _time
+
+                    floor_n = max(1, int(pol.get("min_snapshots_to_keep") or 1))
+                    cutoff = _time.time() - snap_age_cap / 1000.0
+                    anc = [
+                        v
+                        for i, v in enumerate(anc)
+                        if i < floor_n
+                        or self._manifest_raw(name, v).get(
+                            "committed_at", 0.0
+                        )
+                        >= cutoff
+                    ]
                 keep |= set(anc)
         tags = os.path.join(self._meta_dir(name), "tags")
         if os.path.isdir(tags):
@@ -5071,7 +5379,7 @@ class ParquetTableManager:
             ):
                 if os.path.exists(sp):
                     os.remove(sp)
-            self._seg_cache.pop((name, sid), None)
+            self._seg_cache_drop((name, sid))
         # crash-orphaned segments: a writer that died between segment
         # write and manifest create leaves segments NO manifest ever
         # referenced — invisible to the drop-based reap above. Age-gate
@@ -5091,7 +5399,7 @@ class ParquetTableManager:
                         and now - os.path.getmtime(p) > orphan_ttl_s
                     ):
                         os.remove(p)
-                        self._seg_cache.pop((name, sid), None)
+                        self._seg_cache_drop((name, sid))
         # orphaned staging from crashed writers (≙ remove_orphan_files'
         # other half): a staging dir is invisible by design, so one whose
         # last write is older than orphan_ttl_s can only be a crash

@@ -707,3 +707,23 @@ def test_pq_incremental_append_without_reencode(spark):
         *[F.max(f"c{m_}").alias(f"c{m_}") for m_ in range(PQ_M)]
     ).collect()[0]
     assert all(0 <= maxes[f"c{m_}"] < PQ_K for m_ in range(PQ_M))
+
+
+def test_knn_join_grid_flip_matches_broadcast(spark, monkeypatch):
+    """q_sim_knn_join's broadcast->grid flip: force the broadcast budget
+    to zero so the bounded take() overflows and the cogrouped grid path
+    runs, then assert value-identity with the broadcast path — the two
+    paths share the GEMM + sequential-rescore kernel, so any drift here
+    means the grid's (slice, block) cell routing dropped or duplicated
+    a candidate."""
+    from iceberg_poc_spark.operators import similarity as sim
+
+    base = sim.q_sim_knn_join.__wrapped__ if hasattr(
+        sim.q_sim_knn_join, "__wrapped__"
+    ) else sim.q_sim_knn_join
+    bcast = sorted(
+        tuple(r) for r in base(spark, SF_DIR).collect()
+    )
+    monkeypatch.setattr(sim, "KNN_BROADCAST_PROBES", 0)
+    grid = sorted(tuple(r) for r in base(spark, SF_DIR).collect())
+    assert grid == bcast and len(grid) > 0

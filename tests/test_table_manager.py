@@ -2625,8 +2625,9 @@ def test_per_ref_retention_policies(mgr, spark, tmp_path):
     min-snapshots-to-keep): an over-age audit branch and quarantine tag
     are REAPED by expiry (their snapshots then expire normally), a
     within-age policied tag survives, a policy-less ref keeps pinning
-    forever, min_snapshots_to_keep trims a branch's pinned history to
-    its newest N, and main is never policy-governed."""
+    forever, max_snapshot_age_ms expires branch ancestry with
+    min_snapshots_to_keep as its FLOOR (never a cap — alone it expires
+    nothing), and main is never policy-governed."""
     import os as _os
     import time as _time
 
@@ -2663,15 +2664,39 @@ def test_per_ref_retention_policies(mgr, spark, tmp_path):
     assert mgr.read("t", ref="quarantine").count() == 4
     assert mgr.read("t", ref="no_policy").count() == 2
     assert mgr.read("t").count() == 5  # main untouched
-    # min_snapshots_to_keep trims branch history pinning
+    # max_snapshot_age_ms expires branch ancestry; min_snapshots_to_keep
+    # FLOORS it (Iceberg semantics: the floor never expires anything by
+    # itself)
+    import json as _json
+
     mgr.create_branch("t", "b2")
     for i in range(4):
         mgr.append("t", spark.createDataFrame([(90 + i,)], "k long"), ref="b2")
     chain = mgr._ancestors("t", mgr._ref_head("t", "b2")[1])
+    # a floor-only policy pins the FULL ancestry (nothing expires)
     mgr.set_ref_policy("t", "b2", min_snapshots_to_keep=2)
+    mgr.expire_snapshots("t", keep_last=1)
+    for v in chain:
+        assert _os.path.exists(mgr._manifest_path("t", v)), v
+    # age every branch commit's committed_at past the cap: ancestry
+    # beyond the newest-2 floor now expires
+    for v in chain:
+        mp = mgr._manifest_path("t", v)
+        with open(mp) as f:
+            mj = _json.load(f)
+        mj["committed_at"] = _time.time() - 3600.0
+        with open(mp, "w") as f:
+            _json.dump(mj, f)
+    mgr.set_ref_policy(
+        "t", "b2", max_snapshot_age_ms=1000.0, min_snapshots_to_keep=2
+    )
     mgr.expire_snapshots("t", keep_last=1)
     assert _os.path.exists(mgr._manifest_path("t", chain[0]))
     assert _os.path.exists(mgr._manifest_path("t", chain[1]))
+    # b2's older own commits (beyond the floor, over-age, pinned by no
+    # other ref) expired
+    assert not _os.path.exists(mgr._manifest_path("t", chain[2]))
+    assert not _os.path.exists(mgr._manifest_path("t", chain[3]))
     assert mgr.read("t", ref="b2").count() == 9
     # error surface
     import pytest as _pytest
@@ -2682,11 +2707,14 @@ def test_per_ref_retention_policies(mgr, spark, tmp_path):
         mgr.set_ref_policy("t", "ghost", max_ref_age_ms=1.0)
     with _pytest.raises(ValueError, match="branches only"):
         mgr.set_ref_policy("t", "quarantine", min_snapshots_to_keep=1)
+    with _pytest.raises(ValueError, match="branches only"):
+        mgr.set_ref_policy("t", "quarantine", max_snapshot_age_ms=1.0)
 
 
 def test_global_pos_fold_is_deletion_vector(mgr, spark):
     """compact_deletes folds positional stacks into a DELETION-VECTOR
-    file: one row per data file with its sorted position list, 'dv'
+    file: one row per data file with its 64-bit word BITMAP (dvf=2 —
+    the dense-container half of Iceberg v3's roaring DV spec), 'dv'
     descriptor flag, and n_pos = total coordinate count (feeding the
     broadcast-size estimate). Reads are value-identical, a second fold
     over mixed DV + fresh coordinate history still works, and
@@ -2700,6 +2728,7 @@ def test_global_pos_fold_is_deletion_vector(mgr, spark):
     m = mgr._load_manifest("t")
     gpos = m["global_pos_deletes"]
     assert len(gpos) == 1 and gpos[0]["dv"] is True
+    assert gpos[0]["dvf"] == 2
     assert gpos[0]["n_pos"] == 10
     assert all(not e.get("pos_deletes") for e in m["files"])
     assert {r.k for r in mgr.read("t").collect()} == {
@@ -2715,7 +2744,9 @@ def test_global_pos_fold_is_deletion_vector(mgr, spark):
     assert {r.k for r in mgr.read("t").collect()} == {
         i for i in range(100) if i % 10 and i != 7
     }
-    # DV parquet really is one row per data file, positions sorted
+    # DV parquet really is one row per data file: sorted word bitmaps
+    # whose set bits decode to exactly the deleted positions, with the
+    # per-row bit-count rollup matching
     import pyarrow.parquet as pq
     import os as _os
 
@@ -2723,8 +2754,20 @@ def test_global_pos_fold_is_deletion_vector(mgr, spark):
         _os.path.join(mgr._dir("t"), m2["global_pos_deletes"][0]["path"])
     )
     assert tab.num_rows == len({r["_file_name"] for r in coords.collect()} | {r["_file_name"] for r in c2.collect()})
+    deleted_by_fn = {}
+    for r in coords.collect() + c2.collect():
+        deleted_by_fn.setdefault(r["_file_name"], set()).add(r["_pos"])
     for row in tab.to_pylist():
-        assert row["positions"] == sorted(row["positions"])
+        ws = [w["w"] for w in row["words"]]
+        assert ws == sorted(ws)
+        got = {
+            w["w"] * 64 + i
+            for w in row["words"]
+            for i in range(64)
+            if (w["b"] >> i) & 1
+        }
+        assert got == deleted_by_fn[row["_file_name"]]
+        assert row["n"] == len(got)
     mgr.rewrite_deletes("t")
     m3 = mgr._load_manifest("t")
     assert "global_pos_deletes" not in m3

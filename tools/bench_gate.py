@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Commit gate for canonical bench records: re-time apparent regressions
+in a FRESH solo process before trusting them.
+
+The r10 canonical record was contaminated by a contended run — ANN rows
+recorded at ~3x their true cost (q_sim_ann_pq_incremental 15.99 s vs a
+3.80 s solo re-time), so round-over-round deltas computed from it would
+misfire. This gate makes that failure mode self-detecting:
+
+    python tools/bench_gate.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+
+1. Finds the N (default 5) largest warm-value regressions among shared
+   queries (ratio >= 1.3 and delta >= 0.3 s — below that, single-run
+   noise dominates).
+2. Re-times exactly those queries in a FRESH subprocess (cold + warm,
+   same methodology as bench.py) with nothing else running.
+3. PASSES a query if the fresh warm time is within TOLERANCE (1.3x) of
+   the new record's value — the slowdown is real, keep the record.
+   FAILS if the fresh re-time comes in faster than the record by more
+   than the tolerance — the record's number is a contention artifact;
+   re-run the canonical bench solo before committing.
+
+Exit code 0 = record trustworthy (or no regressions to check),
+1 = contaminated record, 2 = usage/infra error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+TOLERANCE = 1.3
+MIN_RATIO = 1.3
+MIN_DELTA_S = 0.3
+TOP_N = 5
+
+_RETIME_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", {sf_dir!r})
+from iceberg_poc_spark.registry import load_all
+from iceberg_poc_spark.session import get_spark
+spark = get_spark(app_name="bench-gate")
+spark.sparkContext.setLogLevel("ERROR")
+queries = load_all()
+
+def mat(df):
+    df.write.format("noop").mode("overwrite").save()
+
+mat(queries["q_agg_q1"].fn(spark, {sf_dir!r}))  # session warm
+out = {{}}
+for name in {names!r}:
+    runs = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        mat(queries[name].fn(spark, {sf_dir!r}))
+        runs.append(time.perf_counter() - t0)
+        if i >= 1 and runs[1] >= 2.0:
+            break
+    warm = sorted(runs[1:])
+    out[name] = round(warm[len(warm) // 2], 3)
+print("GATE_RESULT " + json.dumps(out))
+"""
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    with open(old_p) as f:
+        old = json.load(f)
+    with open(new_p) as f:
+        new = json.load(f)
+    oq, nq = old["queries"], new["queries"]
+    regs = []
+    for name in sorted(set(oq) & set(nq)):
+        o, n = oq[name], nq[name]
+        if o <= 0 or n <= 0:
+            continue
+        if n / o >= MIN_RATIO and n - o >= MIN_DELTA_S:
+            regs.append((n - o, name, o, n))
+    regs.sort(reverse=True)
+    regs = regs[:TOP_N]
+    if not regs:
+        print("bench_gate: no material regressions vs previous record — OK")
+        return 0
+    names = [r[1] for r in regs]
+    print(f"bench_gate: re-timing {names} in a fresh solo process ...")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    code = _RETIME_SNIPPET.format(repo=repo, sf_dir=sf_dir, names=names)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    fresh = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("GATE_RESULT "):
+            fresh = json.loads(line[len("GATE_RESULT "):])
+    if fresh is None:
+        print("bench_gate: re-time subprocess failed:", file=sys.stderr)
+        print(proc.stderr[-3000:], file=sys.stderr)
+        return 2
+    bad = []
+    for _d, name, o, n in regs:
+        f_t = fresh.get(name, -1.0)
+        verdict = "REAL" if f_t * TOLERANCE >= n else "ARTIFACT"
+        print(
+            f"  {name}: prev {o:.3f}s  record {n:.3f}s  fresh {f_t:.3f}s"
+            f"  -> {verdict}"
+        )
+        if verdict == "ARTIFACT":
+            bad.append(name)
+    if bad:
+        print(
+            f"bench_gate: REJECT — {bad} recorded slower than a fresh solo "
+            f"re-time by >{TOLERANCE}x; the record is contaminated "
+            f"(contended run). Re-run bench.py solo."
+        )
+        return 1
+    print("bench_gate: all regressions reproduce solo — record OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
