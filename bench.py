@@ -41,7 +41,10 @@ Methodology (v2, order-invariant):
   the signal — r5: q_fn_xml, q_udtf_lateral flagged as regressions on
   flat plans); slower queries take a single warm run (signal >> noise,
   and re-running 10 s state machines would triple bench wall time).
-  SPARK_GRAFT_BENCH_REPEATS overrides the total run count.
+  SPARK_GRAFT_BENCH_REPEATS overrides the WARM run count (the cold run
+  always happens first). SPARK_GRAFT_BENCH_COLD=1 skips the sf0.001
+  warmup AND the warm re-runs: each query runs exactly once and that
+  first-run cost IS the reported value.
 
 The reported total is the sum of per-query warm values; ``cold_total``
 sums the cold runs. Compare rounds warm-to-warm (BENCH_FULL.json keeps
@@ -126,8 +129,10 @@ def main() -> None:
             warm_repeats = int(
                 os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")
             )
+            cold_mode = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
             runs = []
-            for i in range(1 + max(1, warm_repeats)):
+            n_runs = 1 if cold_mode else 1 + max(1, warm_repeats)
+            for i in range(n_runs):
                 t0 = time.perf_counter()
                 materialize(queries[name].fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
@@ -136,7 +141,10 @@ def main() -> None:
                 if i >= 1 and runs[1] >= 2.0:
                     break
             colds[name] = round(runs[0], 3)
-            warm = sorted(runs[1:])
+            # cold mode reports the first run AS the value (its whole
+            # point is first-run cost); normal mode reports the warm
+            # steady-state median
+            warm = sorted(runs[1:]) or [runs[0]]
             timings[name] = round(warm[len(warm) // 2], 3)
         except Exception as e:  # a failing query must not hide the others
             timings[name] = -1.0

@@ -1371,7 +1371,16 @@ def _knn_grid(
     At a fixed per-cell memory budget, G grows with the probe count and
     B with the corpus, so the plan holds at 100 TB."""
     n_grp = max(1, -(-n_probes // 4096))  # ~4k probes per slice
-    n_blk = max(1, spark.sparkContext.defaultParallelism)
+    # B scales with the CORPUS (applyInPandas materializes each cell's
+    # corpus slice as one pandas frame — a fixed B would grow that frame
+    # linearly with the table, the OOM this path exists to avoid):
+    # ~64k rows x 64 dims x 8 B ≈ 32 MB per cell, floored at the
+    # cluster width so small corpora still use every core.
+    n_corpus = emb.count()
+    n_blk = max(
+        spark.sparkContext.defaultParallelism,
+        -(-n_corpus // 65_536),
+    )
     local_k = KNN_K + KNN_RESCORE_PAD
 
     corpus_g = emb.withColumn(

@@ -3558,3 +3558,95 @@ def q_view_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("n_head"),
         F.col("b.s").alias("s_head"),
     )
+
+
+def _setup_orders_snaphist(spark: SparkSession, sf_dir: str):
+    """orders_snaphist: a deterministic 5-commit history — create, three
+    keyspace-sliced appends (year-partitioned: one data file per year per
+    append, so file counts are layout-deterministic), and one MoR
+    predicate delete (metadata-only attach: file/record rollups
+    unchanged — exactly what snapshot inspection must show)."""
+    from iceberg_poc_spark.tables import years
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "orders_snaphist")
+    if key in _READY:
+        return mgr
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    mgr.create_table("orders_snaphist", orders.schema, [years("o_orderdate")])
+    for r in range(3):
+        mgr.append(
+            "orders_snaphist", orders.filter(F.col("o_orderkey") % 3 == r)
+        )
+    # threshold safely above the corpus-wide minimum at every SF: the
+    # commit must actually attach (a stats-excluded predicate no-ops
+    # without a snapshot, and the history would lose its 5th row)
+    mgr.delete(
+        "orders_snaphist",
+        where=[("o_totalprice", "<", 5000.0)],
+        mode="mor",
+    )
+    _READY[key] = {"head": mgr._current_version("orders_snaphist")}
+    return mgr
+
+
+@register(
+    "q_meta_snapshots",
+    oracle="""
+    WITH y AS (
+        SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS INT) AS ny
+        FROM orders
+    ),
+    slices AS (
+        SELECT o_orderkey % 3 AS r,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(COUNT(DISTINCT year(o_orderdate)) AS INT) AS ny
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT r,
+               SUM(c) OVER (ORDER BY r) AS recs,
+               CAST(SUM(ny) OVER (ORDER BY r) AS INT) AS files
+        FROM slices
+    )
+    SELECT 1 AS seq, 'create' AS operation,
+           0 AS n_files, CAST(0 AS BIGINT) AS n_records
+    UNION ALL
+    SELECT CAST(2 + r AS INT), 'append', files, CAST(recs AS BIGINT)
+    FROM cum
+    UNION ALL
+    SELECT 5, 'delete-mor',
+           (SELECT files FROM cum WHERE r = 2),
+           (SELECT CAST(recs AS BIGINT) FROM cum WHERE r = 2)
+    ORDER BY seq
+    """,
+    doc="SNAPSHOTS metadata table (≙ Iceberg ``SELECT * FROM "
+    "t$snapshots`` / table.snapshots(), reference #27 "
+    "aig/PartitionValueDebugger.java:164-196): the branch's parent "
+    "chain with per-snapshot operation and file/record rollups — "
+    "computed O(segments) from the per-segment summaries, never "
+    "touching entries (snapshot inspection of a 1M-file table reads "
+    "~2k summary dicts). The history is deterministic by construction: "
+    "year-partitioned appends write one file per year (the partition "
+    "co-location shuffle), and the MoR predicate delete is a "
+    "metadata-only attach whose rollups must NOT change — a delete "
+    "that rewrote files, double-counted attached entries, or lost a "
+    "segment summary all hash-diverge from the oracle's relational "
+    "replay of the same five commits.",
+)
+def q_meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_orders_snaphist(spark, sf_dir)
+    snaps = mgr.snapshots("orders_snaphist")
+    # seq from the version number directly: the single-writer setup
+    # allocates contiguous versions from 0 (create), so ordinal =
+    # snapshot_id + 1 without a global-window shuffle (a ROW_NUMBER
+    # over an unpartitioned window would funnel through SinglePartition
+    # — the shape the plan audit bans even on 5 rows)
+    return snaps.select(
+        (F.col("snapshot_id") + 1).cast("int").alias("seq"),
+        "operation",
+        "n_files",
+        "n_records",
+    )

@@ -190,7 +190,21 @@ def _apply_mor_deletes(tbl, entry: dict, table_dir: str):
                 filters=[("_file_name", "==", fn)],
             )
             sel = t
-            if d.get("dv"):
+            if d.get("dv") and d.get("dvf") == 2:
+                # BITMAP deletion vector (dvf=2): one row per data file
+                # carrying 64-bit word structs — decode word w's set
+                # bit i to position w*64+i, the executor-side twin of
+                # the manager read path's JVM bit expansion
+                pos = []
+                for row in sel.to_pylist():
+                    for wd in row["words"]:
+                        w, b = wd["w"], wd["b"]
+                        base = w * 64
+                        for i in range(64):
+                            if (b >> i) & 1:
+                                pos.append(base + i)
+                kill_parts.append(np.asarray(pos, dtype=np.int64))
+            elif d.get("dv"):
                 # deletion-vector file: one row per data file with its
                 # sorted position list — flatten this file's row(s)
                 kill_parts.append(

@@ -167,6 +167,22 @@ def _seg_may_match(
         if fname is None or fname not in parts:
             continue
         mn, mx = parts[fname]
+        # the summary coerces numeric-looking partition STRINGS to
+        # numbers (lexicographic "13" < "2" would mis-bound); mirror
+        # that on the predicate literal, or a string-typed point lookup
+        # against a numeric summary would TypeError into the
+        # conservative keep-everything path and never prune a segment
+        if isinstance(mn, (int, float)):
+            def _co(v):
+                if isinstance(v, str):
+                    for cast in (int, float):
+                        try:
+                            return cast(v)
+                        except (TypeError, ValueError):
+                            continue
+                return v
+
+            lit = [_co(v) for v in lit] if op == "in" else _co(lit)
         try:
             # boundary partitions are KEPT for > / < exactly like the
             # per-entry rule (_may_match), so the segment filter is
@@ -710,6 +726,19 @@ DEFAULT_PROPERTIES = {
 }
 
 
+class _SegCache(dict):
+    """Per-warehouse segment cache: (table, segment-id) -> entry list,
+    carrying its own cached-entry counter so size bookkeeping stays
+    coherent with THIS dict's lifetime (not a shared side table that a
+    registry eviction could desynchronize)."""
+
+    __slots__ = ("entries",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.entries = 0
+
+
 class ParquetTableManager:
     """Warehouse of snapshot-committed partitioned parquet tables.
 
@@ -732,12 +761,7 @@ class ParquetTableManager:
     # a hot long-lived warehouse stays cached no matter how many
     # throwaway tmp warehouses a pytest/notebook session opens after it
     # — FIFO would evict it mid-use and silently re-decode.
-    _SEG_CACHES: "OrderedDict[str, dict[tuple[str, str], list[dict]]]" = (
-        OrderedDict()
-    )
-    # warehouse key -> cached entry count (the per-warehouse byte proxy
-    # behind SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE)
-    _SEG_CACHE_SIZES: dict[str, int] = {}
+    _SEG_CACHES: "OrderedDict[str, _SegCache]" = OrderedDict()
 
     # warehouses cached at once — a long pytest/notebook session touches
     # hundreds of throwaway warehouses; without a bound the shared cache
@@ -759,9 +783,8 @@ class ParquetTableManager:
         cache = self._SEG_CACHES.get(key)
         if cache is None:
             while len(self._SEG_CACHES) >= self.SEG_CACHE_MAX_WAREHOUSES:
-                old_key, _old = self._SEG_CACHES.popitem(last=False)  # LRU
-                self._SEG_CACHE_SIZES.pop(old_key, None)
-            cache = self._SEG_CACHES[key] = {}
+                self._SEG_CACHES.popitem(last=False)  # LRU eviction
+            cache = self._SEG_CACHES[key] = _SegCache()
         else:
             self._SEG_CACHES.move_to_end(key)
         self._seg_cache = cache
@@ -772,30 +795,31 @@ class ParquetTableManager:
         past SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE the OLDEST cached
         segments drop (append-mostly readers keep hitting the newest)
         and re-decode on demand — one huge warehouse can no longer grow
-        the process cache without bound."""
-        cache, sizes, wk = self._seg_cache, self._SEG_CACHE_SIZES, self._seg_key
+        the process cache without bound. The entry counter lives ON the
+        cache dict itself, so a warehouse LRU-evicted from the shared
+        registry while a live manager still holds its dict keeps a
+        coherent private count (and a re-registered warehouse starts at
+        zero instead of inheriting a stale total)."""
+        cache = self._seg_cache
         prev = cache.get(key)
         if prev is not None:
-            sizes[wk] = sizes.get(wk, 0) - len(prev)
+            cache.entries -= len(prev)
         cache[key] = entries
-        sizes[wk] = sizes.get(wk, 0) + len(entries)
+        cache.entries += len(entries)
         while (
-            sizes[wk] > self.SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE
+            cache.entries > self.SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE
             and len(cache) > 1
         ):
             oldest = next(iter(cache))
             if oldest == key:  # never evict the segment just inserted
                 break
-            sizes[wk] -= len(cache.pop(oldest))
+            cache.entries -= len(cache.pop(oldest))
 
     def _seg_cache_drop(self, key: tuple[str, str]) -> None:
         """Remove one segment from the cache, keeping the size book."""
         prev = self._seg_cache.pop(key, None)
         if prev is not None:
-            wk = self._seg_key
-            self._SEG_CACHE_SIZES[wk] = (
-                self._SEG_CACHE_SIZES.get(wk, 0) - len(prev)
-            )
+            self._seg_cache.entries -= len(prev)
 
     # ---------------------------------------------------------------- paths
     def _dir(self, name: str) -> str:
@@ -2698,8 +2722,10 @@ class ParquetTableManager:
             # per delete commit before this reorder). Same Spark-side
             # value semantics — the probe reads the file back through
             # the session, not pyarrow, so collected key values convert
-            # exactly as before.
-            self._require_unique_basenames(name, m, "delete(mode='mor')")
+            # exactly as before. The basename-uniqueness guard runs
+            # later, just before the attach, so a no-op delete (empty
+            # keys, nothing bound) stays a silent no-op even on a
+            # colliding-basename table — the pre-reorder contract.
             del_entries = self._write_eq_delete_files(name, dkeys, equality)
             dkeys = self.spark.read.schema(
                 StructType(
@@ -2711,13 +2737,41 @@ class ParquetTableManager:
                     for d in del_entries
                 ]
             )
-        where_bounds, has_null_keys = self._eq_key_predicate(dkeys, equality)
-        if not where_bounds and not has_null_keys:
-            for d in del_entries:  # wrote for nothing: empty key set
+        def _discard_written() -> None:
+            # nothing references the just-written delete file(s) yet —
+            # remove them so no-op/error paths can't orphan parquet
+            # under deletes/ (expire_snapshots' ttl sweep is the
+            # backstop for crashes that skip even this)
+            for d in del_entries:
                 try:
                     os.remove(os.path.join(self._dir(name), d["path"]))
                 except OSError:
                     pass
+
+        try:
+            return self._delete_equality_bound(
+                name, m, equality, dkeys, mode, del_entries, _discard_written
+            )
+        except BaseException:
+            _discard_written()
+            raise
+
+    def _delete_equality_bound(
+        self,
+        name: str,
+        m: dict,
+        equality: list[str],
+        dkeys: DataFrame,
+        mode: str,
+        del_entries: list[dict],
+        _discard_written,
+    ) -> int:
+        """Predicate/split/attach half of :meth:`_delete_equality` —
+        runs after the delete file is staged; any raise before the
+        commit is cleaned up by the caller's discard wrapper."""
+        where_bounds, has_null_keys = self._eq_key_predicate(dkeys, equality)
+        if not where_bounds and not has_null_keys:
+            _discard_written()  # wrote for nothing: empty key set
             return m["version"]  # empty key set: no-op
         spec = self._spec(m)
         seg_stats = m.get("_seg_stats") or {}
@@ -2756,11 +2810,7 @@ class ParquetTableManager:
                 # file for them (min/max never covers NULL)
                 (affected if hit or has_null_keys else untouched).append(e)
         if not affected:
-            for d in del_entries:  # keys bind to no current file
-                try:
-                    os.remove(os.path.join(self._dir(name), d["path"]))
-                except OSError:
-                    pass
+            _discard_written()  # keys bind to no current file
             return m["version"]
         if mode == "cow":
             df = self._read_files(name, m, affected)
@@ -2773,8 +2823,11 @@ class ParquetTableManager:
             return self._commit(name, m)
         if mode != "mor":
             raise ValueError(f"unknown delete mode {mode!r}")
-        # basename-uniqueness was checked and the delete file written
-        # up front (write-first reorder above) — attach and commit
+        # the equality MoR read/fold path scopes delete applicability via
+        # a basename-keyed seq map — colliding external basenames would
+        # duplicate data rows through that left join. Checked HERE (after
+        # the no-op early returns) so provably-empty deletes never raise.
+        self._require_unique_basenames(name, m, "delete(mode='mor')")
         for e in affected:
             e = dict(e)
             e["eq_deletes"] = [*e.get("eq_deletes", []), *del_entries]
@@ -4182,8 +4235,32 @@ class ParquetTableManager:
         All-clean snapshots plan from the columnar segments' path
         columns (O(segments) driver work); anything carrying deletes,
         externals, or schema-evolution state takes the materialized
-        path."""
+        path.
+
+        Snapshot read plans are CACHED per (session, manifest identity):
+        a snapshot's file set and delete state are immutable while the
+        snapshot exists, so the logical plan is too — re-reading the
+        same version re-uses the built DataFrame instead of re-issuing
+        the per-group reader calls (≙ Iceberg's catalog metadata cache;
+        a long-running service reads a hot table thousands of times per
+        metadata change). Keyed on the manifest file's (path, mtime_ns,
+        size) so a table dropped and recreated in place can never serve
+        a stale plan, plus the SparkSession OBJECT itself (identity
+        hash, strong-ref'd by the cache, so ``newSession()`` siblings
+        and restarted sessions can never be served a DataFrame bound to
+        another session's state)."""
         v = self._resolve(name, snapshot_id, ref, as_of)
+        mp = self._manifest_path(name, v)
+        try:
+            st = os.stat(mp)
+            key = (self.spark, mp, st.st_mtime_ns, st.st_size)
+        except (FileNotFoundError, TypeError):
+            key = None
+        if key is not None:
+            hit = self._READ_PLANS.get(key)
+            if hit is not None:
+                self._READ_PLANS.move_to_end(key)
+                return hit
         try:
             raw = self._manifest_raw(name, v)
         except FileNotFoundError:
@@ -4191,9 +4268,24 @@ class ParquetTableManager:
         if raw is not None and "segments" in raw:
             plan = self._broad_plan(name, raw)
             if plan is not None:
-                return self._read_clean_paths(name, raw, plan)
+                df = self._read_clean_paths(name, raw, plan)
+                self._read_plan_store(key, df)
+                return df
         m = self._load_manifest(name, v)
-        return self._read_files(name, m, m["files"])
+        df = self._read_files(name, m, m["files"])
+        self._read_plan_store(key, df)
+        return df
+
+    # (appId, manifest path, mtime_ns, size) -> built snapshot DataFrame
+    _READ_PLANS: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+    READ_PLAN_CACHE_MAX = 256
+
+    def _read_plan_store(self, key: tuple | None, df: DataFrame) -> None:
+        if key is None:
+            return
+        self._READ_PLANS[key] = df
+        while len(self._READ_PLANS) > self.READ_PLAN_CACHE_MAX:
+            self._READ_PLANS.popitem(last=False)
 
     # ----------------------------------------------------- branches & tags
     def create_branch(
@@ -5400,6 +5492,23 @@ class ParquetTableManager:
                     ):
                         os.remove(p)
                         self._seg_cache_drop((name, sid))
+            # delete files no manifest ever referenced (a writer that
+            # crashed between staging the equality/positional delete
+            # parquet and committing the attach — the write-first delete
+            # path's crash window): same age gate, same invariant (every
+            # REFERENCED delete file is in `live` via _paths/global
+            # descriptors above, so only true orphans can pass)
+            del_dir = os.path.join(self._dir(name), "deletes")
+            if os.path.isdir(del_dir):
+                now = _time.time()
+                for fn in os.listdir(del_dir):
+                    rel = os.path.join("deletes", fn)
+                    p = os.path.join(del_dir, fn)
+                    if (
+                        rel not in live
+                        and now - os.path.getmtime(p) > orphan_ttl_s
+                    ):
+                        os.remove(p)
         # orphaned staging from crashed writers (≙ remove_orphan_files'
         # other half): a staging dir is invisible by design, so one whose
         # last write is older than orphan_ttl_s can only be a crash

@@ -2823,3 +2823,57 @@ def test_add_files_partition_values_normalize_to_managed_strings(
         (2, False),
         (9, True),
     ]
+
+
+def test_noop_equality_delete_never_raises_and_leaves_no_orphans(mgr, spark):
+    """The write-first equality-delete reorder must preserve the no-op
+    contract: an empty key set, or keys binding to no current file,
+    return silently (no raise, no snapshot) EVEN on a table with
+    colliding external basenames — and the staged delete parquet is
+    removed, not orphaned."""
+    import glob as _glob
+    import os as _os
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    mgr.create_table("t", df.schema, [])
+    v0 = mgr.append("t", df)
+    # empty key set: no-op, no version change, no file left behind
+    empty = spark.createDataFrame([], "k long")
+    assert mgr.delete("t", equality=["k"], keys=empty, mode="mor") == v0
+    # keys provably outside every file's stats: same contract
+    far = spark.createDataFrame([(10_000_000,)], "k long")
+    assert mgr.delete("t", equality=["k"], keys=far, mode="mor") == v0
+    assert _glob.glob(_os.path.join(mgr._dir("t"), "deletes", "*")) == []
+
+
+def test_expire_reaps_orphaned_delete_files(mgr, spark):
+    """A delete parquet no manifest references (crash between the
+    write-first staging and the attach commit) is reaped by the
+    age-gated orphan sweep — and a REFERENCED delete file never is."""
+    import os as _os
+    import time as _time
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    mgr.create_table("t", df.schema, [])
+    mgr.append("t", df)
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    mgr.delete("t", equality=["k"], keys=keys, mode="mor")
+    live = [
+        d["path"]
+        for e in mgr._load_manifest("t")["files"]
+        for d in e.get("eq_deletes", [])
+    ]
+    assert live
+    # fabricate the crash leftover
+    orphan = _os.path.join(
+        mgr._dir("t"), "deletes", "eqdel-deadbeef.parquet"
+    )
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+    old = _time.time() - 3600
+    _os.utime(orphan, (old, old))
+    mgr.expire_snapshots("t", keep_last=10, orphan_ttl_s=60.0)
+    assert not _os.path.exists(orphan)
+    for p in live:
+        assert _os.path.exists(_os.path.join(mgr._dir("t"), p)), p
+    assert {r.k for r in mgr.read("t").collect()} == set(range(10)) - {1, 2}

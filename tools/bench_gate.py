@@ -92,10 +92,18 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     code = _RETIME_SNIPPET.format(repo=repo, sf_dir=sf_dir, names=names)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench_gate: re-time subprocess exceeded 1800s — infra "
+            "problem, not a verdict on the record",
+            file=sys.stderr,
+        )
+        return 2
     fresh = None
     for line in proc.stdout.splitlines():
         if line.startswith("GATE_RESULT "):
@@ -107,6 +115,11 @@ def main() -> int:
     bad = []
     for _d, name, o, n in regs:
         f_t = fresh.get(name, -1.0)
+        if f_t <= 0:
+            # the gate's own subprocess failed on this query — an infra
+            # error, not evidence of contamination
+            print(f"  {name}: fresh re-time missing/errored", file=sys.stderr)
+            return 2
         verdict = "REAL" if f_t * TOLERANCE >= n else "ARTIFACT"
         print(
             f"  {name}: prev {o:.3f}s  record {n:.3f}s  fresh {f_t:.3f}s"

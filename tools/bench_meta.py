@@ -104,17 +104,26 @@ def main() -> int:
         # the probed partition's entries all point at the REAL seed file
         # (scan's DataFrame construction resolves paths eagerly); other
         # partitions keep synthetic paths — they are never planned
-        man["files"] = man["files"] + [
-            {
-                **protop,
-                "path": protop["path"]
-                if i % n_cells == 0
-                else f"data/cell={i % n_cells}/synth-{i:07d}.parquet",
-                "partition": {"cell": str(i % n_cells)},
-                "stats": {"mn_k": i, "mx_k": i},
-            }
-            for i in range(n_files - 1)
-        ]
+        # entries CLUSTERED by partition value (sorted by cell), the
+        # layout real partition-co-located appends produce — each
+        # segment then covers a narrow cell range and the [min,max]
+        # summaries can prune whole spans; interleaved cells would make
+        # every segment cover every cell and silently measure the
+        # unpruned per-entry walk instead
+        man["files"] = man["files"] + sorted(
+            (
+                {
+                    **protop,
+                    "path": protop["path"]
+                    if i % n_cells == 0
+                    else f"data/cell={i % n_cells}/synth-{i:07d}.parquet",
+                    "partition": {"cell": str(i % n_cells)},
+                    "stats": {"mn_k": i, "mx_k": i},
+                }
+                for i in range(n_files - 1)
+            ),
+            key=lambda e: int(e["partition"]["cell"]),
+        )
         man["operation"] = "append"
         man["parent"] = man["version"]
         mp._commit("tp", man)
@@ -146,6 +155,25 @@ def main() -> int:
         t0 = time.perf_counter()
         mat._load_manifest("tp")
         materialize_cold_sec = time.perf_counter() - t0
+
+        # DELETE attach planning (the write-side twin of the scan
+        # probe, r10 verdict item): a partition-scoped MoR equality
+        # delete and a predicate delete against the same inventory.
+        # Segment-span pre-pruning confines the affected-split to the
+        # matching segments, the ext-flag summary makes the basename
+        # guard O(segments), and the commit rewrites only the touched
+        # span — so attach cost must stay flat while the inventory
+        # spans 100x. (Each timing includes the constant-cost 1-row
+        # delete-file write job for the equality leg.)
+        att = ParquetTableManager(spark, wp)
+        kdf = spark.createDataFrame([(0,)], "cell long")
+        t0 = time.perf_counter()
+        att.delete("tp", equality=["cell"], keys=kdf, mode="mor")
+        eqdel_attach_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        att.delete("tp", where=[("cell", "==", "0")], mode="mor")
+        preddel_attach_sec = time.perf_counter() - t0
+
         results[str(n_files)] = {
             "bulk_commit_sec": round(bulk_sec, 3),
             "micro_append_sec": round(micro_sec, 4),
@@ -157,6 +185,8 @@ def main() -> int:
             "broad_plan_cold_sec": round(broad_cold_sec, 4),
             "broad_plan_files": n_planned_broad,
             "materialize_cold_sec": round(materialize_cold_sec, 4),
+            "eqdel_attach_sec": round(eqdel_attach_sec, 4),
+            "preddel_attach_sec": round(preddel_attach_sec, 4),
         }
         print(f"n_files={n_files}: {results[str(n_files)]}", flush=True)
     lo = results["1000"]["micro_append_sec"]
@@ -169,6 +199,20 @@ def main() -> int:
         "unit": "x (1.0 = perfectly flat)",
         "broad_plan_cold_100x_ratio": round(bhi / blo, 2) if blo else None,
         "broad_plan_cold_sec_at_100k_files": bhi,
+        "eqdel_attach_100x_ratio": round(
+            results["100000"]["eqdel_attach_sec"]
+            / results["1000"]["eqdel_attach_sec"],
+            2,
+        )
+        if results["1000"]["eqdel_attach_sec"]
+        else None,
+        "preddel_attach_100x_ratio": round(
+            results["100000"]["preddel_attach_sec"]
+            / results["1000"]["preddel_attach_sec"],
+            2,
+        )
+        if results["1000"]["preddel_attach_sec"]
+        else None,
         "by_table_size": results,
     }
     with open(out_path, "w") as f:

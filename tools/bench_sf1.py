@@ -127,6 +127,9 @@ ALWAYS = [
     "q_dedup_substring_apply",
     "q_merge_sync",
     "q_meta_partitions",
+    "q_meta_snapshots",
+    "q_sim_knn_join_grid",
+    "q_delete_mor_eq",
 ]
 
 
