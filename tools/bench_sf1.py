@@ -201,6 +201,14 @@ def main() -> None:
             queries[name].fn(spark, SRC).write.format("noop").mode(
                 "overwrite"
             ).save()
+            # cold run pays the one-time setup at 10x (table/index
+            # construction), the timed value is the WARM steady state —
+            # the same v2 accounting as the sf0.1 record the ratio
+            # divides by; mixing a setup-laden probe over a warm
+            # baseline read as a fake 18x "cliff" on q_delete_mor_eq
+            queries[name].fn(spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t0 = time.perf_counter()
             queries[name].fn(spark, dst).write.format("noop").mode(
                 "overwrite"
