@@ -3650,3 +3650,101 @@ def q_meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files",
         "n_records",
     )
+
+
+def _setup_cust_micro(spark: SparkSession, sf_dir: str):
+    """cust_micro: 12 single-file micro-appends (keyspace slices of
+    customer, coalesced to one file each) — the streaming-ingest debris
+    pattern whose manifest holds one under-full segment per commit,
+    exactly what rewrite_segments exists to rebin."""
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "cust_micro")
+    if key in _READY:
+        return mgr
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mgr.create_table("cust_micro", cust.schema, [])
+    for r in range(12):
+        mgr.append(
+            "cust_micro",
+            cust.filter(F.col("c_custkey") % 12 == r).coalesce(1),
+        )
+    _READY[key] = {"head": mgr._current_version("cust_micro")}
+    return mgr
+
+
+@register(
+    "q_rewrite_manifests",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           1 AS n_segments_after
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="rewrite_segments maintenance action (≙ Iceberg "
+    "``rewrite_manifests``): 12 single-file micro-appends leave one "
+    "under-full manifest segment per commit; the rewrite rebins every "
+    "entry into fresh target-sized segments — HERE exactly one — with "
+    "ZERO data I/O (entry values incl. paths survive; path identity "
+    "and the 12->1 segment collapse pinned in "
+    "tests/test_table_manager.py). The query reads the table AFTER the "
+    "rewrite and aggregates per market segment with the live segment "
+    "count as a column, so the oracle hash-checks BOTH that the "
+    "row-visible state is byte-identical to the raw corpus (a rebin "
+    "that lost or duplicated an entry diverges) and that the metadata "
+    "actually collapsed (a no-op rewrite reports 12, not 1).",
+)
+def q_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_cust_micro(spark, sf_dir)
+    mgr.rewrite_segments("cust_micro")
+    raw = mgr._manifest_raw("cust_micro", mgr._current_version("cust_micro"))
+    n_segs = len(raw.get("segments") or [])
+    return (
+        mgr.read("cust_micro")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .withColumn("n_segments_after", F.lit(n_segs).cast("int"))
+    )
+
+
+@register(
+    "q_meta_refs",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('audit',  'branch', CAST(2 AS INT)),
+        ('main',   'branch', CAST(1 AS INT)),
+        ('pinned', 'tag',    CAST(1 AS INT))
+    ) AS t(ref, type, snapshot_id)
+    ORDER BY ref
+    """,
+    doc="REFS metadata table (≙ Iceberg ``SELECT * FROM t$refs``): "
+    "every named branch and tag with its pinned snapshot id, straight "
+    "from the atomic head/tag pointer files — O(refs) driver work, no "
+    "inventory touched. Deterministic 3-ref layout: create+append (v0, "
+    "v1), tag 'pinned' at the append, branch 'audit' with one commit of "
+    "its own (v2) — a WAP topology; the oracle pins the exact "
+    "(ref, type, snapshot) triples, so a branch head that failed to "
+    "advance, a tag that drifted, or a lost ref all hash-diverge.",
+)
+def q_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "refs_demo")
+    if key not in _READY:
+        df = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        mgr.create_table("refs_demo", df.schema, [])
+        v1 = mgr.append("refs_demo", df)
+        mgr.create_tag("refs_demo", "pinned", at_snapshot=v1)
+        mgr.create_branch("refs_demo", "audit")
+        mgr.append(
+            "refs_demo",
+            df.withColumn("r_name", F.upper("r_name")),
+            ref="audit",
+        )
+        _READY[key] = {"head": v1}
+    return mgr.refs("refs_demo").orderBy("ref")

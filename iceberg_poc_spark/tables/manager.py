@@ -4560,6 +4560,29 @@ class ParquetTableManager:
             raise ValueError(f"view {view!r} does not exist")
         _sh.rmtree(self._views_dir(view))
 
+    def rewrite_segments(self, name: str) -> int:
+        """Rebin the current snapshot's manifest segments into fresh
+        target-sized ones (≙ Iceberg's ``rewrite_manifests`` maintenance
+        action): a long run of micro-appends leaves one under-full
+        segment per commit beyond what commit-time merging coalesced —
+        planning then touches O(commits) segment files. This rewrites
+        the SEGMENTS ONLY: every data-file entry survives by value
+        (zero data I/O, path identity pinned in tests), the snapshot's
+        row-visible state is unchanged, and superseded segment files are
+        reaped by :meth:`expire_snapshots` once unreferenced. Commit
+        cost is an explicit O(table-entries) re-encode — the same deal
+        Iceberg's action makes; run it on maintenance cadence, not per
+        commit."""
+        m = self._load_manifest(name)
+        # drop the reuse bookkeeping so every entry re-bins into fresh
+        # target-sized segments instead of surviving by identity run
+        m.pop("_seg_layout", None)
+        m.pop("_base_entries", None)
+        m["files"] = list(m["files"])
+        m["operation"] = "rewrite-manifests"
+        m["parent"] = m["version"]
+        return self._commit(name, m)
+
     def refs(self, name: str) -> DataFrame:
         """All named refs (≙ Iceberg ``.refs`` metadata table)."""
         rows = [("main", "branch", self._current_version(name))]

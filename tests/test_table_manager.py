@@ -2877,3 +2877,43 @@ def test_expire_reaps_orphaned_delete_files(mgr, spark):
     for p in live:
         assert _os.path.exists(_os.path.join(mgr._dir("t"), p)), p
     assert {r.k for r in mgr.read("t").collect()} == set(range(10)) - {1, 2}
+
+
+def test_rewrite_segments_rebins_without_data_io(mgr, spark):
+    """rewrite_segments (≙ Iceberg rewrite_manifests): 12 micro-append
+    segments collapse to 1 target-sized segment, every data file
+    survives byte-identically (zero data I/O), the row-visible state is
+    unchanged, time travel to the pre-rewrite snapshot still works, and
+    expire reaps the superseded segment files."""
+    import os as _os
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(120)], "k long, v double")
+    mgr.create_table("t", df.schema, [])
+    for r in range(12):
+        mgr.append("t", df.filter(F.pmod("k", F.lit(12)) == r).coalesce(1))
+    pre_v = mgr._current_version("t")
+    pre_raw = mgr._manifest_raw("t", pre_v)
+    pre_paths = {
+        (e["path"], e["bytes"]) for e in mgr._load_manifest("t", pre_v)["files"]
+    }
+    assert len(pre_raw["segments"]) == 12
+    v = mgr.rewrite_segments("t")
+    raw = mgr._manifest_raw("t", v)
+    assert len(raw["segments"]) == 1
+    assert raw["operation"] == "rewrite-manifests"
+    m = mgr._load_manifest("t", v)
+    post_paths = {(e["path"], e["bytes"]) for e in m["files"]}
+    assert post_paths == pre_paths, "a data file was rewritten or lost"
+    for p, b in post_paths:
+        fp = _os.path.join(mgr._dir("t"), p)
+        assert _os.path.getsize(fp) == b
+    assert {r.k for r in mgr.read("t").collect()} == set(range(120))
+    assert mgr.read("t", snapshot_id=pre_v).count() == 120  # time travel
+    # superseded segments reap once the old snapshot expires
+    mgr.expire_snapshots("t", keep_last=1)
+    live = set(raw["segments"])
+    on_disk = {
+        _os.path.splitext(fn)[0]
+        for fn in _os.listdir(mgr._segs_dir("t"))
+    }
+    assert on_disk == live
