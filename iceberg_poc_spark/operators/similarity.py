@@ -1242,30 +1242,88 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_grid(spark, emb, probes, probes.count())
 
 
+# ceiling on float64 cells materialized per GEMM strip (~16 MB): the
+# full rows x probes sims matrix at the grid path's cell bounds
+# (65,536 rows x 4,096 probes) would be ~2 GB per task plus a
+# same-shape self-match mask — an executor-OOM hazard in the exact
+# path built to avoid OOM — so the kernel strip-mines the corpus side
+_KNN_STRIP_CELLS = 2_000_000
+
+
 def _knn_block_topk(q_ids, q_mat, q_norm, vec_ids, x, local_k):
     """Score one corpus block against one probe block: a float64 GEMM
     ranks candidates (prune only — BLAS accumulation can differ at the
     last ulp), then every survivor is RE-SCORED with a sequential
     left-fold dot/norm bit-identical to the oracle's
     list_cosine_similarity double loop. Returns (q, neighbor, sim)
-    lists of the local top-``local_k`` per probe."""
+    lists of the local top-``local_k`` per probe.
+
+    The GEMM is STRIP-MINED: corpus rows are pre-sorted by vec_id and
+    scored in contiguous strips of at most ``_KNN_STRIP_CELLS / n_q``
+    rows, folding each strip's per-probe top-``local_k`` into a running
+    (local_k x n_q) candidate matrix — peak memory is one strip plus
+    two candidate matrices regardless of block size. Selection is
+    EXACTLY the full-matrix (sim DESC, vec_id ASC) rule: a stable
+    argsort on -sims breaks ties by row position, rows are vec_id-ASC
+    within every strip, and the running rows always hold smaller
+    vec_ids than the incoming strip's, so stable merge order preserves
+    the tie rule inductively."""
     import numpy as np
 
+    n_q = len(q_ids)
+    order0 = np.argsort(vec_ids, kind="stable")
+    vec_ids = np.ascontiguousarray(vec_ids[order0])
+    x = np.ascontiguousarray(x[order0])
     xn = np.sqrt(np.einsum("ij,ij->i", x, x))
-    sims = (x @ q_mat.T) / (xn[:, None] * q_norm[None, :])
-    sims[vec_ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+    strip = max(64, _KNN_STRIP_CELLS // max(1, n_q))
+    run_s = np.empty((0, n_q), dtype="float64")
+    run_i = np.empty((0, n_q), dtype="int64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for s0 in range(0, len(vec_ids), strip):
+            xs = x[s0 : s0 + strip]
+            ids_s = vec_ids[s0 : s0 + strip]
+            xns = xn[s0 : s0 + strip]
+            if len(xs) < strip and s0 > 0:
+                # FIXED-SHAPE strips: BLAS results can differ at the
+                # last ulp with matrix shape, so a short tail strip
+                # would score duplicate rows differently from their
+                # twins in full strips and break the tie rule the
+                # selection depends on. Zero rows score NaN (zero
+                # norm) and are filtered like real zero vectors.
+                pad = strip - len(xs)
+                xs = np.vstack([xs, np.zeros((pad, xs.shape[1]))])
+                xns = np.concatenate([xns, np.zeros(pad)])
+                ids_s = np.concatenate(
+                    [ids_s, np.full(pad, -1, dtype="int64")]
+                )
+            sims = (xs @ q_mat.T) / (xns[:, None] * q_norm[None, :])
+            # rank on ROUNDED sims: BLAS gives bitwise-identical rows
+            # different last-ulp results at different row positions
+            # (measured: ±4e-16 inside one dgemm), which would split
+            # exact-duplicate ties arbitrarily instead of by vec_id —
+            # with more duplicates than the rescore pad that drops the
+            # oracle's lowest-vec_id picks. 1e-12 granularity collapses
+            # the jitter while real cosine gaps stay ordered; the
+            # emitted sims are exact-fold rescored either way.
+            sims = np.round(sims, 12)
+            sims[ids_s[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            top = np.argsort(-sims, axis=0, kind="stable")[:local_k]
+            all_s = np.vstack(
+                [run_s, np.take_along_axis(sims, top, axis=0)]
+            )
+            all_i = np.vstack([run_i, ids_s[top]])
+            keep = np.argsort(-all_s, axis=0, kind="stable")[:local_k]
+            run_s = np.take_along_axis(all_s, keep, axis=0)
+            run_i = np.take_along_axis(all_i, keep, axis=0)
     x_lists = x.tolist()
     q_lists = q_mat.tolist()
     norm_cache: dict[int, float] = {}
     out_q, out_n, out_s = [], [], []
-    for j in range(len(q_ids)):
-        col = sims[:, j]
-        # (sim DESC, vec_id ASC) local top-(k+pad) candidates
-        order = np.lexsort((vec_ids, -col))[:local_k]
-        keep = order[np.isfinite(col[order])]
+    for j in range(n_q):
+        col = run_s[:, j]
         qrow, qnj = q_lists[j], q_norm[j]
-        for i in keep:
-            i = int(i)
+        for cid in run_i[:, j][np.isfinite(col)]:
+            i = int(np.searchsorted(vec_ids, cid))
             xrow = x_lists[i]
             dot = 0.0
             for a, b in zip(xrow, qrow):
@@ -1277,7 +1335,7 @@ def _knn_block_topk(q_ids, q_mat, q_norm, vec_ids, x, local_k):
             if denom == 0.0:
                 continue
             out_q.append(int(q_ids[j]))
-            out_n.append(int(vec_ids[i]))
+            out_n.append(int(cid))
             out_s.append(dot / denom)
     return out_q, out_n, out_s
 

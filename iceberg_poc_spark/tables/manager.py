@@ -44,9 +44,11 @@ agnostic because queries only see DataFrames.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import uuid
+import weakref
 from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any
@@ -171,8 +173,18 @@ def _seg_may_match(
         # numbers (lexicographic "13" < "2" would mis-bound); mirror
         # that on the predicate literal, or a string-typed point lookup
         # against a numeric summary would TypeError into the
-        # conservative keep-everything path and never prune a segment
-        if isinstance(mn, (int, float)):
+        # conservative keep-everything path and never prune a segment.
+        # EQUALITY/MEMBERSHIP ONLY: string equality implies numeric
+        # equality, so == / in stay a superset after coercion. Range
+        # ops on a string-typed column compare LEXICOGRAPHICALLY at row
+        # level ('1000' <= '9' is true) while the coerced summary would
+        # compare numerically (1000 <= 9 is false) — coercing there
+        # falsely prunes segments whose rows match (e.g. an equality
+        # delete whose key set exceeds the point-key limit and arrives
+        # as min/max string bounds would silently no-op). For those the
+        # uncoerced str-vs-number compare TypeErrors into the
+        # conservative keep path below.
+        if isinstance(mn, (int, float)) and op in ("==", "in"):
             def _co(v):
                 if isinstance(v, str):
                     for cast in (int, float):
@@ -508,6 +520,16 @@ BLOOM_HASHES_PROP = "index.bloom.hashes"  # hash count k (default 6)
 BLOOM_DEFAULT_BITS = 65536
 BLOOM_DEFAULT_HASHES = 6
 
+# per-file NDV sketches (≙ Iceberg Puffin "apache-datasketches" blobs +
+# the `ndv` entry in partition/file stats): comma-separated columns for
+# which every write records a mergeable HLL distinct sketch per data
+# file — Spark's hll_sketch_agg (Apache DataSketches HLL_4), so the
+# planner-grade global/partial NDV folds from manifests alone, zero
+# data reads, union-mergeable across any file subset
+NDV_COLS_PROP = "stats.ndv.columns"
+NDV_LGK_PROP = "stats.ndv.lgk"  # sketch precision (default 12 ≈ 1.6% err)
+NDV_DEFAULT_LGK = 12
+
 
 def _parse_dtype(dtype: str) -> DataType:
     """DDL type string -> DataType (via a throwaway single-field struct)."""
@@ -726,11 +748,15 @@ DEFAULT_PROPERTIES = {
 }
 
 
-class _SegCache(dict):
+class _SegCache(OrderedDict):
     """Per-warehouse segment cache: (table, segment-id) -> entry list,
     carrying its own cached-entry counter so size bookkeeping stays
     coherent with THIS dict's lifetime (not a shared side table that a
-    registry eviction could desynchronize)."""
+    registry eviction could desynchronize). Ordered so eviction is true
+    LRU: every put AND hit moves the key to the MRU end — a plain dict
+    keeps a re-assigned key at its ORIGINAL position, where it could
+    become "oldest", halt the eviction loop, and leave the cache above
+    its entry budget until a later put."""
 
     __slots__ = ("entries",)
 
@@ -805,6 +831,7 @@ class ParquetTableManager:
         if prev is not None:
             cache.entries -= len(prev)
         cache[key] = entries
+        cache.move_to_end(key)  # re-assignment must land at the MRU end
         cache.entries += len(entries)
         while (
             cache.entries > self.SEG_CACHE_MAX_ENTRIES_PER_WAREHOUSE
@@ -926,6 +953,8 @@ class ParquetTableManager:
         """Parsed entries of one immutable segment (process-cached)."""
         key = (name, segid)
         hit = self._seg_cache.get(key)
+        if hit is not None:
+            self._seg_cache.move_to_end(key)  # LRU: hits refresh recency
         if hit is None:
             p = self._seg_path(name, segid)
             if os.path.exists(p):
@@ -1679,12 +1708,98 @@ class ParquetTableManager:
                         for c in present
                     }
                 entries.append(entry)
+        self._attach_ndv_sketches(name, entries, data_cols, props)
         import shutil
 
         # remove only THIS call's staging dir — concurrent writers stage
         # under sibling uuids in _staging/ at the same time
         shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    def _attach_ndv_sketches(
+        self,
+        name: str,
+        entries: list[dict],
+        data_cols: list[str],
+        props: dict,
+    ) -> None:
+        """Per-file mergeable NDV sketches for the columns named by the
+        ``stats.ndv.columns`` table property (≙ Iceberg Puffin
+        theta/HLL blobs; here Spark's native ``hll_sketch_agg`` —
+        Apache DataSketches HLL_4, fixed internal hash so estimates are
+        deterministic). ONE distributed job over just-written files —
+        O(delta) like the footer stats walk, grouped by
+        ``input_file_name`` so the sketch state stays bounded per task
+        regardless of file size — then the serialized sketches ride the
+        manifest entries base64-encoded (``ndv_sk``). Readers fold
+        global or per-subset NDV from manifests alone via
+        ``hll_union_agg`` — zero data reads (:meth:`ndv_estimates`)."""
+        ndv_cols = [
+            c.strip()
+            for c in props.get(NDV_COLS_PROP, "").split(",")
+            if c.strip() and c.strip() in data_cols
+        ]
+        if not ndv_cols or not entries or self.spark is None:
+            return
+        try:
+            lgk = int(props.get(NDV_LGK_PROP, NDV_DEFAULT_LGK))
+        except (TypeError, ValueError):
+            lgk = NDV_DEFAULT_LGK
+        paths = [os.path.join(self._dir(name), e["path"]) for e in entries]
+        sk_rows = (
+            self.spark.read.parquet(*paths)
+            .select(F.input_file_name().alias("_f"), *ndv_cols)
+            .groupBy("_f")
+            .agg(
+                *[
+                    F.hll_sketch_agg(c, F.lit(lgk)).alias(c)
+                    for c in ndv_cols
+                ]
+            )
+            .collect()
+        )
+        by_base = {os.path.basename(e["path"]): e for e in entries}
+        for r in sk_rows:
+            e = by_base.get(os.path.basename(r["_f"]))
+            if e is None:
+                continue
+            sk = {}
+            for c in ndv_cols:
+                raw = r[c]
+                if raw is not None:  # all-NULL column: no sketch
+                    sk[c] = base64.b64encode(bytes(raw)).decode("ascii")
+            if sk:
+                e["ndv_sk"] = sk
+
+    def ndv_estimates(self, name: str, version: int | None = None):
+        """Fold per-file NDV sketches into global estimates — a
+        manifest-only read (O(files) sketch rows through one tiny
+        ``hll_union_agg`` job, zero data files opened; ≙ reading
+        Iceberg's Puffin ndv stats instead of scanning). Returns a
+        DataFrame (col_name, ndv_est, n_sketches): ``n_sketches`` is
+        how many files carried a sketch for the column, so callers can
+        detect partial coverage (files onboarded via add_files have no
+        sketches) instead of trusting an under-counted fold."""
+        m = self._load_manifest(name, version)
+        rows = [
+            (c, base64.b64decode(b64))
+            for e in m["files"]
+            for c, b64 in (e.get("ndv_sk") or {}).items()
+        ]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "col_name string, ndv_est bigint, n_sketches bigint"
+            )
+        return (
+            self.spark.createDataFrame(rows, "col_name string, sk binary")
+            .groupBy("col_name")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .cast("bigint")
+                .alias("ndv_est"),
+                F.count("*").alias("n_sketches"),
+            )
+        )
 
     def _enforce_constraints(
         self, name: str, df: DataFrame, manifest: dict | None = None
@@ -4244,16 +4359,27 @@ class ParquetTableManager:
         the per-group reader calls (≙ Iceberg's catalog metadata cache;
         a long-running service reads a hot table thousands of times per
         metadata change). Keyed on the manifest file's (path, mtime_ns,
-        size) so a table dropped and recreated in place can never serve
-        a stale plan, plus the SparkSession OBJECT itself (identity
-        hash, strong-ref'd by the cache, so ``newSession()`` siblings
-        and restarted sessions can never be served a DataFrame bound to
-        another session's state)."""
+        size, inode) so a table dropped and recreated in place can
+        never serve a stale plan — the inode closes the coarse-mtime
+        corner where drop+recreate yields a same-size manifest within
+        one mtime tick (a fresh file is a fresh inode) — plus a WEAK
+        reference to the SparkSession (live weakrefs compare by
+        referent and a dead ref never equals a live one, so
+        ``newSession()`` siblings / restarted sessions can't collide
+        even under id() reuse, and the cache pins no stopped session's
+        JVM state: entries whose session was collected are purged at
+        store time)."""
         v = self._resolve(name, snapshot_id, ref, as_of)
         mp = self._manifest_path(name, v)
         try:
             st = os.stat(mp)
-            key = (self.spark, mp, st.st_mtime_ns, st.st_size)
+            key = (
+                weakref.ref(self.spark),
+                mp,
+                st.st_mtime_ns,
+                st.st_size,
+                st.st_ino,
+            )
         except (FileNotFoundError, TypeError):
             key = None
         if key is not None:
@@ -4276,13 +4402,18 @@ class ParquetTableManager:
         self._read_plan_store(key, df)
         return df
 
-    # (appId, manifest path, mtime_ns, size) -> built snapshot DataFrame
+    # (session weakref, manifest path, mtime_ns, size, inode) -> DataFrame
     _READ_PLANS: "OrderedDict[tuple, DataFrame]" = OrderedDict()
     READ_PLAN_CACHE_MAX = 256
 
     def _read_plan_store(self, key: tuple | None, df: DataFrame) -> None:
         if key is None:
             return
+        # drop plans bound to garbage-collected sessions first — they
+        # can never hit again and would otherwise pin JVM-side state
+        # until LRU churn reaches them (bounded scan: cache <= 256)
+        for k in [k for k in self._READ_PLANS if k[0]() is None]:
+            del self._READ_PLANS[k]
         self._READ_PLANS[key] = df
         while len(self._READ_PLANS) > self.READ_PLAN_CACHE_MAX:
             self._READ_PLANS.popitem(last=False)
