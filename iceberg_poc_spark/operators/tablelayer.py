@@ -3748,3 +3748,141 @@ def q_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _READY[key] = {"head": v1}
     return mgr.refs("refs_demo").orderBy("ref")
+
+
+def _setup_docs_ndv(spark: SparkSession, sf_dir: str):
+    """docs_ndv: documents ingested in two overlapping-domain waves with
+    the ``stats.ndv.columns`` property on, so every data file carries a
+    mergeable per-column HLL distinct sketch in its manifest entry
+    (written by ONE O(delta) job per append — the Puffin-style stats
+    pass)."""
+    from iceberg_poc_spark.tables.manager import NDV_COLS_PROP
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "docs_ndv")
+    if key in _READY:
+        return mgr, _READY[key]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mgr.create_table(
+        "docs_ndv",
+        docs.schema,
+        [],
+        properties={NDV_COLS_PROP: "doc_id,lang,n_chars"},
+    )
+    # two waves: per-file sketches from different commits must UNION
+    # into the global NDV (overlapping lang/n_chars domains collapse)
+    mgr.append("docs_ndv", docs.where(F.pmod("doc_id", F.lit(2)) == 0))
+    mgr.append("docs_ndv", docs.where(F.pmod("doc_id", F.lit(2)) == 1))
+    _READY[key] = {}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_meta_profile_ndv",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_ndv,
+           TRUE AS within_bound, TRUE AS full_coverage
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(DISTINCT lang) AS BIGINT), TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(DISTINCT n_chars) AS BIGINT), TRUE, TRUE
+    FROM documents
+    """,
+    doc="Manifest-folded NDV profile (≙ Iceberg Puffin "
+    "apache-datasketches blobs + the ndv column stat): every write on "
+    "docs_ndv records a per-file mergeable HLL sketch (Spark "
+    "hll_sketch_agg, Apache DataSketches HLL_4) per profiled column; "
+    "this query folds the GLOBAL distinct-count estimate per column "
+    "from the manifest sketches alone via hll_union_agg — O(files) "
+    "sketch rows, zero data files opened — the planner-grade statistic "
+    "min/max/null profiling (q_meta_profile) cannot provide. Estimates "
+    "and sketch bytes are engine-specific, so the emitted surface is "
+    "CLOSED-FORM (the q_agg_hll_merge pattern): per-column exact "
+    "distinct counts plus a within_bound boolean (|est-exact| <= 10% "
+    "exact — ~6 sigma at lgK=12, deterministic because the DataSketches "
+    "hash is fixed) and a full_coverage boolean (every current data "
+    "file carried a sketch for the column — partial coverage from "
+    "sketch-less files would silently under-count). The union across "
+    "two overlapping ingest waves gates that sketches MERGE (distinct "
+    "of the union, not the sum).",
+)
+def q_meta_profile_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _s = _setup_docs_ndv(spark, sf_dir)
+    n_files = len(mgr._load_manifest("docs_ndv")["files"])
+    est = mgr.ndv_estimates("docs_ndv")
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_id").alias("col_name"),
+                    F.col("doc_id").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("lang").alias("col_name"),
+                    F.col("lang").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("n_chars").alias("col_name"),
+                    F.col("n_chars").cast("string").alias("v"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.v").groupBy("col_name").agg(
+        F.count_distinct("v").alias("exact_ndv")
+    )
+    return (
+        exact.join(F.broadcast(est), "col_name")
+        .select(
+            "col_name",
+            "exact_ndv",
+            (
+                F.abs(F.col("ndv_est") - F.col("exact_ndv"))
+                <= 0.10 * F.col("exact_ndv")
+            ).alias("within_bound"),
+            (F.col("n_sketches") == F.lit(n_files)).alias("full_coverage"),
+        )
+    )
+
+
+@register(
+    "q_meta_partition_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT doc_id % 3 = 0) AS BIGINT) >= 1
+               AS files_positive
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Partitions served from MAINTAINED partition statistics "
+    "(≙ Iceberg partition statistics files, maintained incrementally "
+    "at commit): every segment write records its per-partition "
+    "[n_files, n_records, n_bytes] rollup in the manifest segment "
+    "summary — O(delta) at commit, reused segments carry their rollups "
+    "by reference — and manager.partition_stats folds those maps in "
+    "O(segments x partitions-per-segment) driver work with ZERO entry "
+    "decodes and zero data reads. q_meta_partitions computes the same "
+    "table by aggregating the full distributed file inventory; this "
+    "query reads the maintained stats instead — the shape a catalog "
+    "UI or CBO hits thousands of times per metadata change. The "
+    "oracle recomputes per-lang record counts from the raw corpus and "
+    "pins files_positive (>= 1 file per partition — both ingest waves "
+    "landed); value-identity of the maintained stats against the "
+    "recomputed partitions table across the FULL commit history "
+    "(appends, deletes, compaction) is gated in "
+    "tests/test_table_manager.py.",
+)
+def q_meta_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr = _setup_docs_meta(spark, sf_dir)
+    ps = mgr.partition_stats("docs_meta")
+    return ps.select(
+        F.get_json_object("partition", "$.lang").alias("lang"),
+        F.col("n_records"),
+        (F.col("n_files") >= 1).alias("files_positive"),
+    )

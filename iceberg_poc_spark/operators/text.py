@@ -1389,3 +1389,134 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# ------------------------------------------- perplexity quality filter
+
+# fixed-point surprisal: SCALE adds 10 fractional bits ahead of the
+# integer log2, OOV_BITS is the smoothing penalty for transitions the
+# pruned LM does not carry (= a probability floor of 2^(10-24) ≈ 6e-5)
+PPL_SCALE = 1024
+PPL_OOV_BITS = 24
+PPL_KEEP_MAX = 15.2  # mean bits/transition below this: keep
+PPL_REJECT_MIN = 15.4  # at/above this: reject; between: flag
+
+
+@register(
+    "q_text_perplexity",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_extract(words, CAST(i AS INT))     AS w1,
+               list_extract(words, CAST(i + 1 AS INT)) AS w2
+        FROM (SELECT doc_id, words, UNNEST(range(1, len(words))) AS i
+              FROM w)
+    ),
+    c AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT w1, w2, n, SUM(n) OVER (PARTITION BY w1) AS d
+        FROM c QUALIFY n >= {BIGRAM_MIN_COUNT}
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN model.n IS NULL THEN {PPL_OOV_BITS}
+                    ELSE length(bin(model.d * {PPL_SCALE} // model.n))
+               END AS s
+        FROM bg LEFT JOIN model
+          ON bg.w1 = model.w1 AND bg.w2 = model.w2
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(SUM(s) AS BIGINT) AS bits,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        FROM scored GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CAST(COALESCE(bits, 0) AS DOUBLE)
+               / GREATEST(COALESCE(n_bigrams, 0), 1) AS mean_bits,
+           CASE WHEN COALESCE(bits, 0) * 1.0
+                     < {PPL_KEEP_MAX} * GREATEST(COALESCE(n_bigrams,0),1)
+                THEN 'keep'
+                WHEN COALESCE(bits, 0) * 1.0
+                     >= {PPL_REJECT_MIN} * GREATEST(COALESCE(n_bigrams,0),1)
+                THEN 'reject'
+                ELSE 'flag' END AS band
+    FROM w LEFT JOIN perdoc USING (doc_id)
+    """,
+    doc=f"Bigram-LM perplexity quality filter (the CCNet-style scoring "
+    f"step q_text_bigram's statistics exist for): the corpus-trained "
+    f"pruned LM — P(w2|w1) pairs with count >= {BIGRAM_MIN_COUNT}, "
+    f"denominators over the FULL distribution — broadcasts against "
+    f"every document's transitions, and each doc gets a mean surprisal "
+    f"plus a keep/flag/reject band. All arithmetic is FIXED-POINT so "
+    f"DuckDB reproduces it bit-exactly with no transcendental drift: "
+    f"per-transition surprisal = length(bin(d*{PPL_SCALE} DIV n)) — the "
+    f"integer floor(log2) of the inverse probability with 10 fractional "
+    f"bits, pure integer division + binary-string length in both "
+    f"engines — OOV transitions take a flat {PPL_OOV_BITS}-bit "
+    f"smoothing penalty, per-doc totals are exact BIGINT sums "
+    f"(order-invariant), and mean_bits is ONE IEEE division of exact "
+    f"integers (correctly rounded identically everywhere). Banding "
+    f"compares integer cross-products, never accumulated floats. "
+    f"Shuffles carry (w1, w2) keys and per-doc integer partials only; "
+    f"the model join is a broadcast at any corpus size (the pruned LM "
+    f"is vocabulary-bounded, not corpus-bounded).",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = with_words(docs, out="words")
+    n1 = F.greatest(F.size("words") - 1, F.lit(0))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("words", 1, n1).alias("w1"),
+                F.slice("words", 2, n1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    model = counts.withColumn(
+        "d", F.sum("n").over(Window.partitionBy("w1"))
+    ).filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    scored = bg.join(F.broadcast(model), ["w1", "w2"], "left").select(
+        "doc_id",
+        F.when(F.col("n").isNull(), F.lit(PPL_OOV_BITS))
+        .otherwise(
+            F.length(
+                F.conv(
+                    F.expr(f"d * {PPL_SCALE} DIV n").cast("string"), 10, 2
+                )
+            )
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("bits"), F.count("*").alias("n_bigrams")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("bits", F.lit(0)).alias("bits"),
+        )
+    )
+    k = F.greatest(F.col("n_bigrams"), F.lit(1))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("bits").cast("double") / k).alias("mean_bits"),
+        F.when(F.col("bits") * 1.0 < PPL_KEEP_MAX * k, F.lit("keep"))
+        .when(F.col("bits") * 1.0 >= PPL_REJECT_MIN * k, F.lit("reject"))
+        .otherwise(F.lit("flag"))
+        .alias("band"),
+    )

@@ -1096,6 +1096,22 @@ class ParquetTableManager:
             summary["rec"] = sum(recs)
         if all(isinstance(b, int) for b in byts):
             summary["byt"] = sum(byts)
+        # per-partition rollup (≙ Iceberg partition statistics files):
+        # [n_files, n_records, n_bytes] keyed by the canonical partition
+        # JSON. Computed once per written segment (O(delta)); the table-
+        # level partitions view then folds these maps across segments —
+        # O(segments x partitions-per-segment), entries never decoded.
+        try:
+            pr: dict[str, list[int]] = {}
+            for e in entries:
+                k = json.dumps(e["partition"], sort_keys=True)
+                slot = pr.setdefault(k, [0, 0, 0])
+                slot[0] += 1
+                slot[1] += int(e["records"])
+                slot[2] += int(e["bytes"])
+            summary["pr"] = pr
+        except (KeyError, TypeError, ValueError):
+            pass  # fabricated/partial entries: fold falls back to decode
         summary["clean"] = not any(
             e.get("deletes")
             or e.get("eq_deletes")
@@ -5248,6 +5264,52 @@ class ParquetTableManager:
                 F.sum("records").alias("n_records"),
                 F.sum("bytes").alias("total_bytes"),
             )
+        )
+
+    def partition_stats(
+        self, name: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """``partitions`` served from MAINTAINED stats (≙ Iceberg's
+        partition statistics files): every segment records its
+        per-partition [n_files, n_records, n_bytes] rollup in the
+        manifest's segment summary when it is WRITTEN (O(delta) at
+        commit — reused segments keep their rollups by reference), so
+        this read folds O(segments x partitions-per-segment) summary
+        maps with ZERO entry decodes and zero data reads — while
+        :meth:`partitions` recomputes the same table from the full file
+        inventory every call. Value-identical to :meth:`partitions` at
+        every snapshot (gated in tests); segments predating the rollup
+        field fall back to a one-time entry decode."""
+        v = (
+            self._current_version(name)
+            if snapshot_id is None
+            else snapshot_id
+        )
+        raw = self._manifest_raw(name, v)
+        segs = raw.get("segments")
+        if segs is None:
+            return self.partitions(name)  # legacy non-segmented manifest
+        seg_stats = raw.get("seg_stats", {})
+        folded: dict[str, list[int]] = {}
+        for sid in segs:
+            pr = (seg_stats.get(sid) or {}).get("pr")
+            if pr is None:  # pre-rollup segment: decode once, same math
+                pr = {}
+                for e in self._seg_entries(name, sid):
+                    k = json.dumps(e["partition"], sort_keys=True)
+                    slot = pr.setdefault(k, [0, 0, 0])
+                    slot[0] += 1
+                    slot[1] += int(e["records"])
+                    slot[2] += int(e["bytes"])
+            for k, (nf, nr, nb) in pr.items():
+                slot = folded.setdefault(k, [0, 0, 0])
+                slot[0] += nf
+                slot[1] += nr
+                slot[2] += nb
+        return self.spark.createDataFrame(
+            [(k, *vals) for k, vals in sorted(folded.items())],
+            "partition STRING, n_files BIGINT, n_records BIGINT, "
+            "total_bytes BIGINT",
         )
 
     def rollback(self, name: str, snapshot_id: int) -> int:

@@ -2917,3 +2917,95 @@ def test_rewrite_segments_rebins_without_data_io(mgr, spark):
         for fn in _os.listdir(mgr._segs_dir("t"))
     }
     assert on_disk == live
+
+
+def test_ndv_sketches_written_merged_and_compaction_carried(mgr, spark):
+    """Per-file NDV sketches (stats.ndv.columns, ≙ Iceberg Puffin ndv
+    blobs): every append writes a mergeable HLL sketch per profiled
+    column per file; ndv_estimates folds them from manifests alone and
+    must estimate the DISTINCT UNION across overlapping commits (not
+    the sum); files written by rewriting ops (compaction) carry fresh
+    sketches so coverage survives maintenance; tables without the
+    property pay nothing."""
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.tables.manager import NDV_COLS_PROP
+
+    df1 = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("cat")
+    )
+    df2 = spark.range(1500, 4500).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("cat")
+    )
+    mgr.create_table(
+        "t", df1.schema, [], properties={NDV_COLS_PROP: "k,cat"}
+    )
+    mgr.append("t", df1)
+    mgr.append("t", df2)
+    m = mgr._load_manifest("t")
+    assert all(set(e["ndv_sk"]) == {"k", "cat"} for e in m["files"])
+    est = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
+    # overlapping ranges: union NDV is 4500, the sum of per-commit
+    # distincts would be 6000 — a fold that sums instead of merges fails
+    assert abs(est["k"] - 4500) <= 450 and est["k"] < 5500
+    assert est["cat"] == 50  # low-cardinality HLL is exact
+    # compaction rewrites files -> rewritten files re-carry sketches
+    mgr.compact("t")
+    m2 = mgr._load_manifest("t")
+    assert all(e.get("ndv_sk") for e in m2["files"])
+    est2 = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
+    assert abs(est2["k"] - 4500) <= 450 and est2["cat"] == 50
+
+    # property off -> no sketches, no extra job state in entries
+    mgr.create_table("plain", df1.schema, [])
+    mgr.append("plain", df1)
+    assert all(
+        "ndv_sk" not in e for e in mgr._load_manifest("plain")["files"]
+    )
+    assert mgr.ndv_estimates("plain").count() == 0
+
+
+def test_partition_stats_match_recompute_across_history(mgr, spark):
+    """Maintained partition statistics (segment-summary rollups folded
+    by partition_stats) must be VALUE-IDENTICAL to the recomputed
+    partitions() aggregation at EVERY snapshot of a history mixing
+    appends, CoW delete, MoR delete, and compaction — a maintained
+    stat that drifts from the inventory under any op class is worse
+    than no stat."""
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.tables import identity
+
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(400)],
+        "k long, cell long, v double",
+    )
+    mgr.create_table("t", df.schema, [identity("cell")])
+    vs = [mgr.append("t", df.where(F.col("k") < 200))]
+    vs.append(mgr.append("t", df.where(F.col("k") >= 200)))
+    vs.append(mgr.delete("t", where=[("cell", "==", 2)], mode="cow"))
+    vs.append(mgr.delete("t", where=[("k", "<", 50)], mode="mor"))
+    vs.append(mgr.compact("t"))
+
+    def snap(df_):
+        return sorted(tuple(r) for r in df_.collect())
+
+    for v in vs:
+        maintained = snap(mgr.partition_stats("t", v))
+        recomputed = snap(
+            mgr.files("t", v)
+            .groupBy("partition")
+            .agg(
+                F.count("*").cast("bigint").alias("n_files"),
+                F.sum("records").cast("bigint").alias("n_records"),
+                F.sum("bytes").cast("bigint").alias("total_bytes"),
+            )
+        )
+        assert maintained == recomputed, v
+    # the fold is summary-only on current-format segments: no entry
+    # decode may happen for segments carrying the rollup field
+    raw = mgr._manifest_raw("t", vs[-1])
+    assert all(
+        "pr" in (raw["seg_stats"].get(sid) or {})
+        for sid in raw["segments"]
+    )
