@@ -151,6 +151,43 @@ def main() -> None:
             colds[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
+    # Contention self-check (r11 verdict: a contaminated row — warm
+    # median ABOVE its own cold first run — was committed unnoticed;
+    # impossible under the v2 model except under ambient load). Any
+    # query whose warm exceeds 1.5x its cold by >0.3s absolute gets an
+    # immediate fresh re-time; if the anomaly persists it is flagged in
+    # the record ("contended") so it can never be silently recorded as
+    # a real regression.
+    contended: list[str] = []
+    cold_mode = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
+    if not cold_mode:
+        for name in sorted(timings):
+            w, c = timings[name], colds[name]
+            if w < 0 or c <= 0 or not (w > 1.5 * c and w - c > 0.3):
+                continue
+            try:
+                for reset in resets.get(name, []):
+                    reset()
+                re_runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    materialize(queries[name].fn(spark, sf_dir))
+                    re_runs.append(time.perf_counter() - t0)
+                    if re_runs[-1] >= 2.0:
+                        break
+                fresh = sorted(re_runs)[len(re_runs) // 2]
+                if fresh < w:
+                    timings[name] = round(fresh, 3)
+                if timings[name] > 1.5 * c and timings[name] - c > 0.3:
+                    contended.append(name)
+                    print(
+                        f"BENCH CONTENTION {name}: warm {timings[name]} "
+                        f"> 1.5x cold {c} after re-time",
+                        file=sys.stderr,
+                    )
+            except Exception as e:
+                print(f"BENCH RETIME ERROR {name}: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in colds.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -179,6 +216,7 @@ def main() -> None:
                 "queries": timings,
                 "cold": colds,
                 "cold_total": cold_total,
+                "contended": contended,
                 "sf": sf_val,
             },
             f,
