@@ -727,12 +727,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem price per part. The engine replaces spec Q2's decorrelated "
     "per-part MIN subquery + equality join-back with a window MIN over "
     "partkey partitions on the (part, supplier) pre-agg — identical "
-    "min-tie semantics, one fewer aggregate and one fewer join (2 wide "
-    "stages instead of 4; measured ~27% faster at sf0.1). The oracle "
-    "keeps the textbook join-back formulation, so the differential "
-    "check spans two genuinely different plans. Dims broadcast, and the "
-    "final ORDER+LIMIT is a total order (partkey breaks all ties) so "
-    "the top-100 is deterministic.",
+    "min-tie semantics, one fewer aggregate and one fewer join. Two "
+    "plan decisions carry the cost (r12 profiling: 1.8s -> 0.73s solo "
+    "at sf0.1): (1) the p_size filter pushes below the aggregate as a "
+    "broadcast SEMI-join on partkey — per-part minima only compare "
+    "within a partkey, so dropping whole partkeys early is exact and "
+    "cuts ~80% of lineitem before any shuffle (at 100 TB, the only "
+    "shuffle is over the filtered fact slice); (2) ONE explicit "
+    "partkey repartition feeds BOTH the (partkey, suppkey) aggregate "
+    "(clustering on a key subset satisfies the groupBy distribution) "
+    "and the window — the pre-agg's pairs are near-unique here, so "
+    "two-stage partial aggregation shuffled the same volume twice and "
+    "AQE then coalesced the small exchanges to 3 tasks, serializing "
+    "the hash build. The oracle keeps the textbook join-back "
+    "formulation, so the differential check spans two genuinely "
+    "different plans. Dims broadcast, and the final ORDER+LIMIT is a "
+    "total order (partkey breaks all ties) so the top-100 is "
+    "deterministic.",
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -740,9 +751,22 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cost = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    cost = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_partkey")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
     w = Window.partitionBy("partkey")
     return (
         cost.withColumn("min_price", F.min("avg_price").over(w))
