@@ -1309,7 +1309,14 @@ class ParquetTableManager:
         finally:
             os.remove(tmp)
 
-    def _commit(self, name: str, manifest: dict, rebase=None, ref: str = "main") -> int:
+    def _commit(
+        self,
+        name: str,
+        manifest: dict,
+        rebase=None,
+        ref: str = "main",
+        keep_ndv: bool = False,
+    ) -> int:
         """Atomic commit to a branch: allocate the manifest (globally-
         numbered snapshot), then advance the branch head by exclusive-create
         of the next ``seq`` pointer — a lock-free compare-and-swap. Readers
@@ -1336,6 +1343,15 @@ class ParquetTableManager:
         # idempotence walk (a staged DDL silently skipped)
         manifest.pop("txn", None)
         manifest.pop("txn_entry", None)
+        # the table-level NDV blob is valid only for the exact file set
+        # the maintaining APPEND computed it for — any other op that
+        # inherited it from the loaded head dict would serve stale
+        # estimates (CoW delete shrank the data; overwrite replaced it).
+        # Only append() re-derives and keeps it (keep_ndv=True, its
+        # rebase re-deriving against the winner); everything else drops
+        # to the per-file sketch fold, which is always correct.
+        if not keep_ndv:
+            manifest.pop("ndv_tbl", None)
         while True:
             seq, cur = self._ref_head(name, ref)
             if (
@@ -1346,6 +1362,8 @@ class ParquetTableManager:
                 manifest = rebase(self._load_manifest(name, cur))
                 manifest.pop("txn", None)
                 manifest.pop("txn_entry", None)
+                if not keep_ndv:
+                    manifest.pop("ndv_tbl", None)
             version = self._alloc_version(name, manifest)
             seq_path = os.path.join(
                 self._heads_dir(name, ref), f"seq-{seq + 1:09d}"
@@ -1784,8 +1802,164 @@ class ParquetTableManager:
                 raw = r[c]
                 if raw is not None:  # all-NULL column: no sketch
                     sk[c] = base64.b64encode(bytes(raw)).decode("ascii")
-            if sk:
-                e["ndv_sk"] = sk
+            # always set when profiling ran — {} means "profiled, all
+            # NULL", distinguishing it from an unsketched file (which
+            # breaks the table-level blob chain)
+            e["ndv_sk"] = sk
+
+    def _ndv_union_blob(
+        self, parent_m: dict, new_entries: list[dict]
+    ) -> dict | None:
+        """O(delta) maintenance of the TABLE-LEVEL NDV sketch blob
+        (``ndv_tbl``, ≙ Iceberg's snapshot-scoped Puffin statistics
+        file): union the parent's running per-column sketch with the
+        new files' sketches in one tiny job — the serve path then reads
+        O(columns), flat in file count. Returns None (blob chain
+        broken, readers fall back to the always-correct per-file fold)
+        when any new file was written unsketched or the parent carries
+        files but no blob. Per-column ``n`` counts contributing files
+        so coverage stays honest for columns added to the profile
+        late."""
+        if self.spark is None or not new_entries:
+            return None
+        if any(e.get("ndv_sk") is None for e in new_entries):
+            return None
+        prev = parent_m.get("ndv_tbl")
+        if prev is None and parent_m.get("files"):
+            return None
+        rows = [
+            (c, base64.b64decode(b))
+            for e in new_entries
+            for c, b in e["ndv_sk"].items()
+        ]
+        counts: dict[str, int] = {}
+        for e in new_entries:
+            for c in e["ndv_sk"]:
+                counts[c] = counts.get(c, 0) + 1
+        if prev:
+            rows += [
+                (c, base64.b64decode(v["sk"])) for c, v in prev.items()
+            ]
+            for c, v in prev.items():
+                counts[c] = counts.get(c, 0) + int(v["n"])
+        if not rows:
+            return {}
+        merged = (
+            self.spark.createDataFrame(rows, "c string, sk binary")
+            .groupBy("c")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .collect()
+        )
+        return {
+            r["c"]: {
+                "sk": base64.b64encode(bytes(r["sk"])).decode("ascii"),
+                "n": counts[r["c"]],
+            }
+            for r in merged
+        }
+
+    def analyze_ndv(self, name: str, columns: list[str] | None = None) -> int:
+        """≙ ``ANALYZE TABLE ... COMPUTE STATISTICS`` / Iceberg's Puffin
+        stats generation: backfill NDV sketches for every live file that
+        lacks them (zero-copy ``add_files`` onboarding, files written
+        before the property was set) with ONE column-pruned job over
+        only the missing files — O(missing), not O(table) — then
+        rebuild the table-level blob from all files' sketches and
+        commit. After this, both the per-file fold and the O(columns)
+        serve path cover the whole table, and subsequent appends resume
+        O(delta) blob maintenance on the repaired chain. ``columns``
+        defaults to the ``stats.ndv.columns`` property."""
+        m = self._load_manifest(name)
+        props = m.get("properties") or {}
+        cols = columns or [
+            c.strip()
+            for c in props.get(NDV_COLS_PROP, "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            raise ValueError(
+                f"analyze_ndv({name!r}): no columns — pass columns= or "
+                f"set the {NDV_COLS_PROP!r} table property"
+            )
+        try:
+            lgk = int(props.get(NDV_LGK_PROP, NDV_DEFAULT_LGK))
+        except (TypeError, ValueError):
+            lgk = NDV_DEFAULT_LGK
+        missing = [e for e in m["files"] if e.get("ndv_sk") is None]
+        by_base: dict[str, dict] = {}
+        for e in missing:
+            p = (
+                e["path"]
+                if os.path.isabs(e["path"])
+                else os.path.join(self._dir(name), e["path"])
+            )
+            by_base[os.path.basename(p)] = e
+        if by_base:
+            self._require_unique_basenames(name, m, "analyze_ndv")
+            paths = [
+                e["path"]
+                if os.path.isabs(e["path"])
+                else os.path.join(self._dir(name), e["path"])
+                for e in missing
+            ]
+            # files may physically lack some profiled columns (external
+            # onboarding, pre-evolution writes): sketch only what each
+            # file carries; absent columns contribute nothing, exactly
+            # like all-NULL ones
+            sk_rows = (
+                self.spark.read.schema(self.schema(name, m))
+                .parquet(*paths)
+                .select(F.input_file_name().alias("_f"), *cols)
+                .groupBy("_f")
+                .agg(
+                    *[
+                        F.hll_sketch_agg(c, F.lit(lgk)).alias(c)
+                        for c in cols
+                    ]
+                )
+                .collect()
+            )
+            for r in sk_rows:
+                e = by_base.get(os.path.basename(r["_f"]))
+                if e is None:
+                    continue
+                e["ndv_sk"] = {
+                    c: base64.b64encode(bytes(r[c])).decode("ascii")
+                    for c in cols
+                    if r[c] is not None
+                }
+            for e in missing:  # files the job saw zero rows for
+                e.setdefault("ndv_sk", {})
+        # rebuild the blob from ALL files (the one O(files) union this
+        # action exists to pay once)
+        rows = [
+            (c, base64.b64decode(b))
+            for e in m["files"]
+            for c, b in (e.get("ndv_sk") or {}).items()
+        ]
+        counts: dict[str, int] = {}
+        for e in m["files"]:
+            for c in e.get("ndv_sk") or {}:
+                counts[c] = counts.get(c, 0) + 1
+        blob: dict = {}
+        if rows:
+            merged = (
+                self.spark.createDataFrame(rows, "c string, sk binary")
+                .groupBy("c")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+                .collect()
+            )
+            blob = {
+                r["c"]: {
+                    "sk": base64.b64encode(bytes(r["sk"])).decode("ascii"),
+                    "n": counts[r["c"]],
+                }
+                for r in merged
+            }
+        m["ndv_tbl"] = blob
+        m["operation"] = "analyze-ndv"
+        m["parent"] = m["version"]
+        return self._commit(name, m, keep_ndv=True)
 
     def ndv_estimates(self, name: str, version: int | None = None):
         """Fold per-file NDV sketches into global estimates — a
@@ -1795,8 +1969,32 @@ class ParquetTableManager:
         DataFrame (col_name, ndv_est, n_sketches): ``n_sketches`` is
         how many files carried a sketch for the column, so callers can
         detect partial coverage (files onboarded via add_files have no
-        sketches) instead of trusting an under-counted fold."""
+        sketches) instead of trusting an under-counted fold.
+
+        Serve path: when the manifest carries the maintained
+        table-level blob (``ndv_tbl``, kept O(delta) by append commits
+        and dropped by any other file-changing op), the estimate reads
+        O(columns) — FLAT in file count; otherwise it folds the
+        per-file sketches, O(files)."""
         m = self._load_manifest(name, version)
+        blob = m.get("ndv_tbl")
+        if blob is not None:
+            if not blob:
+                return self.spark.createDataFrame(
+                    [],
+                    "col_name string, ndv_est bigint, n_sketches bigint",
+                )
+            brows = [
+                (c, base64.b64decode(v["sk"]), int(v["n"]))
+                for c, v in sorted(blob.items())
+            ]
+            return self.spark.createDataFrame(
+                brows, "col_name string, sk binary, n_sketches bigint"
+            ).select(
+                "col_name",
+                F.hll_sketch_estimate("sk").cast("bigint").alias("ndv_est"),
+                "n_sketches",
+            )
         rows = [
             (c, base64.b64decode(b64))
             for e in m["files"]
@@ -1934,9 +2132,14 @@ class ParquetTableManager:
         props_m = m if ref == "main" else None  # properties are table-level
         self._enforce_constraints(name, aligned, props_m)
         new_files = self._write_files(name, aligned, spec, manifest=props_m)
+        ndv_blob = self._ndv_union_blob(m, new_files)
         m["files"] = m["files"] + new_files
         m["operation"] = "append"
         m["parent"] = m["version"]
+        if ndv_blob is not None:
+            m["ndv_tbl"] = ndv_blob
+        else:  # unsketched batch: an inherited blob would under-count
+            m.pop("ndv_tbl", None)
         if snapshot_properties:
             m["properties"] = {
                 **(m.get("properties") or {}),
@@ -1950,6 +2153,11 @@ class ParquetTableManager:
             out["files"] = cur_m["files"] + new_files
             out["operation"] = "append"
             out["parent"] = cur_m["version"]
+            blob = self._ndv_union_blob(cur_m, new_files)
+            if blob is not None:
+                out["ndv_tbl"] = blob
+            else:
+                out.pop("ndv_tbl", None)
             if snapshot_properties:
                 out["properties"] = {
                     **(cur_m.get("properties") or {}),
@@ -1957,7 +2165,7 @@ class ParquetTableManager:
                 }
             return out
 
-        v = self._commit(name, m, rebase=rebase, ref=ref)
+        v = self._commit(name, m, rebase=rebase, ref=ref, keep_ndv=True)
         # threshold + counts from the manifest already in hand — the
         # hot append path pays no extra manifest load; compact_partitions
         # re-derives against the true head if the trigger fires (a

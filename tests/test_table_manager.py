@@ -2944,17 +2944,33 @@ def test_ndv_sketches_written_merged_and_compaction_carried(mgr, spark):
     mgr.append("t", df2)
     m = mgr._load_manifest("t")
     assert all(set(e["ndv_sk"]) == {"k", "cat"} for e in m["files"])
+    # append chain unbroken -> the O(columns) table-level blob serves,
+    # with per-column coverage counting every file
+    assert set(m["ndv_tbl"]) == {"k", "cat"}
+    assert all(v["n"] == len(m["files"]) for v in m["ndv_tbl"].values())
     est = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
     # overlapping ranges: union NDV is 4500, the sum of per-commit
     # distincts would be 6000 — a fold that sums instead of merges fails
     assert abs(est["k"] - 4500) <= 450 and est["k"] < 5500
     assert est["cat"] == 50  # low-cardinality HLL is exact
-    # compaction rewrites files -> rewritten files re-carry sketches
+    # compaction rewrites files -> rewritten files re-carry sketches,
+    # and the (now-invalid) table blob is DROPPED by the commit so the
+    # read falls back to the per-file fold instead of serving stale
     mgr.compact("t")
     m2 = mgr._load_manifest("t")
     assert all(e.get("ndv_sk") for e in m2["files"])
+    assert "ndv_tbl" not in m2
     est2 = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
     assert abs(est2["k"] - 4500) <= 450 and est2["cat"] == 50
+    # a CoW delete rewrites data: with the blob gone the per-file fold
+    # reflects the live files' fresh sketches
+    mgr.delete("t", where=[("k", ">=", 3000)], mode="cow")
+    est3 = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
+    assert abs(est3["k"] - 3000) <= 300
+    # appends resume blob maintenance only from an unbroken chain: the
+    # chain is broken now, so a fresh append must NOT reintroduce it
+    mgr.append("t", df1.limit(10))
+    assert "ndv_tbl" not in mgr._load_manifest("t")
 
     # property off -> no sketches, no extra job state in entries
     mgr.create_table("plain", df1.schema, [])
@@ -3009,3 +3025,63 @@ def test_partition_stats_match_recompute_across_history(mgr, spark):
         "pr" in (raw["seg_stats"].get(sid) or {})
         for sid in raw["segments"]
     )
+
+
+def test_analyze_ndv_backfills_externals_and_repairs_blob(
+    mgr, spark, tmp_path
+):
+    """analyze_ndv (≙ ANALYZE TABLE / Puffin stats generation): files
+    onboarded sketch-less via add_files get sketches from ONE pass over
+    only the missing files; the table-level blob is rebuilt so the
+    O(columns) serve path covers the whole table; and subsequent
+    appends resume O(delta) blob maintenance on the repaired chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.tables.manager import NDV_COLS_PROP
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 25).alias("cat")
+    )
+    mgr.create_table(
+        "t", df.schema, [], properties={NDV_COLS_PROP: "k,cat"}
+    )
+    mgr.append("t", df)
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": list(range(800, 1400)),  # 400-key overlap
+                "cat": [i % 25 for i in range(800, 1400)],
+            }
+        ),
+        ext,
+    )
+    mgr.add_files("t", [ext])
+    m = mgr._load_manifest("t")
+    assert "ndv_tbl" not in m  # external broke the chain
+    est = {r.col_name: r for r in mgr.ndv_estimates("t").collect()}
+    n_files = len(m["files"])
+    assert est["k"].n_sketches < n_files  # honest partial coverage
+
+    mgr.analyze_ndv("t")
+    m2 = mgr._load_manifest("t")
+    assert all(e.get("ndv_sk") is not None for e in m2["files"])
+    assert all(v["n"] == n_files for v in m2["ndv_tbl"].values())
+    est2 = {r.col_name: r for r in mgr.ndv_estimates("t").collect()}
+    assert est2["k"].n_sketches == n_files
+    assert abs(est2["k"].ndv_est - 1400) <= 140  # union, not 1600 sum
+    assert est2["cat"].ndv_est == 25
+
+    # chain repaired: the next append maintains the blob O(delta)
+    mgr.append(
+        "t",
+        spark.range(5000, 5100).select(
+            F.col("id").alias("k"), (F.col("id") % 25).alias("cat")
+        ),
+    )
+    m3 = mgr._load_manifest("t")
+    assert "ndv_tbl" in m3
+    est3 = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
+    assert abs(est3["k"] - 1500) <= 150

@@ -174,6 +174,57 @@ def main() -> int:
         att.delete("tp", where=[("cell", "==", "0")], mode="mor")
         preddel_attach_sec = time.perf_counter() - t0
 
+        # MAINTAINED partition statistics (r12): the summary-map fold
+        # must stay metadata-cheap while the inventory spans 100x —
+        # this is the read a catalog UI / CBO hits per metadata change.
+        ParquetTableManager._SEG_CACHES.clear()
+        pstat = ParquetTableManager(spark, wp)
+        pstat.partition_stats("tp").collect()  # warm parse + session
+        t0 = time.perf_counter()
+        for _ in range(5):
+            rows_ps = pstat.partition_stats("tp").collect()
+        partition_stats_sec = (time.perf_counter() - t0) / 5
+
+        # NDV stats serve vs fold (r12): fabricate per-file sketches by
+        # replicating one REAL hll_sketch_agg blob across the synthetic
+        # inventory, then time (a) the per-file fold — O(files) — and
+        # (b) the maintained table-level blob — O(columns), must be
+        # FLAT in file count.
+        from iceberg_poc_spark.tables.manager import NDV_COLS_PROP
+
+        wn = tempfile.mkdtemp(prefix="bench_meta_n_")
+        mn = ParquetTableManager(spark, wn)
+        ndf = spark.range(100).select(F.col("id").alias("k"))
+        mn.create_table(
+            "tn", ndf.schema, [], properties={NDV_COLS_PROP: "k"}
+        )
+        mn.append("tn", ndf)
+        mseed = mn._load_manifest("tn")
+        sk_b64 = mseed["files"][0]["ndv_sk"]["k"]
+        proto_n = dict(mseed["files"][0])
+        mseed["files"] = mseed["files"] + [
+            {
+                **proto_n,
+                "path": f"data/nsynth-{i:07d}.parquet",
+                "ndv_sk": {"k": sk_b64},
+            }
+            for i in range(n_files - 1)
+        ]
+        mseed["operation"] = "append"
+        mseed["parent"] = mseed["version"]
+        v_fold = mn._commit("tn", dict(mseed))  # blob popped: fold path
+        mseed["parent"] = v_fold
+        mseed["ndv_tbl"] = {"k": {"sk": sk_b64, "n": n_files}}
+        v_blob = mn._commit("tn", mseed, keep_ndv=True)
+        mn.ndv_estimates("tn", v_fold).collect()  # warm
+        t0 = time.perf_counter()
+        mn.ndv_estimates("tn", v_fold).collect()
+        ndv_fold_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(5):
+            mn.ndv_estimates("tn", v_blob).collect()
+        ndv_serve_sec = (time.perf_counter() - t0) / 5
+
         results[str(n_files)] = {
             "bulk_commit_sec": round(bulk_sec, 3),
             "micro_append_sec": round(micro_sec, 4),
@@ -187,6 +238,10 @@ def main() -> int:
             "materialize_cold_sec": round(materialize_cold_sec, 4),
             "eqdel_attach_sec": round(eqdel_attach_sec, 4),
             "preddel_attach_sec": round(preddel_attach_sec, 4),
+            "partition_stats_sec": round(partition_stats_sec, 4),
+            "partition_stats_rows": len(rows_ps),
+            "ndv_fold_sec": round(ndv_fold_sec, 4),
+            "ndv_serve_sec": round(ndv_serve_sec, 4),
         }
         print(f"n_files={n_files}: {results[str(n_files)]}", flush=True)
     lo = results["1000"]["micro_append_sec"]
@@ -206,6 +261,21 @@ def main() -> int:
         )
         if results["1000"]["eqdel_attach_sec"]
         else None,
+        "partition_stats_100x_ratio": round(
+            results["100000"]["partition_stats_sec"]
+            / results["1000"]["partition_stats_sec"],
+            2,
+        )
+        if results["1000"]["partition_stats_sec"]
+        else None,
+        "ndv_serve_100x_ratio": round(
+            results["100000"]["ndv_serve_sec"]
+            / results["1000"]["ndv_serve_sec"],
+            2,
+        )
+        if results["1000"]["ndv_serve_sec"]
+        else None,
+        "ndv_fold_sec_at_100k_files": results["100000"]["ndv_fold_sec"],
         "preddel_attach_100x_ratio": round(
             results["100000"]["preddel_attach_sec"]
             / results["1000"]["preddel_attach_sec"],
