@@ -130,6 +130,10 @@ ALWAYS = [
     "q_meta_snapshots",
     "q_sim_knn_join_grid",
     "q_delete_mor_eq",
+    "q_text_perplexity",
+    "q_meta_profile_ndv",
+    "q_meta_partition_stats",
+    "q_analyze_ndv",
 ]
 
 
