@@ -528,6 +528,58 @@ class SnapMetaReader(DataSourceReader):
         )
 
 
+class SnapPartitionsReader(DataSourceReader):
+    """``partitions`` METADATA-TABLE reader (≙ Iceberg's
+    ``table$partitions``), served from the MAINTAINED partition
+    statistics: segment summaries carry per-partition
+    [n_files, n_records, n_bytes] rollups written at commit time, so
+    the driver folds O(segments x partitions-per-segment) summary maps
+    — zero entry decodes, zero data reads — and ships O(partitions)
+    rows. Legacy non-segmented tables fall back to a driver fold of the
+    materialized inventory (same values, one-time O(files))."""
+
+    def __init__(self, options):
+        import json as _json
+
+        mgr, table = _mgr(options)
+        snap = options.get("snapshot")
+        v = mgr._resolve(
+            table,
+            snapshot_id=int(snap) if snap is not None else None,
+            ref=options.get("ref"),
+            as_of=options.get("as_of"),
+        )
+        folded = mgr._fold_partition_stats(table, v)
+        if folded is None:  # legacy manifest: recompute once
+            folded = {}
+            for e in mgr._load_manifest(table, v)["files"]:
+                k = _json.dumps(e["partition"], sort_keys=True)
+                slot = folded.setdefault(k, [0, 0, 0])
+                slot[0] += 1
+                slot[1] += int(e["records"])
+                slot[2] += int(e["bytes"])
+        self._rows = sorted(
+            (k, nf, nr, nb) for k, (nf, nr, nb) in folded.items()
+        )
+
+    def partitions(self):
+        return [InputPartition(self._rows)]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        rows = partition.value
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.int64()),
+                pa.array([r[2] for r in rows], pa.int64()),
+                pa.array([r[3] for r in rows], pa.int64()),
+            ],
+            ["partition", "n_files", "n_records", "total_bytes"],
+        )
+
+
 class SnapTableReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         manifest, table_dir = _resolve_manifest(options)
@@ -1024,10 +1076,22 @@ class SnapTableDataSource(DataSource):
     def schema(self) -> StructType:
         meta = self.options.get("meta")
         if meta is not None:
+            if meta == "partitions":
+                # served from MAINTAINED partition statistics (segment
+                # summary rollups, ≙ Iceberg partition stats files) —
+                # O(partitions) rows with zero entry decodes
+                return StructType(
+                    [
+                        StructField("partition", StringType(), True),
+                        StructField("n_files", LongType(), True),
+                        StructField("n_records", LongType(), True),
+                        StructField("total_bytes", LongType(), True),
+                    ]
+                )
             if meta != "files":
                 raise ValueError(
-                    f"unknown metadata table {meta!r}; supported: 'files' "
-                    "(derive 'partitions' by GROUP BY partition over it)"
+                    f"unknown metadata table {meta!r}; supported: "
+                    "'files', 'partitions'"
                 )
             # no fromDDL: the planning worker has no active session
             return StructType(
@@ -1051,7 +1115,10 @@ class SnapTableDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        if self.options.get("meta") is not None:
+        meta = self.options.get("meta")
+        if meta == "partitions":
+            return SnapPartitionsReader(self.options)
+        if meta is not None:
             return SnapMetaReader(self.options)
         return SnapTableReader(self.options, schema)
 

@@ -5493,10 +5493,28 @@ class ParquetTableManager:
             if snapshot_id is None
             else snapshot_id
         )
-        raw = self._manifest_raw(name, v)
+        folded = self._fold_partition_stats(name, v)
+        if folded is None:
+            return self.partitions(name)  # legacy non-segmented manifest
+        return self.spark.createDataFrame(
+            [(k, *vals) for k, vals in sorted(folded.items())],
+            "partition STRING, n_files BIGINT, n_records BIGINT, "
+            "total_bytes BIGINT",
+        )
+
+    def _fold_partition_stats(
+        self, name: str, version: int
+    ) -> dict[str, list[int]] | None:
+        """The maintained-stats fold shared by :meth:`partition_stats`
+        and the ``snaptable`` connector's ``partitions`` metadata table:
+        canonical-partition-JSON -> [n_files, n_records, n_bytes],
+        O(segments x partitions-per-segment) with zero entry decodes on
+        current-format segments. None for legacy non-segmented
+        manifests (callers recompute from the inventory)."""
+        raw = self._manifest_raw(name, version)
         segs = raw.get("segments")
         if segs is None:
-            return self.partitions(name)  # legacy non-segmented manifest
+            return None
         seg_stats = raw.get("seg_stats", {})
         folded: dict[str, list[int]] = {}
         for sid in segs:
@@ -5514,11 +5532,7 @@ class ParquetTableManager:
                 slot[0] += nf
                 slot[1] += nr
                 slot[2] += nb
-        return self.spark.createDataFrame(
-            [(k, *vals) for k, vals in sorted(folded.items())],
-            "partition STRING, n_files BIGINT, n_records BIGINT, "
-            "total_bytes BIGINT",
-        )
+        return folded
 
     def rollback(self, name: str, snapshot_id: int) -> int:
         m = self._load_manifest(name, snapshot_id)

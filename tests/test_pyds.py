@@ -595,3 +595,51 @@ def test_datasource_reads_initial_default_columns(mgr, spark):
     got = _load(spark, mgr, "dflt")
     assert {(r.k, r.q) for r in got.collect()} == want
     assert _rows(got) == _rows(mgr.read("dflt"))
+
+
+def test_connector_partitions_metadata_table(spark, tmp_path):
+    """meta='partitions' serves the MAINTAINED partition statistics
+    through the connector (≙ Iceberg table$partitions): value-identical
+    to manager.partition_stats, snapshot/time-travel aware, zero entry
+    decodes on current-format tables."""
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.sources.pyds import register_snaptable
+    from iceberg_poc_spark.tables import identity
+    from iceberg_poc_spark.tables.manager import ParquetTableManager
+
+    wh = str(tmp_path / "wh")
+    mgr = ParquetTableManager(spark, wh)
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "k long, cell long"
+    )
+    mgr.create_table("t", df.schema, [identity("cell")])
+    v0 = mgr.append("t", df)
+    mgr.append("t", df.where("k < 20"))
+    register_snaptable(spark)
+
+    def connector(**opts):
+        r = (
+            spark.read.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "t")
+            .option("meta", "partitions")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    got = sorted(tuple(r) for r in connector().collect())
+    want = sorted(tuple(r) for r in mgr.partition_stats("t").collect())
+    assert got == want and len(got) == 4
+    # time travel: the pre-second-append snapshot counts only wave 1
+    at_v0 = connector(snapshot=str(v0)).agg(F.sum("n_records")).first()[0]
+    assert at_v0 == 100
+    with pytest.raises(Exception, match="unknown metadata table"):
+        connector_bad = (
+            spark.read.format("snaptable")
+            .option("warehouse", wh)
+            .option("table", "t")
+            .option("meta", "nope")
+            .load()
+        )
