@@ -166,8 +166,10 @@ def main() -> None:
             if w < 0 or c <= 0 or not (w > 1.5 * c and w - c > 0.3):
                 continue
             try:
-                for reset in resets.get(name, []):
-                    reset()
+                # NO resets here: this re-times the WARM steady state
+                # (resets run only before a COLD first run — clearing
+                # e.g. _BPE_MERGES would make the first re-run re-pay
+                # training and record a cold number as the warm value)
                 re_runs = []
                 for _ in range(3):
                     t0 = time.perf_counter()

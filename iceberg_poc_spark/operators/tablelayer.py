@@ -3750,6 +3750,45 @@ def q_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mgr.refs("refs_demo").orderBy("ref")
 
 
+def _ndv_gate(spark: SparkSession, sf_dir: str, mgr, table: str) -> DataFrame:
+    """Shared closed-form NDV gate (q_agg_hll_merge pattern): per-column
+    exact distincts recomputed from the raw corpus, joined against the
+    manifest-folded estimates — within_bound (10%) and full_coverage
+    (every live file contributes a sketch) booleans."""
+    n_files = len(mgr._load_manifest(table)["files"])
+    est = mgr.ndv_estimates(table)
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_id").alias("col_name"),
+                    F.col("doc_id").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("lang").alias("col_name"),
+                    F.col("lang").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("n_chars").alias("col_name"),
+                    F.col("n_chars").cast("string").alias("v"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.v").groupBy("col_name").agg(
+        F.count_distinct("v").alias("exact_ndv")
+    )
+    return exact.join(F.broadcast(est), "col_name").select(
+        "col_name",
+        "exact_ndv",
+        (
+            F.abs(F.col("ndv_est") - F.col("exact_ndv"))
+            <= 0.10 * F.col("exact_ndv")
+        ).alias("within_bound"),
+        (F.col("n_sketches") == F.lit(n_files)).alias("full_coverage"),
+    )
+
+
 def _setup_docs_ndv(spark: SparkSession, sf_dir: str):
     """docs_ndv: documents ingested in two overlapping-domain waves with
     the ``stats.ndv.columns`` property on, so every data file carries a
@@ -3813,41 +3852,7 @@ def _setup_docs_ndv(spark: SparkSession, sf_dir: str):
 )
 def q_meta_profile_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mgr, _s = _setup_docs_ndv(spark, sf_dir)
-    n_files = len(mgr._load_manifest("docs_ndv")["files"])
-    est = mgr.ndv_estimates("docs_ndv")
-    docs = load_table(spark, sf_dir, "documents")
-    exact = docs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("doc_id").alias("col_name"),
-                    F.col("doc_id").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("lang").alias("col_name"),
-                    F.col("lang").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("n_chars").alias("col_name"),
-                    F.col("n_chars").cast("string").alias("v"),
-                ),
-            )
-        ).alias("kv")
-    ).select("kv.col_name", "kv.v").groupBy("col_name").agg(
-        F.count_distinct("v").alias("exact_ndv")
-    )
-    return (
-        exact.join(F.broadcast(est), "col_name")
-        .select(
-            "col_name",
-            "exact_ndv",
-            (
-                F.abs(F.col("ndv_est") - F.col("exact_ndv"))
-                <= 0.10 * F.col("exact_ndv")
-            ).alias("within_bound"),
-            (F.col("n_sketches") == F.lit(n_files)).alias("full_coverage"),
-        )
-    )
+    return _ndv_gate(spark, sf_dir, mgr, "docs_ndv")
 
 
 @register(
@@ -3945,35 +3950,4 @@ def _setup_docs_analyze(spark: SparkSession, sf_dir: str):
 )
 def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mgr, _s = _setup_docs_analyze(spark, sf_dir)
-    n_files = len(mgr._load_manifest("docs_an")["files"])
-    est = mgr.ndv_estimates("docs_an")
-    docs = load_table(spark, sf_dir, "documents")
-    exact = docs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("doc_id").alias("col_name"),
-                    F.col("doc_id").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("lang").alias("col_name"),
-                    F.col("lang").cast("string").alias("v"),
-                ),
-                F.struct(
-                    F.lit("n_chars").alias("col_name"),
-                    F.col("n_chars").cast("string").alias("v"),
-                ),
-            )
-        ).alias("kv")
-    ).select("kv.col_name", "kv.v").groupBy("col_name").agg(
-        F.count_distinct("v").alias("exact_ndv")
-    )
-    return exact.join(F.broadcast(est), "col_name").select(
-        "col_name",
-        "exact_ndv",
-        (
-            F.abs(F.col("ndv_est") - F.col("exact_ndv"))
-            <= 0.10 * F.col("exact_ndv")
-        ).alias("within_bound"),
-        (F.col("n_sketches") == F.lit(n_files)).alias("full_coverage"),
-    )
+    return _ndv_gate(spark, sf_dir, mgr, "docs_an")

@@ -1792,9 +1792,14 @@ class ParquetTableManager:
             )
             .collect()
         )
+        from urllib.parse import unquote
+
         by_base = {os.path.basename(e["path"]): e for e in entries}
         for r in sk_rows:
-            e = by_base.get(os.path.basename(r["_f"]))
+            base = os.path.basename(r["_f"])
+            # input_file_name() is a percent-encoded URI; managed file
+            # names are uuid hex (raw match), but be robust anyway
+            e = by_base.get(base) or by_base.get(unquote(base))
             if e is None:
                 continue
             sk = {}
@@ -1802,10 +1807,13 @@ class ParquetTableManager:
                 raw = r[c]
                 if raw is not None:  # all-NULL column: no sketch
                     sk[c] = base64.b64encode(bytes(raw)).decode("ascii")
-            # always set when profiling ran — {} means "profiled, all
-            # NULL", distinguishing it from an unsketched file (which
-            # breaks the table-level blob chain)
             e["ndv_sk"] = sk
+        # always set when profiling ran — {} means "profiled, nothing
+        # found" (all-NULL or ZERO-ROW files, which produce no group
+        # row), distinguishing it from an unsketched file; a None here
+        # would break the table-level blob chain for every later append
+        for e in entries:
+            e.setdefault("ndv_sk", {})
 
     def _ndv_union_blob(
         self, parent_m: dict, new_entries: list[dict]
@@ -1827,23 +1835,19 @@ class ParquetTableManager:
         prev = parent_m.get("ndv_tbl")
         if prev is None and parent_m.get("files"):
             return None
+        n_profiled = len(new_entries) + (int(prev["n"]) if prev else 0)
         rows = [
             (c, base64.b64decode(b))
             for e in new_entries
             for c, b in e["ndv_sk"].items()
         ]
-        counts: dict[str, int] = {}
-        for e in new_entries:
-            for c in e["ndv_sk"]:
-                counts[c] = counts.get(c, 0) + 1
         if prev:
             rows += [
-                (c, base64.b64decode(v["sk"])) for c, v in prev.items()
+                (c, base64.b64decode(b))
+                for c, b in prev.get("cols", {}).items()
             ]
-            for c, v in prev.items():
-                counts[c] = counts.get(c, 0) + int(v["n"])
         if not rows:
-            return {}
+            return {"n": n_profiled, "cols": {}}
         merged = (
             self.spark.createDataFrame(rows, "c string, sk binary")
             .groupBy("c")
@@ -1851,11 +1855,11 @@ class ParquetTableManager:
             .collect()
         )
         return {
-            r["c"]: {
-                "sk": base64.b64encode(bytes(r["sk"])).decode("ascii"),
-                "n": counts[r["c"]],
-            }
-            for r in merged
+            "n": n_profiled,
+            "cols": {
+                r["c"]: base64.b64encode(bytes(r["sk"])).decode("ascii")
+                for r in merged
+            },
         }
 
     def analyze_ndv(self, name: str, columns: list[str] | None = None) -> int:
@@ -1886,16 +1890,22 @@ class ParquetTableManager:
         except (TypeError, ValueError):
             lgk = NDV_DEFAULT_LGK
         missing = [e for e in m["files"] if e.get("ndv_sk") is None]
-        by_base: dict[str, dict] = {}
-        for e in missing:
-            p = (
-                e["path"]
-                if os.path.isabs(e["path"])
-                else os.path.join(self._dir(name), e["path"])
-            )
-            by_base[os.path.basename(p)] = e
-        if by_base:
+        # sketch map keyed by entry PATH, applied to entry COPIES below:
+        # manifest entries are shared by reference with the immutable
+        # segment cache, and _plan_segments reuses unchanged segments by
+        # identity — mutating a cached entry in place would never reach
+        # disk (the backfill would evaporate on cache eviction/restart)
+        new_sk: dict[str, dict] = {e["path"]: {} for e in missing}
+        if missing:
             self._require_unique_basenames(name, m, "analyze_ndv")
+            by_base: dict[str, str] = {}
+            for e in missing:
+                p = (
+                    e["path"]
+                    if os.path.isabs(e["path"])
+                    else os.path.join(self._dir(name), e["path"])
+                )
+                by_base[os.path.basename(p)] = e["path"]
             paths = [
                 e["path"]
                 if os.path.isabs(e["path"])
@@ -1905,7 +1915,8 @@ class ParquetTableManager:
             # files may physically lack some profiled columns (external
             # onboarding, pre-evolution writes): sketch only what each
             # file carries; absent columns contribute nothing, exactly
-            # like all-NULL ones
+            # like all-NULL ones. Zero-row files produce no group row
+            # and keep their pre-seeded {} ("profiled, nothing found").
             sk_rows = (
                 self.spark.read.schema(self.schema(name, m))
                 .parquet(*paths)
@@ -1919,47 +1930,65 @@ class ParquetTableManager:
                 )
                 .collect()
             )
+            from urllib.parse import unquote
+
             for r in sk_rows:
-                e = by_base.get(os.path.basename(r["_f"]))
-                if e is None:
+                base = os.path.basename(r["_f"])
+                # input_file_name() returns a percent-encoded URI: try
+                # the raw basename first (uuid-named managed files),
+                # then the decoded form (external files with specials)
+                path = by_base.get(base) or by_base.get(unquote(base))
+                if path is None:
                     continue
-                e["ndv_sk"] = {
+                new_sk[path] = {
                     c: base64.b64encode(bytes(r[c])).decode("ascii")
                     for c in cols
                     if r[c] is not None
                 }
-            for e in missing:  # files the job saw zero rows for
-                e.setdefault("ndv_sk", {})
-        # rebuild the blob from ALL files (the one O(files) union this
-        # action exists to pay once)
+
+        def apply_and_blob(manifest: dict) -> dict:
+            out = dict(manifest)
+            out["files"] = [
+                {**e, "ndv_sk": new_sk[e["path"]]}
+                if e.get("ndv_sk") is None and e["path"] in new_sk
+                else e
+                for e in manifest["files"]
+            ]
+            out["ndv_tbl"] = self._ndv_blob_of(out["files"])
+            out["operation"] = "analyze-ndv"
+            out["parent"] = manifest["version"]
+            return out
+
+        return self._commit(
+            name, apply_and_blob(m), rebase=apply_and_blob, keep_ndv=True
+        )
+
+    def _ndv_blob_of(self, files: list[dict]) -> dict:
+        """Union ALL files' sketches into the table-level blob shape
+        ({col: {sk, n}}) with one tiny job — the O(files) rebuild
+        analyze_ndv pays once and the O(delta) append maintenance
+        avoids."""
         rows = [
             (c, base64.b64decode(b))
-            for e in m["files"]
+            for e in files
             for c, b in (e.get("ndv_sk") or {}).items()
         ]
-        counts: dict[str, int] = {}
-        for e in m["files"]:
-            for c in e.get("ndv_sk") or {}:
-                counts[c] = counts.get(c, 0) + 1
-        blob: dict = {}
-        if rows:
-            merged = (
-                self.spark.createDataFrame(rows, "c string, sk binary")
-                .groupBy("c")
-                .agg(F.hll_union_agg("sk").alias("sk"))
-                .collect()
-            )
-            blob = {
-                r["c"]: {
-                    "sk": base64.b64encode(bytes(r["sk"])).decode("ascii"),
-                    "n": counts[r["c"]],
-                }
+        n_profiled = sum(1 for e in files if e.get("ndv_sk") is not None)
+        if not rows:
+            return {"n": n_profiled, "cols": {}}
+        merged = (
+            self.spark.createDataFrame(rows, "c string, sk binary")
+            .groupBy("c")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .collect()
+        )
+        return {
+            "n": n_profiled,
+            "cols": {
+                r["c"]: base64.b64encode(bytes(r["sk"])).decode("ascii")
                 for r in merged
-            }
-        m["ndv_tbl"] = blob
-        m["operation"] = "analyze-ndv"
-        m["parent"] = m["version"]
-        return self._commit(name, m, keep_ndv=True)
+            },
+        }
 
     def ndv_estimates(self, name: str, version: int | None = None):
         """Fold per-file NDV sketches into global estimates — a
@@ -1979,14 +2008,14 @@ class ParquetTableManager:
         m = self._load_manifest(name, version)
         blob = m.get("ndv_tbl")
         if blob is not None:
-            if not blob:
+            if not blob.get("cols"):
                 return self.spark.createDataFrame(
                     [],
                     "col_name string, ndv_est bigint, n_sketches bigint",
                 )
             brows = [
-                (c, base64.b64decode(v["sk"]), int(v["n"]))
-                for c, v in sorted(blob.items())
+                (c, base64.b64decode(b), int(blob["n"]))
+                for c, b in sorted(blob["cols"].items())
             ]
             return self.spark.createDataFrame(
                 brows, "col_name string, sk binary, n_sketches bigint"
@@ -2004,6 +2033,12 @@ class ParquetTableManager:
             return self.spark.createDataFrame(
                 [], "col_name string, ndv_est bigint, n_sketches bigint"
             )
+        # coverage counts PROFILED files (ndv_sk present, possibly {}):
+        # a zero-row or all-NULL file is covered — it has no values to
+        # count — while a file onboarded sketch-less is genuinely not
+        n_profiled = sum(
+            1 for e in m["files"] if e.get("ndv_sk") is not None
+        )
         return (
             self.spark.createDataFrame(rows, "col_name string, sk binary")
             .groupBy("col_name")
@@ -2011,8 +2046,8 @@ class ParquetTableManager:
                 F.hll_sketch_estimate(F.hll_union_agg("sk"))
                 .cast("bigint")
                 .alias("ndv_est"),
-                F.count("*").alias("n_sketches"),
             )
+            .withColumn("n_sketches", F.lit(n_profiled).cast("bigint"))
         )
 
     def _enforce_constraints(
@@ -2619,6 +2654,9 @@ class ParquetTableManager:
                             # would false-positive a later DDL entry's
                             # idempotence walk
                             nm.pop("txn_entry", None)
+                            # files changed without blob maintenance:
+                            # an inherited NDV blob would serve stale
+                            nm.pop("ndv_tbl", None)
                             nm["files"] = m["files"] + added
                             nm["operation"] = "txn-append"
                             nm["parent"] = cur
@@ -3631,6 +3669,9 @@ class ParquetTableManager:
                 out_files.append(e)
             nm = dict(m)
             nm.pop("txn_entry", None)
+            # the upsert adds files without blob maintenance: an
+            # inherited NDV blob would exclude every upserted value
+            nm.pop("ndv_tbl", None)
             nm["files"] = out_files + entry["added"]
             nm["operation"] = "upsert"
             nm["parent"] = cur
@@ -5495,7 +5536,18 @@ class ParquetTableManager:
         )
         folded = self._fold_partition_stats(name, v)
         if folded is None:
-            return self.partitions(name)  # legacy non-segmented manifest
+            # legacy non-segmented manifest: recompute from the
+            # inventory AT THE REQUESTED SNAPSHOT (partitions() always
+            # reads the head)
+            return (
+                self.files(name, v)
+                .groupBy("partition")
+                .agg(
+                    F.count("*").alias("n_files"),
+                    F.sum("records").alias("n_records"),
+                    F.sum("bytes").alias("total_bytes"),
+                )
+            )
         return self.spark.createDataFrame(
             [(k, *vals) for k, vals in sorted(folded.items())],
             "partition STRING, n_files BIGINT, n_records BIGINT, "

@@ -2946,8 +2946,8 @@ def test_ndv_sketches_written_merged_and_compaction_carried(mgr, spark):
     assert all(set(e["ndv_sk"]) == {"k", "cat"} for e in m["files"])
     # append chain unbroken -> the O(columns) table-level blob serves,
     # with per-column coverage counting every file
-    assert set(m["ndv_tbl"]) == {"k", "cat"}
-    assert all(v["n"] == len(m["files"]) for v in m["ndv_tbl"].values())
+    assert set(m["ndv_tbl"]["cols"]) == {"k", "cat"}
+    assert m["ndv_tbl"]["n"] == len(m["files"])
     est = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
     # overlapping ranges: union NDV is 4500, the sum of per-commit
     # distincts would be 6000 — a fold that sums instead of merges fails
@@ -3068,7 +3068,7 @@ def test_analyze_ndv_backfills_externals_and_repairs_blob(
     mgr.analyze_ndv("t")
     m2 = mgr._load_manifest("t")
     assert all(e.get("ndv_sk") is not None for e in m2["files"])
-    assert all(v["n"] == n_files for v in m2["ndv_tbl"].values())
+    assert m2["ndv_tbl"]["n"] == n_files
     est2 = {r.col_name: r for r in mgr.ndv_estimates("t").collect()}
     assert est2["k"].n_sketches == n_files
     assert abs(est2["k"].ndv_est - 1400) <= 140  # union, not 1600 sum
@@ -3085,3 +3085,65 @@ def test_analyze_ndv_backfills_externals_and_repairs_blob(
     assert "ndv_tbl" in m3
     est3 = {r.col_name: r.ndv_est for r in mgr.ndv_estimates("t").collect()}
     assert abs(est3["k"] - 1500) <= 150
+
+
+def test_analyze_ndv_persists_and_upsert_drops_blob(mgr, spark, tmp_path):
+    """Review-pass regressions: (a) analyze_ndv's backfilled sketches
+    must reach DISK (entry copies re-encoded into segments), not just
+    the process-wide segment cache — a fresh manager after cache
+    eviction still sees them; (b) a MoR upsert adds files without blob
+    maintenance, so the inherited table-level blob must be DROPPED
+    (stale estimates would exclude every upserted value); (c) an
+    EMPTY append on a profiled table must not break the blob chain
+    (zero-row files record 'profiled, nothing found')."""
+    from pyspark.sql import functions as F
+
+    from iceberg_poc_spark.tables.manager import (
+        NDV_COLS_PROP,
+        ParquetTableManager,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("cat")
+    )
+    mgr.create_table(
+        "t", df.schema, [], properties={NDV_COLS_PROP: "k,cat"}
+    )
+    mgr.append("t", df)
+
+    # (c) zero-row append: chain must survive
+    mgr.append("t", df.where("k < 0"))
+    m = mgr._load_manifest("t")
+    assert "ndv_tbl" in m
+    assert all(e.get("ndv_sk") is not None for e in m["files"])
+
+    # break the chain with an external, then repair
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table({"k": [10_000, 10_001], "cat": [1, 2]}), ext
+    )
+    mgr.add_files("t", [ext])
+    mgr.analyze_ndv("t")
+
+    # (a) persistence: drop every cache, reopen, sketches still there
+    ParquetTableManager._SEG_CACHES.clear()
+    fresh = ParquetTableManager(spark, mgr.warehouse)
+    m2 = fresh._load_manifest("t")
+    assert all(e.get("ndv_sk") is not None for e in m2["files"])
+    est = {r.col_name: r for r in fresh.ndv_estimates("t").collect()}
+    assert est["k"].n_sketches == len(m2["files"])
+    assert abs(est["k"].ndv_est - 502) <= 50
+
+    # (b) upsert drops the blob; the per-file fold still covers the
+    # upserted rows' files (written sketched via _write_files)
+    up = spark.range(20_000, 20_100).select(
+        F.col("id").alias("k"), F.lit(5).alias("cat")
+    )
+    fresh.upsert_equality("t", up, keys=["k"])
+    m3 = fresh._load_manifest("t")
+    assert "ndv_tbl" not in m3
+    est2 = {r.col_name: r for r in fresh.ndv_estimates("t").collect()}
+    assert abs(est2["k"].ndv_est - 602) <= 60

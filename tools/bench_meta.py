@@ -214,7 +214,7 @@ def main() -> int:
         mseed["parent"] = mseed["version"]
         v_fold = mn._commit("tn", dict(mseed))  # blob popped: fold path
         mseed["parent"] = v_fold
-        mseed["ndv_tbl"] = {"k": {"sk": sk_b64, "n": n_files}}
+        mseed["ndv_tbl"] = {"n": n_files, "cols": {"k": sk_b64}}
         v_blob = mn._commit("tn", mseed, keep_ndv=True)
         mn.ndv_estimates("tn", v_fold).collect()  # warm
         t0 = time.perf_counter()
