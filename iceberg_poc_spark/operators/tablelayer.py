@@ -3951,3 +3951,112 @@ def _setup_docs_analyze(spark: SparkSession, sf_dir: str):
 def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mgr, _s = _setup_docs_analyze(spark, sf_dir)
     return _ndv_gate(spark, sf_dir, mgr, "docs_an")
+
+
+_CA_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_CA_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _ca_hourly(df: DataFrame) -> DataFrame:
+    """The continuous aggregate's defining query at its final grain:
+    hourly (bucket, event_type) count + 2-dp sum."""
+    return df.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), _CA_FMT_SPARK).alias(
+            "bucket_ts"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _setup_events_ca(spark: SparkSession, sf_dir: str):
+    """events_ca (raw, days(ts)-partitioned) + events_ca_hourly (the
+    MATERIALIZED rollup): wave 1 lands everything except held-back
+    stragglers and materializes the rollup once; wave 2 (the late
+    stragglers, days 8-14) appends to raw, and maintenance recomputes
+    ONLY the invalidated hour buckets — a days-pruned scan of the raw
+    table (planned < total, pinned in tests) upserted into the rollup
+    in one MoR commit."""
+    from iceberg_poc_spark.tables import days
+
+    mgr, wh = _mgr_for(spark, sf_dir)
+    key = (wh, "events_ca")
+    if key in _READY:
+        return mgr, _READY[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    late = (
+        (F.pmod("event_id", F.lit(13)) == 0)
+        & F.dayofmonth("ts").between(8, 14)
+    )
+    w1, w2 = ev.filter(~late), ev.filter(late)
+    mgr.create_table("events_ca", ev.schema, [days("ts")])
+    mgr.append("events_ca", w1)
+    roll1 = _ca_hourly(w1)
+    mgr.create_table("events_ca_hourly", roll1.schema, [])
+    mgr.append("events_ca_hourly", roll1)
+
+    # ---- late data arrives: append raw, maintain the rollup O(delta)
+    mgr.append("events_ca", w2)
+    # invalidation set: the late batch's distinct hour buckets (bounded
+    # by wall-clock hours in the late window, never by event count)
+    aff = [
+        r.h
+        for r in w2.select(
+            F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .distinct()
+        .collect()
+    ]
+    lo, hi = min(aff), max(aff)
+    import datetime as _dt
+
+    scan_df, planned, total = mgr.scan(
+        "events_ca",
+        where=[
+            ("ts", ">=", lo.isoformat(sep=" ")),
+            ("ts", "<", (hi + _dt.timedelta(hours=1)).isoformat(sep=" ")),
+        ],
+    )
+    recompute = _ca_hourly(
+        scan_df.filter(F.date_trunc("hour", F.col("ts")).isin(aff))
+    )
+    mgr.upsert_equality(
+        "events_ca_hourly", recompute, keys=["bucket_ts", "event_type"]
+    )
+    _READY[key] = {"planned": planned, "total": total}
+    return mgr, _READY[key]
+
+
+@register(
+    "q_ts_continuous_agg",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_CA_FMT_DUCK}') AS bucket_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="CONTINUOUS AGGREGATE (≙ TimescaleDB continuous aggregates / an "
+    "incrementally-maintained materialized view, built on the snapshot "
+    "table layer): an hourly rollup table materializes once, then a "
+    "LATE-DATA batch (held-back stragglers spanning days 8-14) "
+    "invalidates exactly its hour buckets — maintenance recomputes ONLY "
+    "those buckets via a days(ts)-partition-pruned scan of the raw "
+    "table (planned < total files, pinned in pytest) and upserts them "
+    "in ONE MoR commit (equality delete on the bucket keys + fresh "
+    "rows). Cost per refresh is O(late batch + affected partitions), "
+    "never a full recompute — at 100 TB with years of history and "
+    "minutes of lateness, that is the difference between a refresh "
+    "that takes seconds and one that rescans the table. The oracle "
+    "computes the rollup from ALL raw events in one pass, so any "
+    "missed invalidation, double-counted bucket, or stale row "
+    "hash-diverges.",
+)
+def q_ts_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mgr, _s = _setup_events_ca(spark, sf_dir)
+    return mgr.read("events_ca_hourly")

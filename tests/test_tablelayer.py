@@ -957,3 +957,27 @@ def test_versioned_views_history_asof_install_drop(spark, tmp_path):
         mgr.replace_view("v", "SELECT 1")
     with pytest.raises(ValueError, match="does not exist"):
         mgr.view_sql("v")
+
+
+def test_continuous_aggregate_refresh_is_partition_pruned(spark):
+    """The continuous aggregate's late-data refresh must recompute from
+    a days-PRUNED scan of the raw table (the O(affected partitions)
+    property the operator exists for), and the maintained rollup must
+    equal a from-scratch recompute of its defining query."""
+    from iceberg_poc_spark.operators.tablelayer import (
+        _ca_hourly,
+        _setup_events_ca,
+    )
+    from iceberg_poc_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    mgr, info = _setup_events_ca(spark, sf_dir)
+    assert 0 < info["planned"] < info["total"], info
+    got = sorted(
+        tuple(r) for r in mgr.read("events_ca_hourly").collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    want = sorted(tuple(r) for r in _ca_hourly(ev).collect())
+    assert got == want
