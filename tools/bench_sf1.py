@@ -134,6 +134,7 @@ ALWAYS = [
     "q_meta_profile_ndv",
     "q_meta_partition_stats",
     "q_analyze_ndv",
+    "q_ts_continuous_agg",
 ]
 
 
