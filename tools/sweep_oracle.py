@@ -67,6 +67,17 @@ def main() -> int:
         if not ok:
             fails.append(qid)
             print(f"{qid} FAIL", flush=True)
+            try:  # self-documenting diff: a transient/state-dependent
+                # failure must leave enough evidence to root-cause
+                ss, dd = set(s), set(d)
+                print(
+                    f"{qid} rows spark={len(s)} duck={len(d)}; "
+                    f"only_spark={sorted(ss - dd)[:3]} "
+                    f"only_duck={sorted(dd - ss)[:3]}",
+                    flush=True,
+                )
+            except Exception:
+                pass
     print(f"checked {len(ids)} at {sf}; failed: {fails or 'none'}")
     return 1 if fails else 0
 
