@@ -4002,27 +4002,38 @@ def _setup_events_ca(spark: SparkSession, sf_dir: str):
     # ---- late data arrives: append raw, maintain the rollup O(delta)
     mgr.append("events_ca", w2)
     # invalidation set: the late batch's distinct hour buckets (bounded
-    # by wall-clock hours in the late window, never by event count)
-    aff = [
+    # by wall-clock hours in the late window, never by event count).
+    # Kept as FORMATTED STRINGS end-to-end — the same rendering the
+    # rollup keys use — never as collected datetimes: F.date_trunc
+    # returns TIMESTAMP (LTZ), and collecting LTZ values converts
+    # instants through the PYTHON PROCESS timezone while SQL string
+    # literals parse through the SESSION timezone, so a datetime
+    # round-trip under TZ != session silently shifts the scan bounds
+    # by the zone offset and the tail buckets never recompute
+    # (reproduced under TZ=America/New_York; the string path is
+    # frame-free on both sides).
+    bucket_expr = F.date_format(
+        F.date_trunc("hour", F.col("ts")), _CA_FMT_SPARK
+    )
+    aff = sorted(
         r.h
-        for r in w2.select(
-            F.date_trunc("hour", F.col("ts")).alias("h")
-        )
-        .distinct()
-        .collect()
-    ]
-    lo, hi = min(aff), max(aff)
+        for r in w2.select(bucket_expr.alias("h")).distinct().collect()
+    )
     import datetime as _dt
 
+    hi_next = (
+        _dt.datetime.fromisoformat(aff[-1]) + _dt.timedelta(hours=1)
+    ).isoformat(sep=" ")
     scan_df, planned, total = mgr.scan(
         "events_ca",
-        where=[
-            ("ts", ">=", lo.isoformat(sep=" ")),
-            ("ts", "<", (hi + _dt.timedelta(hours=1)).isoformat(sep=" ")),
-        ],
+        where=[("ts", ">=", aff[0]), ("ts", "<", hi_next)],
     )
     recompute = _ca_hourly(
-        scan_df.filter(F.date_trunc("hour", F.col("ts")).isin(aff))
+        scan_df.filter(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), _CA_FMT_SPARK
+            ).isin(aff)
+        )
     )
     mgr.upsert_equality(
         "events_ca_hourly", recompute, keys=["bucket_ts", "event_type"]
