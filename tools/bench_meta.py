@@ -261,6 +261,14 @@ def main() -> int:
         )
         if results["1000"]["eqdel_attach_sec"]
         else None,
+        # tiny denominators make the preddel ratio noisy (tens of ms at
+        # 1k files); the absolute 100k cost is the honest scale signal
+        "preddel_attach_sec_at_100k_files": results["100000"][
+            "preddel_attach_sec"
+        ],
+        "eqdel_attach_sec_at_100k_files": results["100000"][
+            "eqdel_attach_sec"
+        ],
         "partition_stats_100x_ratio": round(
             results["100000"]["partition_stats_sec"]
             / results["1000"]["partition_stats_sec"],
