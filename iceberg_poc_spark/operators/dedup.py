@@ -1070,7 +1070,13 @@ def q_dedup_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    dc = d.join(cl, "doc_id", "left")
+    # cl holds one row per CLUSTERED doc (near-dup members only — a tiny
+    # fraction of the corpus at any scale) and arrives localCheckpointed
+    # from _propagate_labels, but its size stats don't survive the
+    # checkpoint, so Catalyst planned this as a SortMergeJoin that
+    # re-shuffled the ENTIRE corpus on doc_id (guide §3.1: broadcast the
+    # side that fits — r12-before plan: SortMergeJoin + 2 Exchange).
+    dc = d.join(F.broadcast(cl), "doc_id", "left")
     keepers = (
         dc.filter(F.col("cluster_root").isNotNull())
         .groupBy("cluster_root")
@@ -1697,7 +1703,7 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
         n >= SUBSTR_GRAM,
         F.sequence(F.lit(1), n - (SUBSTR_GRAM - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    g = docs.select(
+    g = docs.repartition(F.col("doc_id")).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1713,6 +1719,18 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    # Materialize the fingerprint pass ONCE (guide §8.4: compute the
+    # lightweight proxy of the heavy text one time, then decide on it).
+    # The df-filter aggregate and BOTH posting self-join sides consume g,
+    # and Spark only reuses identical EXCHANGES, not arbitrary subtrees —
+    # un-checkpointed, the scan+split+md5 stage ran 4x per query (and the
+    # whole match pipeline re-ran per downstream reuse in the APPLY leg:
+    # 18 parquet scans in its r12-before plan). The repartition ahead of
+    # the explode spreads the md5 pass across the cluster instead of one
+    # task per input split, and g itself is fingerprints+coords only
+    # (16-byte hashes, no text), the small-proxy shape that makes
+    # materializing it sane at any corpus scale.
+    g = g.localCheckpoint()
     keep = (
         g.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("d"))
@@ -1721,19 +1739,19 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
     )
     gk = g.join(keep, "fp")
     a, b = gk.alias("a"), gk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.pos").alias("pa"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-        )
-        .distinct()
+    # no .distinct(): g is unique on (doc_id, pos) — one fingerprint per
+    # gram position — so the self-join cannot emit duplicate
+    # (doc_a, doc_b, pa, diag) coordinates; the old distinct was a pure
+    # extra exchange (oracle-verified identical at sf0.001/0.01/0.1)
+    return a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
 
 
@@ -1910,15 +1928,24 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pa0") - F.col("diag")).alias("pb0"),
         "cnt",
     )
-    drops = islands.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.col("pb0"),
-                F.col("pb0") + F.col("cnt") + (SUBSTR_GRAM - 2),
-            )
-        ).alias("pos"),
-    ).distinct()
+    drops = (
+        islands.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pb0"),
+                    F.col("pb0") + F.col("cnt") + (SUBSTR_GRAM - 2),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        # drops feeds BOTH the affected-doc semi-join and the marking
+        # join; un-checkpointed, the posting self-join + islands window
+        # re-ran once per consumer. drops is (doc_id, pos) ints only —
+        # the small decision table of guide §8.4 — so materializing it
+        # once is cheap at any scale.
+        .localCheckpoint()
+    )
     # only AFFECTED documents re-assemble: the output filter keeps docs
     # with >=1 drop, so exploding/sorting the untouched corpus would be
     # pure wasted shuffle — semi-join the doc list first (broadcast

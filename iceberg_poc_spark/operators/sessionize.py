@@ -353,7 +353,16 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_stream(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    run_to_memory(stream, "live_tumbling", output_mode="complete")
+    # same state-parallelism sizing rationale as q_stream_live_join: one
+    # state store per shuffle partition per micro-batch, so size the
+    # stateful parallelism to the stream (measured here: 32-partition
+    # state commit ~10.4 s cumulative vs 0.14 s at 4 for the same batch)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_tumbling", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_tumbling")
 
 
@@ -891,7 +900,13 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sliding_stream(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    run_to_memory(stream, "live_sliding", output_mode="complete")
+    # same state-parallelism sizing rationale as q_stream_live_join
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(stream, "live_sliding", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_sliding").withColumn("n", F.col("n").cast("bigint"))
 
 

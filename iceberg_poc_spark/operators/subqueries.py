@@ -11,6 +11,7 @@ naive interpreter would do and what would die at 100 TB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_poc_spark.registry import register
 from iceberg_poc_spark.sources import load_table
@@ -144,7 +145,34 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     view = f"orders_scr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    # One distributed pass folds orders into <= ~40 (bucket, cents) rows
+    # (partial aggregation, guide §2.3): bucket b holds the exact BIGINT
+    # cents sum for prices in [b*25k, (b+1)*25k), so each WHILE
+    # iteration's captured(k) = SUM over buckets b < k/25 — instead of
+    # re-scanning the FULL orders table once per iteration (~15 scans at
+    # sf0.1 in the r12-before shape). Value identity is exact:
+    #   - prices are 2-dp (verified 0 non-2dp rows at all SFs), so
+    #     o_totalprice < k*1000  <=>  cents < k*100000  <=>  b < k DIV 25
+    #     (k is always a multiple of SCRIPT_STEP_K in the loop);
+    #   - BIGINT partial sums re-associate exactly (no overflow: total
+    #     ~3.8e12 << 2^63).
+    # The scripting division of labor is unchanged — control flow stays
+    # driver-side in SQL, every iteration still runs a distributed
+    # query — the loop just probes the pre-folded table.
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .groupBy(
+            F.expr(f"cents div {SCRIPT_STEP_K * 100000}").alias("b")
+        )
+        .agg(F.sum("cents").alias("cents"))
+        .cache()
+        .createOrReplaceTempView(view)
+    )
     prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
@@ -153,15 +181,21 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE total BIGINT;
           DECLARE captured BIGINT DEFAULT 0;
           DECLARE k INT DEFAULT 0;
-          SET total = (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)
-                                        AS BIGINT)) AS BIGINT)
-                       FROM {view});
+          SET total = (SELECT CAST(SUM(cents) AS BIGINT) FROM {view});
           WHILE captured * 2 < total DO
-            SET k = k + {SCRIPT_STEP_K};
-            SET captured = (
-              SELECT CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
-                                        AS BIGINT)), 0) AS BIGINT)
-              FROM {view} WHERE o_totalprice < k * 1000);
+            -- one multi-variable SET per iteration: every scripting
+            -- statement pays fixed parse/analyze/execute machinery
+            -- (~0.24 s/iter measured for the SET-scalar-subquery form vs
+            -- ~0.09 s/iter for a direct FROM multi-SET), so folding the
+            -- k bump and the captured probe into ONE statement halves
+            -- the driver-side statement count and drops the scalar-
+            -- subquery wrapping — same trajectory, same values.
+            SET (k, captured) = (
+              SELECT k + {SCRIPT_STEP_K},
+                     CAST(COALESCE(SUM(CASE
+                          WHEN b < (k + {SCRIPT_STEP_K}) DIV {SCRIPT_STEP_K}
+                          THEN cents END), 0) AS BIGINT)
+              FROM {view});
           END WHILE;
           SELECT k AS threshold_k,
                  captured AS captured_cents,

@@ -879,6 +879,15 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.explode(F.array_distinct(shingles_col(k=8))).alias("shingle"))
         .distinct()
+        # BOTH the fp build and the exact-verify semi-join consume
+        # bench_sh, and their downstream projections differ, so Spark's
+        # reuse pass can't share the subtree — un-materialized, the src0
+        # scan+split+shingle+distinct pipeline ran twice (r12-before
+        # plan: 2 identical Generate stages over src0). bench_sh is the
+        # benchmark's distinct shingles — bounded by the EVAL set, not
+        # the corpus — so materializing it once is cheap at any scale
+        # (guide §8.4: compute the shared proxy once).
+        .localCheckpoint()
     )
     fp = bench_sh.select(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 4).alias("fp")
