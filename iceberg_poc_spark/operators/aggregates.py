@@ -431,15 +431,15 @@ def q_agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("b").cast("int").alias("med_bucket"),
         )
     )
-    exact = (
-        o.groupBy(F.col("o_orderpriority").alias("scope"))
-        .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
-        .unionByName(
-            o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m")).select(
-                F.lit("ALL").alias("scope"), "m"
-            )
-        )
-    )
+    # ROLLUP computes the per-priority medians AND the grand-total median
+    # in ONE orders pass (guide §2.3) — the union form scanned + sorted
+    # orders twice. o_orderpriority is never null (verified at all SFs),
+    # so the rollup's null row is unambiguously the ALL group. The
+    # percentile values are identical: same aggregate over the same
+    # groups, just planned as one scan.
+    exact = o.rollup(F.col("o_orderpriority").alias("scope")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    ).select(F.coalesce("scope", F.lit("ALL")).alias("scope"), "m")
     est_lo = F.lit(mn) + (F.col("med_bucket") - 1) * F.lit(w)
     est_hi = F.lit(mn) + (F.col("med_bucket") + 2) * F.lit(w)
     return med.join(exact, "scope").select(

@@ -345,7 +345,12 @@ def _propagate_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the fixpoint sum right below is the
+            # round's one action — it materializes the checkpoint as a
+            # side effect, so each round costs ONE job instead of two
+            # (eager checkpoint job + separate sum job). The lineage cut
+            # is identical either way.
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -920,6 +925,11 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg"),
     ).withColumn("h", F.md5("seg"))
+    # downstream reads only (doc_id, source, h) — drop the segment text
+    # before materializing (guide §2.2: shuffle/store the narrow proxy),
+    # and checkpoint once so the segmentation explode + md5 pass feeds
+    # BOTH the df aggregate and the marking join without re-running.
+    segs = segs.select("doc_id", "source", "h").localCheckpoint()
     seg_df = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
     marked = segs.join(seg_df, "h")
     removed = F.sum(
@@ -994,6 +1004,12 @@ def q_dedup_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "seg"),
     ).withColumn("h", F.md5("seg"))
+    # the df-count aggregate and the keep-join BOTH consume segs —
+    # un-materialized, the segmentation explode + md5 pass ran twice
+    # (r12-before plan: 2 identical Generate stages). One checkpoint
+    # costs the local-disk write a shuffle of segs would anyway, and
+    # halves the segmentation compute.
+    segs = segs.localCheckpoint()
     seg_df = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
     kept = (
         segs.join(seg_df, "h")

@@ -285,6 +285,13 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumnRenamed("l_orderkey", "k"),
         o.withColumnRenamed("o_orderkey", "k"),
         on=["k"],
+        # replication factor multiplies the OTHER side's build cost
+        # linearly (guide §2.4: salt just enough to bound the hot
+        # partition, no more) — 4x already splits any hot key across 4
+        # reducers; 8x only doubled the replicated build for no extra
+        # skew headroom on this key distribution. Results are
+        # salt-invariant by construction.
+        salts=4,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),

@@ -831,6 +831,13 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
     )
+    # both the per-user spine derivation and the gap-fill join consume
+    # hourly, and their downstream shapes differ, so the events
+    # scan+aggregate pipeline ran twice (r12-before plan: 2 scans,
+    # 2 exchanges). hourly is (user, hour, count, sum) — the compacted
+    # proxy of the events table — so materializing it once is cheap at
+    # any scale (guide §8.4).
+    hourly = hourly.localCheckpoint()
     spine = (
         hourly.groupBy("user_id")
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))

@@ -342,8 +342,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(1))
     )
+    # the accounting side never reads text, so skip the text-bearing
+    # repartition exchange and re-scan just (doc_id, source) — the scan
+    # is column-pruned to two columns (guide §2.2)
+    cand_meta = raw.filter(F.col("source") != "src0").select(
+        "doc_id", "source"
+    )
     return (
-        cand.join(contaminated, "doc_id", "left")
+        cand_meta.join(contaminated, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -907,8 +913,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contaminated", F.lit(1))
     )
+    # the accounting side never reads text, so skip the text-bearing
+    # repartition exchange and re-scan just (doc_id, source) — the scan
+    # is column-pruned to two columns (guide §2.2)
+    cand_meta = raw.filter(F.col("source") != "src0").select(
+        "doc_id", "source"
+    )
     return (
-        cand.join(contaminated, "doc_id", "left")
+        cand_meta.join(contaminated, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1049,8 +1061,14 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ratio <= 0.75, "high")
         .otherwise("critical")
     )
+    # same trim as q_decontaminate: the scoring join needs only
+    # (doc_id, source) — no reason to route it through the text
+    # repartition exchange
+    cand_meta = raw.filter(F.col("source") != "src0").select(
+        "doc_id", "source"
+    )
     return (
-        cand.select("doc_id", "source")
+        cand_meta
         .join(per_doc, "doc_id")
         .select("source", band.alias("overlap_band"))
         .groupBy("source", "overlap_band")
