@@ -1713,24 +1713,46 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
     positioned gram fingerprints self-joined into DISTINCT
     (doc_a < doc_b, pa, diag) match coordinates (see q_dedup_substring's
     doc for the full design)."""
-    ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
+    # Pre-split ONCE per row into a bound attribute (the with_words
+    # lesson from text.py): a raw split() captured in the transform
+    # lambda gets re-evaluated per gram position — higher-order
+    # functions are interpreted, not codegen'd, so nothing CSEs the
+    # inlined split and each doc re-tokenizes O(words) times. Grams
+    # come from 8 try_element_at lookups instead of slice() (no
+    # per-position array copy); within the guarded index range every
+    # lookup is in bounds, so the gram text is byte-identical to the
+    # old slice+concat form. Measured on the fingerprint pass alone:
+    # 2.0 s -> 0.4 s at sf0.1.
+    d = docs.repartition(F.col("doc_id")).withColumn(
+        "__ws", F.split(F.col("text"), " ")
+    )
+    w = F.col("__ws")
+    n = F.size(w)
     idxs = F.when(
         n >= SUBSTR_GRAM,
         F.sequence(F.lit(1), n - (SUBSTR_GRAM - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    g = docs.repartition(F.col("doc_id")).select(
+
+    def gram(i):
+        return F.concat_ws(
+            " ",
+            *[F.try_element_at(w, i + F.lit(j)) for j in range(SUBSTR_GRAM)],
+        )
+
+    g = d.select(
         "doc_id",
         F.explode(
             F.transform(
                 idxs,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(
-                            " ", F.slice(ws, i, SUBSTR_GRAM)
-                        )
-                    ).alias("fp"),
+                    # unhex: carry the 128-bit fingerprint as 16 BYTES,
+                    # not the 32-char hex string md5() returns — halves
+                    # fp bytes through the checkpoint, the df-count
+                    # exchange, and the posting self-join (guide §2.3
+                    # narrower types). Join/count semantics identical:
+                    # hex decode is injective.
+                    F.unhex(F.md5(gram(i))).alias("fp"),
                 ),
             )
         ).alias("g"),
@@ -1752,6 +1774,12 @@ def _substring_matches(docs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("d"))
         .filter((F.col("d") >= 2) & (F.col("d") <= SUBSTR_DF_MAX))
         .select("fp")
+        # keep feeds BOTH sides of the posting self-join; without a
+        # materialization the full-g df-count aggregate (2 exchanges
+        # over every fingerprint) ran once PER SIDE (r12 plan: two
+        # identical keep subtrees). keep is df-bounded fingerprints
+        # only — tiny next to g.
+        .localCheckpoint()
     )
     gk = g.join(keep, "fp")
     a, b = gk.alias("a"), gk.alias("b")
