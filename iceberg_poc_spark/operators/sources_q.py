@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_poc_spark.registry import register
-from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.sources import load_table, scan_parquet
 from iceberg_poc_spark.sources.formats import (
     read_csv,
     read_json,
@@ -252,7 +252,9 @@ def q_meta_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .parquet(path),
     )
-    back = spark.read.parquet(path)
+    # memoized scan: per-run re-listing of the hive layout + schema
+    # inference is pure driver overhead (sources.scan_parquet)
+    back = scan_parquet(spark, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),

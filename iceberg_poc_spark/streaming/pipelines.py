@@ -35,6 +35,40 @@ from pyspark.sql.types import (
 from iceberg_poc_spark.tables.manager import ParquetTableManager
 
 
+# ts physical type per file identity: the footer peek
+# (spark.read.parquet(path).schema) costs a driver-side listing +
+# inference pass PER STREAM SETUP; the answer is a property of the FILES
+# (not the session), so it is memoized on the realpath+stat of the first
+# data file — symlinked scratch dirs (fresh per run) resolve to the same
+# underlying corpus file and hit.
+_TS_IS_LONG: dict[tuple, bool] = {}
+
+
+def _ts_is_long(spark: SparkSession, path: str) -> bool:
+    import os
+
+    key = None
+    try:
+        files = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if files:
+            first = os.path.realpath(os.path.join(path, files[0]))
+            st = os.stat(first)
+            key = (first, st.st_mtime_ns, st.st_size, st.st_ino)
+            hit = _TS_IS_LONG.get(key)
+            if hit is not None:
+                return hit
+    except OSError:
+        key = None
+    ans = isinstance(spark.read.parquet(path).schema["ts"].dataType, LongType)
+    if key is not None:
+        _TS_IS_LONG[key] = ans
+    return ans
+
+
 def _events_schema(ts_type) -> StructType:
     return StructType(
         [
@@ -88,9 +122,7 @@ def load_events_stream(
             [f for f in os.listdir(path) if not f.startswith(("_", "."))]
         )
         files_per_trigger = max(1, -(-n_files // 4))
-    ts_is_long = isinstance(
-        spark.read.parquet(path).schema["ts"].dataType, LongType
-    )
+    ts_is_long = _ts_is_long(spark, path)
     raw = (
         spark.readStream.schema(
             _events_schema(LongType() if ts_is_long else TimestampType())
