@@ -322,29 +322,72 @@ def _propagate_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     edges = edges_raw.repartition(n_parts, "b").cache()
     edges.count()  # materialize from the raw cache, then drop it
     edges_raw.unpersist()
+    # Initialize labels with round 1 ALREADY FOLDED IN: with self-labels,
+    # the first round's neighbor-min is just min(b) per a, and that min
+    # rides the SAME groupBy(a) shuffle the node-list distinct() would
+    # cost anyway — one full propagation round for free (guide §1.2:
+    # remove passes). least(a, min(b)) == least(label0, nb1) exactly.
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.repartition(n_parts, "a")
+        .groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.least(F.col("a"), F.col("nb")).alias("label"),
+        )
+        # lazy checkpoint: round 1 references labels twice (join side +
+        # self-union side); the cut makes the init groupBy run once
+        .localCheckpoint(eager=False)
     )
     # min-propagation decreases the label multiset monotonically, so the
     # label SUM is a fixpoint witness: one single-row action per round
     # instead of a join + count.
+    #
+    # AQE inside the loop: each Exchange becomes its own scheduled
+    # stage-job, so a round costs 4-5 job launches instead of 1. AQE's
+    # value is runtime re-planning of big shuffles — when the WHOLE graph
+    # fits one task (n_parts == 1) there is nothing to coalesce or split,
+    # so it is pure per-round scheduling overhead; a big graph (n_parts >
+    # 1) keeps AQE on for its skew/coalesce machinery. Scale-adaptive by
+    # the same n_parts that sizes the shuffle, not a local-mode constant.
+    aqe_off = n_parts == 1
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labels = _propagate_rounds(edges, labels, n_parts)
+    finally:
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_root"))
+
+
+def _propagate_rounds(
+    edges: DataFrame, labels: DataFrame, n_parts: int
+) -> DataFrame:
+    """The fixpoint loop of :func:`_propagate_labels` (split out so the
+    AQE toggle around it restores on any exit path)."""
     prev_sum = None
     for _ in range(20):  # bound >> diameter of any near-dup component
-        nb = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nl"))
-        )
+        # One aggregation per round instead of join+agg+join: new label =
+        # min over (own label ∪ neighbor labels), expressed as the
+        # neighbor-join UNIONed with the self rows and a single min — the
+        # old shape's second join (labels ⟕ nb) and its exchange are gone
+        # (guide §2.4). The explicit repartition(n_parts, a) feeds the
+        # groupBy its exact distribution (one exchange, reused), and the
+        # round's output partitioning (hash(doc_id, n_parts)) is what the
+        # NEXT round's join needs on the labels side.
         labels = (
-            labels.join(nb, labels.doc_id == nb.a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias(
-                    "label"
-                ),
+            edges.join(labels, edges.b == labels.doc_id)
+            .select("a", "label")
+            .unionByName(
+                labels.select(F.col("doc_id").alias("a"), F.col("label"))
             )
+            .repartition(n_parts, "a")
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("a").alias("doc_id"), "label")
             # LAZY checkpoint: the fixpoint sum right below is the
             # round's one action — it materializes the checkpoint as a
             # side effect, so each round costs ONE job instead of two
@@ -356,8 +399,7 @@ def _propagate_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_root"))
+    return labels
 
 
 _qc = _registry.REGISTRY["q_dedup_clusters"]
