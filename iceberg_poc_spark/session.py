@@ -75,6 +75,34 @@ def get_spark(
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, conf: dict[str, str]):
+    """Set session confs for one block, restoring the prior values on
+    any exit path.
+
+    NOTE (ADVICE r12): SparkSession conf is session-GLOBAL. Scoping it
+    this way is sound only because the harness drives one query at a
+    time on the session (bench.py / the oracle driver are single-
+    threaded); a concurrent query on the same session would observe the
+    override. The restore also only covers work that EXECUTES inside
+    the block — callers must consume (or eagerly materialize) anything
+    that depends on the override before the block exits."""
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the correctness driver passes us its own session)."""

@@ -51,15 +51,38 @@ _SCAN_PLANS: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 SCAN_PLAN_CACHE_MAX = 64
 
 
+# directories with more children than this are not memoized at all —
+# keeps key construction O(small) and sidesteps partial-rewrite staleness
+# for layouts this cache was never sized for
+_SCAN_KEY_MAX_CHILDREN = 512
+
+
 def _scan_key(spark: SparkSession, path: str) -> tuple | None:
     try:
         st = os.stat(path)
+        sub: tuple = ()
+        if os.path.isdir(path):
+            # Fold ONE level of child stats into the key: a write INSIDE a
+            # partition subdirectory (append into an existing c_x=N/ dir,
+            # in-place file rewrite) changes that child's stat but not the
+            # root dir's, so a root-only key would serve a stale plan with
+            # an outdated file index (ADVICE r12). One listdir is the same
+            # metadata cost the cache saves many times over per hit.
+            names = sorted(os.listdir(path))
+            if len(names) > _SCAN_KEY_MAX_CHILDREN:
+                return None
+            sub = tuple(
+                (n, cst.st_mtime_ns, cst.st_size)
+                for n in names
+                for cst in (os.stat(os.path.join(path, n)),)
+            )
         return (
             weakref.ref(spark),
             os.path.abspath(path),
             st.st_mtime_ns,
             st.st_size,
             st.st_ino,
+            sub,
         )
     except (OSError, TypeError):
         return None
@@ -79,8 +102,10 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet(path)`` with the scan plan memoized per
     (session, file identity) — for operator-owned parquet layouts
     (hive-partitioned scratch dirs, converted side tables) that are
-    re-read every run but rewritten rarely. Directory mtime changes on
-    any file add/remove, so a rewrite is a miss."""
+    re-read every run but rewritten rarely. The key carries the root
+    stat AND one level of child stats, so both a root rewrite and a
+    write inside a partition subdirectory are misses; directories with
+    more than ``_SCAN_KEY_MAX_CHILDREN`` children are never memoized."""
     key = _scan_key(spark, path)
     if key is not None:
         hit = _SCAN_PLANS.get(key)
@@ -100,14 +125,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
     path = table_path(sf_dir, name)
-    # load_table caches the POST-transform plan under its own key (the
-    # path string, not abspath-normalized, cannot collide with
-    # scan_parquet's abspath of the same file because the tuple's
-    # session/identity fields are built identically — so reserve a
-    # distinct key shape by appending the table name)
+    # load_table caches the POST-transform plan, so its key must carry
+    # everything the transform depends on: the table name (reserves a
+    # key shape distinct from scan_parquet's raw-scan entries for the
+    # same file) and, for events, the session conf that decides whether
+    # ts arrives as long nanos — flipping nanosAsLong mid-session must
+    # be a cache miss, not a stale transform (ADVICE r12).
     key = _scan_key(spark, path)
     if key is not None:
         key = key + (name,)
+        if name == "events":
+            key = key + (
+                spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong", "false"
+                ),
+            )
         hit = _SCAN_PLANS.get(key)
         if hit is not None:
             _SCAN_PLANS.move_to_end(key)

@@ -35,13 +35,19 @@ from pyspark.sql.types import (
 from iceberg_poc_spark.tables.manager import ParquetTableManager
 
 
-# ts physical type per file identity: the footer peek
+# ts physical type per file-set identity: the footer peek
 # (spark.read.parquet(path).schema) costs a driver-side listing +
 # inference pass PER STREAM SETUP; the answer is a property of the FILES
-# (not the session), so it is memoized on the realpath+stat of the first
-# data file — symlinked scratch dirs (fresh per run) resolve to the same
-# underlying corpus file and hit.
-_TS_IS_LONG: dict[tuple, bool] = {}
+# (not the session), so it is memoized on the realpath+stat of EVERY
+# data file in the directory (the uncached answer is inferred over the
+# whole directory, so a first-file-only key could serve a wrong cached
+# answer for a dir whose later files differ — ADVICE r12). Symlinked
+# scratch dirs (fresh per run) resolve to the same underlying corpus
+# files and hit. Bounded LRU, same convention as _SCAN_PLANS.
+from collections import OrderedDict
+
+_TS_IS_LONG: "OrderedDict[tuple, bool]" = OrderedDict()
+_TS_IS_LONG_MAX = 64
 
 
 def _ts_is_long(spark: SparkSession, path: str) -> bool:
@@ -55,18 +61,60 @@ def _ts_is_long(spark: SparkSession, path: str) -> bool:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         if files:
-            first = os.path.realpath(os.path.join(path, files[0]))
-            st = os.stat(first)
-            key = (first, st.st_mtime_ns, st.st_size, st.st_ino)
+            stats = []
+            for f in files:
+                real = os.path.realpath(os.path.join(path, f))
+                st = os.stat(real)
+                stats.append((real, st.st_mtime_ns, st.st_size, st.st_ino))
+            key = tuple(stats)
             hit = _TS_IS_LONG.get(key)
             if hit is not None:
+                _TS_IS_LONG.move_to_end(key)
                 return hit
     except OSError:
         key = None
     ans = isinstance(spark.read.parquet(path).schema["ts"].dataType, LongType)
     if key is not None:
         _TS_IS_LONG[key] = ans
+        while len(_TS_IS_LONG) > _TS_IS_LONG_MAX:
+            _TS_IS_LONG.popitem(last=False)
     return ans
+
+
+# Stateful-stream parallelism target: bytes of SOURCE input per state
+# partition across one availableNow drain. A stateful op commits one
+# state store per shuffle partition per micro-batch, and each commit
+# has a fixed cost regardless of the data it holds (measured at this
+# corpus: 32-partition state commit ~10.4 s cumulative vs 0.14 s at 4
+# for the same drain), so each state partition should own enough input
+# to amortize it — ~512 KiB of source parquet per drain (~128 KiB per
+# micro-batch at the loader's ~4-batch drain cap). The formula is
+# DATA-sized, not core-count-sized: a 10x stream gets 10x the state
+# partitions (up to the session's shuffle parallelism, the
+# cluster-scale knob), a tiny stream gets 1.
+_STATE_BYTES_PER_PARTITION = 512 * 1024
+
+
+def stream_state_partitions(spark: SparkSession, path: str) -> int:
+    """Shuffle/state parallelism for a stateful drain of the stream
+    rooted at ``path`` (a parquet file or directory), derived from the
+    DRAINED INPUT VOLUME — see ``_STATE_BYTES_PER_PARTITION``."""
+    import math
+    import os
+
+    try:
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+    except OSError:
+        total = 0
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, math.ceil(total / _STATE_BYTES_PER_PARTITION)))
 
 
 def _events_schema(ts_type) -> StructType:

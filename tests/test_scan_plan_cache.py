@@ -101,3 +101,49 @@ def test_cache_is_bounded(spark, sf_dir):
     for t in ("region", "nation", "customer", "orders"):
         load_table(spark, sf_dir, t)
     assert len(_SCAN_PLANS) <= T.SCAN_PLAN_CACHE_MAX
+
+
+def test_subdir_write_invalidates(spark, tmp_path):
+    # ADVICE r12: a write INSIDE a partition subdirectory must be a miss
+    # even though the root dir's stat is unchanged.
+    from iceberg_poc_spark.sources.tables import scan_parquet
+
+    root = str(tmp_path / "hive")
+    spark.range(4).selectExpr("id", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(root)
+    first = scan_parquet(spark, root)
+    n1 = first.count()
+    # append a file into an EXISTING partition subdirectory only
+    spark.range(100, 102).selectExpr("id", "0 AS p").write.mode(
+        "append"
+    ).partitionBy("p").parquet(root)
+    again = scan_parquet(spark, root)
+    assert again is not first
+    assert again.count() == n1 + 2
+
+
+def test_ts_peek_keys_on_all_files(spark, tmp_path):
+    # _TS_IS_LONG must not serve a first-file-shared dir whose remaining
+    # files differ (ADVICE r12): the key covers EVERY data file's
+    # identity, so a dir that gains a file is a fresh entry, and the
+    # cache stays bounded.
+    import os
+
+    from iceberg_poc_spark.streaming import pipelines as P
+
+    src = os.path.realpath("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "dir")
+    os.makedirs(d)
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    P._TS_IS_LONG.clear()
+    a1 = P._ts_is_long(spark, d)
+    a2 = P._ts_is_long(spark, d)
+    assert a1 == a2
+    assert len(P._TS_IS_LONG) == 1  # repeat call hit, no new entry
+    # same FIRST file, but the dir gained a second file: must be a new
+    # key (the old single-file entry may not be served for the new set)
+    os.symlink(src, os.path.join(d, "b.parquet"))
+    P._ts_is_long(spark, d)
+    assert len(P._TS_IS_LONG) == 2
+    assert len(P._TS_IS_LONG) <= P._TS_IS_LONG_MAX
