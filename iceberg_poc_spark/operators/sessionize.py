@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from iceberg_poc_spark.functions.sqlround import dround
 from iceberg_poc_spark.registry import register
-from iceberg_poc_spark.sources import load_table
+from iceberg_poc_spark.session import scoped_conf
+from iceberg_poc_spark.sources import load_table, table_path
+from iceberg_poc_spark.streaming.pipelines import stream_state_partitions
 
 _FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -353,16 +355,16 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_stream(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    # same state-parallelism sizing rationale as q_stream_live_join: one
-    # state store per shuffle partition per micro-batch, so size the
-    # stateful parallelism to the stream (measured here: 32-partition
-    # state commit ~10.4 s cumulative vs 0.14 s at 4 for the same batch)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # state parallelism DERIVED from drained stream volume (one state
+    # store per shuffle partition per micro-batch; measured here:
+    # 32-partition state commit ~10.4 s cumulative vs 0.14 s at the
+    # volume-derived width for the same batch) — see
+    # streaming.pipelines.stream_state_partitions
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_tumbling", output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_tumbling")
 
 
@@ -484,12 +486,11 @@ def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for copy in ("a", "b"):
             os.symlink(f, os.path.join(d, f"{copy}_{i:04d}.parquet"))
     stream = dedup_stream(load_events_stream(spark, d))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_dedup", output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table("live_dedup")
         .groupBy("event_type")
@@ -549,12 +550,11 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = session_stream(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_session", output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_session")
 
 
@@ -580,8 +580,10 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python state-worker round trip per micro-batch) + rows x "
     "throughput, so the availableNow drain is batch-count-bounded — "
     "the loader caps the drain at ~4 batches (ceil(files/4), "
-    "streaming/pipelines.py) and state parallelism is sized to the "
-    "stream (4 shuffle partitions), giving ~3.3x wall for 10x rows on "
+    "streaming/pipelines.py) and state parallelism is DERIVED from "
+    "drained stream volume (stream_state_partitions: ~512 KiB of "
+    "source input per state partition, capped at the session's "
+    "shuffle parallelism), giving ~3.3x wall for 10x rows on "
     "the re-keyed sweep (was 6.35x at ~8 batches, 27x at one batch "
     "per file). Completes the live trio's fourth leg: agg window / "
     "join / table sink / custom state.",
@@ -598,12 +600,11 @@ def q_stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
     # same state-parallelism sizing rationale as q_stream_live_join
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_stateful", output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     t = spark.table("live_stateful")
     return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
@@ -649,17 +650,17 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stateful streaming op materializes ONE state store per shuffle
     # partition per join side per micro-batch — at this stream's volume,
     # 32 partitions means 64 store commits that each cost more than the
-    # data they hold. Size the stateful parallelism to the stream (the
-    # batch-side restore below is safe: the drain is synchronous, and the
-    # memory sink's rows are already materialized). At 100 TB/day the
-    # same knob goes UP, not down — state parallelism should track
-    # stream volume, which is the point being made executable here.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # data they hold. State parallelism is DERIVED from the drained
+    # stream volume (streaming.pipelines.stream_state_partitions): at
+    # 100 TB/day the same formula yields the session's full shuffle
+    # parallelism — the knob tracks stream volume by construction, not
+    # by a hand-tuned constant. (The scoped restore is safe: the drain
+    # is synchronous and the memory sink's rows are materialized.)
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_attrib", output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_attrib")
 
 
@@ -706,12 +707,11 @@ def q_stream_live_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = attribution_stream_outer(
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_attrib_outer", output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     cutoff = (
         load_table(spark, sf_dir, "events")
         .agg(
@@ -765,12 +765,11 @@ def q_stream_live_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(agg, "live_enrich", output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_enrich")
 
 
@@ -908,12 +907,11 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_events_stream(spark, table_path(sf_dir, "events"))
     )
     # same state-parallelism sizing rationale as q_stream_live_join
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    parts = stream_state_partitions(spark, table_path(sf_dir, "events"))
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(parts)}
+    ):
         run_to_memory(stream, "live_sliding", output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("live_sliding").withColumn("n", F.col("n").cast("bigint"))
 
 
