@@ -138,7 +138,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).cache()
+    # localCheckpoint, NOT .cache(): the signature table feeds the band
+    # self-join (both sides) and both verify joins, so it must
+    # materialize once per run — but a .cache() here outlives the run
+    # (CacheManager matches the identical plan on the next call), so
+    # warm re-runs would skip the minhash pass the query declares
+    # (VERDICT r12 item 4). A checkpoint is a fresh RDD per run: within-
+    # run reuse, zero cross-run reuse.
+    sigs = minhash_signatures(docs).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs)
     x = sigs.alias("x")
     y = sigs.alias("y")
@@ -466,11 +473,13 @@ JACCARD_THRESHOLD = 0.5
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # cache: the shingle set feeds the signature agg, the intersection and
-    # the size agg; uncached, Spark recomputes the explode per branch.
-    sh = doc_shingles(docs).cache()
-    # cache sigs too: the band self-join references it on both sides.
-    sigs = sh.groupBy("doc_id").agg(*_minhash_cols()).cache()
+    # localCheckpoint (not .cache  — see q_dedup_near): the shingle set
+    # feeds the signature agg, the intersection and the size agg;
+    # unmaterialized, Spark recomputes the explode per branch; cached,
+    # the next RUN would reuse it and stop measuring the declared work.
+    sh = doc_shingles(docs).localCheckpoint()
+    # sigs too: the band self-join references it on both sides.
+    sigs = sh.groupBy("doc_id").agg(*_minhash_cols()).localCheckpoint()
     cand = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.alias("sa")
@@ -554,7 +563,10 @@ CONTAIN_DF_MAX = 4  # candidate shingles must appear in <= this many docs
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs).cache()
+    # per-run localCheckpoint — shared by the df-filter, both
+    # intersection sides and the size agg (see q_dedup_near for why
+    # .cache() is wrong here)
+    sh = doc_shingles(docs).localCheckpoint()
     rare = sh.join(
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -829,41 +841,85 @@ _HOPS_RECURSIVE_SQL = """
 @register(
     "q_dedup_hops",
     oracle=None,  # late-bound below (shares the md5 minhash CTEs)
-    doc="Bounded 2-hop neighborhoods over the near-dup pair graph, "
-    "executed as a RECURSIVE CTE (Spark 4 WITH RECURSIVE — the new "
-    "iterative-union executor, exercised here on real LSH output): for "
+    doc="Bounded 2-hop neighborhoods over the near-dup pair graph: for "
     "each document, every near-duplicate reachable in <=2 hops with its "
     "minimum hop count — the 'expand the dup cluster around this doc' "
-    "primitive reviewers use before deleting. The recursion is depth-"
-    "bounded so each iteration is one self-join of the (tiny) pair "
-    "graph, never the corpus; DuckDB runs the IDENTICAL recursive shape "
-    "over the shared-hash-family pairs. Contrast: q_dedup_clusters "
-    "needs unbounded reach and therefore uses the label-propagation "
-    "loop; bounded-radius questions fit the recursive form directly. "
-    "Scale shape (exposed by the 10x re-keyed sf1 sweep, then fixed): "
-    "inside a dup CLUSTER of k copies the naive recursive step emits "
-    "every path — (k-1)^2 rows per node at hop 2 — which tripped Spark's "
-    "1M-row recursion guard at 10x duplication; the recursive term now "
-    "dedups per iteration (SELECT DISTINCT, identical on both engines: "
-    "UNION-distinct recursion is not yet in Spark 4.1), bounding each "
-    "iteration to distinct (src,dst,hop) — the output's own cardinality. "
-    "The guard itself is raised for this query: a depth-2-bounded "
-    "recursion cannot run away, and the legitimate result IS "
-    "sum-over-clusters k*(k-1) rows.",
+    "primitive reviewers use before deleting. The hop bound is a "
+    "compile-time constant, so the engine UNROLLS the recursion into a "
+    "static plan — hop-1 rows union one edge self-join, min-hop per "
+    "(src, dst) — one job per run, where the recursive-CTE executor "
+    "(the r12 implementation) re-planned ~20 driver-side jobs per run "
+    "and needed a sticky session-global recursion-row-limit override. "
+    "DuckDB runs the genuinely RECURSIVE shape (WITH RECURSIVE, "
+    "per-iteration DISTINCT) over the shared-hash-family pairs, so the "
+    "unroll is value-checked against the recursive semantics at every "
+    "SF. Contrast: q_dedup_clusters needs unbounded reach and therefore "
+    "uses the label-propagation loop; bounded-radius questions unroll. "
+    "Scale shape: inside a dup CLUSTER of k copies the hop-2 join emits "
+    "every path — (k-1)^2 rows per node — which the min-hop aggregation "
+    "collapses with map-side partial aggregation to the output's own "
+    "cardinality, sum-over-clusters k*(k-1) rows.",
 )
 def q_dedup_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint materializes the (tiny) pair list ONCE before the
-    # recursion: the recursive executor re-reads its source per iteration,
-    # and a lazy view would re-run the whole LSH pipeline each time
-    # (measured 2.9s -> 2.1s at sf0.1)
-    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    pairs.createOrReplaceTempView("__dup_pairs")
-    # the 1M default guards against unbounded recursion; this recursion is
-    # depth-bounded (hop < 2), so the only effect of the default is to cap
-    # legitimate output size. Sticky session set (the returned DataFrame
-    # executes after this function returns, so set/restore would undo it).
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
-    return spark.sql(_HOPS_RECURSIVE_SQL.format(pairs="__dup_pairs"))
+    # The hop bound is a COMPILE-TIME constant (2), so the recursion
+    # unrolls exactly into a static plan (VERDICT r12 item 3): the
+    # recursive-CTE executor re-planned and re-scheduled ~20 jobs per
+    # run (driver-side planning per iteration, worst scaling ratio on
+    # the r12 board at 0.48) and needed a sticky session-global
+    # cteRecursionRowLimit override that poisoned the conf for every
+    # later query. The unrolled form is the recursion's own algebra —
+    #   hops = edges x {hop 1}  UNION  (edges ⋈ edges) x {hop 2}
+    #   result = min hop per (src, dst), src <> dst
+    # — one job, no recursion guard, no sticky conf; the oracle still
+    # runs the IDENTICAL WITH RECURSIVE shape, so the unroll is
+    # value-checked against the recursive semantics at every SF.
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize map-side (explode both directions, the _propagate_labels
+    # trick — a union of the plan with its swap would run the LSH
+    # pipeline twice), then materialize ONCE: edges feed three consumers
+    # (hop-1 rows + both sides of the hop-2 self-join).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()  # the recursive form's UNION-distinct edge CTE
+        .localCheckpoint()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    hop2 = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .filter(F.col("e2.b") != F.col("e1.a"))
+        .select(
+            F.col("e1.a").alias("src"),
+            F.col("e2.b").alias("dst"),
+            F.lit(2).alias("hop"),
+        )
+    )
+    hops = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("hop")
+    ).unionByName(hop2)
+    # min-hop dedups the hop-2 path multiplicity and prefers the direct
+    # edge, exactly the recursive form's GROUP BY src, dst MIN(hop)
+    return (
+        hops.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("hop").cast("int").alias("hops"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("dst").alias("neighbor"),
+            "hops",
+        )
+    )
 
 
 def _hops_oracle() -> str:
@@ -1297,9 +1353,10 @@ def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NI_READY.add(wh)
         atexit.register(shutil.rmtree, wh, ignore_errors=True)
     batch = _ni_batch(d)
-    # cached: the batch signatures feed BOTH the band probe and the
-    # candidate verification (same pattern as q_dedup_near)
-    bsigs = minhash_signatures(batch).cache()
+    # per-run localCheckpoint: the batch signatures feed BOTH the band
+    # probe and the candidate verification (same pattern — and same
+    # cross-run .cache() leak — as q_dedup_near)
+    bsigs = minhash_signatures(batch).localCheckpoint()
     cand = (
         _band_rows(bsigs)
         .join(
@@ -1497,7 +1554,18 @@ def _ci_quotient_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _ci_db(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     batch = _ni_batch(d)
-    bsigs = minhash_signatures(batch.select("doc_id", "text")).cache()
+    # per-run localCheckpoint (not .cache — see q_dedup_near): feeds the
+    # band probe, the signature verify, and the in-batch LSH self-join
+    bsigs = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint()
+    # ONE distinct for the whole batch↔corpus leg (VERDICT r12 item 1):
+    # the band probe emits one row per SHARED BAND (<= N_BANDS dups per
+    # pair) and the old shape deduped TWICE more on the way (cand
+    # .distinct() + pairs_bc .distinct()) — three exchanges+aggregates
+    # where one suffices. Duplicate candidates are join-safe: the verify
+    # and assign joins are per-row maps (sig_idx/assign_idx carry one
+    # row per corpus_id), so dup probe rows just re-verify — bounded by
+    # the band count, a constant — and the quotient .distinct() below
+    # collapses them exactly where the result must be a SET anyway.
     cand = (
         _band_rows(bsigs)
         .join(
@@ -1507,7 +1575,6 @@ def _ci_quotient_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bk",
         )
         .select("doc_id", "corpus_id")
-        .distinct()
     )
     matches = sum(
         F.when(F.col(_mh_name(i)) == F.col(f"cmh{i}"), 1).otherwise(0)
@@ -1518,7 +1585,6 @@ def _ci_quotient_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bsigs, "doc_id")
         .filter(matches / F.lit(float(N_HASHES)) >= NI_THRESHOLD)
         .select("doc_id", "corpus_id")
-        .distinct()
     )
     quotient_bc = (
         pairs_bc.join(
